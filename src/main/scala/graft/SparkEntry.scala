@@ -1,13 +1,367 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (reference parity + LLM-pipeline
+  * extensions) is exposed as a named query over the TESTDATA tables, with a
+  * DuckDB-dialect oracle in [[oracleSql]] wherever the semantics are
+  * ANSI-expressible. Queries whose values are engine-specific (xxhash64-based
+  * signatures, HLL sketches, the stubbed media decoder) carry no oracle and
+  * get the driver's rows-only check.
+  *
+  * Oracle-matching rules applied throughout (SURVEY.md §7.5):
+  *   - identical column NAMES on both sides (the driver sorts columns by name
+  *     before hashing);
+  *   - a deterministic total ORDER BY on both sides;
+  *   - money sums in decimal (exact, order-independent), float math widened
+  *     to double with identical operation order, rounded where ranking could
+  *     tie-break differently;
+  *   - explicit NULLS FIRST in DuckDB ORDER BY (Spark's asc default).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: SanFranciscoCrime / PrepOlap / awk (SURVEY §2.3)
+    "a2_weekly_histogram" -> ((s, d) =>
+      Parity.weeklyHistogram(Tables.events(s, d), col("event_type"), "event_type", 1 to 6)),
+    "a2_weekly_long" -> ((s, d) =>
+      Parity.weeklyHistogramLong(Tables.events(s, d), col("event_type"), "event_type")),
+    "a3_daily_cube" -> ((s, d) => Parity.dailyCube(Tables.events(s, d))),
+    "a3_daily_cube_indexed" -> ((s, d) => Parity.dailyCubeIndexed(Tables.events(s, d))),
+    "a4_category_totals" -> ((s, d) => Parity.categoryTotals(Tables.events(s, d))),
+    "a6_dict_event_type" -> ((s, d) =>
+      Parity.dictionary(Tables.events(s, d), "event_type", "id", "name")),
+    "p5_date_normalize" -> ((s, d) => Parity.dateNormalize(Tables.events(s, d))),
+    // ---- star-schema ETL + OLAP (LoadStarDB / Mondrian, SURVEY §2.3-A5 §3.3)
+    "star_dim_category" -> ((s, d) => Star.dimCategory(Tables.orders(s, d))),
+    "star_dim_district" -> ((s, d) => Star.dimDistrict(Tables.nation(s, d))),
+    "star_dim_time" -> ((s, d) => Star.dimTime(Tables.orders(s, d))),
+    "star_fact" -> ((s, d) =>
+      Star.fact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "a5_sum_by_category" -> ((s, d) =>
+      Star.sumByCategory(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 1996)),
+    "a5_sum_by_district" -> ((s, d) =>
+      Star.sumByDistrict(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 1996)),
+    "olap_rollup_time" -> ((s, d) => Star.rollupTime(Tables.orders(s, d))),
+    "olap_cube_cat_district" -> ((s, d) =>
+      Star.cubeCategoryDistrict(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    // ---- general relational surface (SURVEY §2.4)
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q3_top_urgent_orders" -> ((s, d) =>
+      Relational.topUrgentOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "join_semi_customers_with_orders" -> ((s, d) =>
+      Relational.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "join_anti_customers_without_orders" -> ((s, d) =>
+      Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "win_top3_orders_per_customer" -> ((s, d) =>
+      Relational.topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    "win_order_deltas" -> ((s, d) => Relational.orderDeltas(Tables.orders(s, d))),
+    "set_ops_priority" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
+    "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
+    "agg_approx_distinct_users" -> ((s, d) =>
+      Relational.approxDistinctUsers(Tables.events(s, d))),
+    "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
+    // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
+    "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
+    "win_sliding_6h" -> ((s, d) => Relational.slidingCounts(Tables.events(s, d))),
+    "win_session_30m" -> ((s, d) => Relational.sessionCounts(Tables.events(s, d))),
+    // ---- dedup family (SURVEY §2.6)
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    // ---- similarity search (SURVEY §2.6)
+    "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
+    // ---- text analysis (SURVEY §2.6)
+    "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    "text_doc_frequency" -> ((s, d) => TextOps.docFrequency(Tables.documents(s, d))),
+    // ---- multimodal plumbing (SURVEY §2.6)
+    "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
+    "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
+  )
+
+  // ------------------------------------------------------------ oracle SQL --
+
+  /** `java.util.Calendar.WEEK_OF_MONTH` (US locale) in DuckDB SQL; DuckDB's
+    * dayofweek is Sunday=0 where Spark's is Sunday=1, hence `- 1` vs the
+    * engine formula's `- 2` (GraftFunctions.week_of_month). */
+  private def wom(d: String): String =
+    s"(CAST(floor((dayofmonth($d) + dayofweek(date_trunc('month', $d)) - 1) / 7.0) AS INT) + 1)"
+
+  /** `'D' || zero-padded (user_id mod 10)` — Parity.districtOf. */
+  private val districtSql = "'D' || lpad(CAST(user_id % 10 AS VARCHAR), 2, '0')"
+
+  /** Whitespace tokens with empties dropped — GraftFunctions.tokens. */
+  private val toksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
+
+  /** revenue term: extendedprice * (1 - discount) in exact decimal. */
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))"
+
+  /** cosine(a, b) over DOUBLE[] rounded to 6 — GraftFunctions.cosine_similarity
+    * + the engine-side round. */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_inner_product($a, $b) / " +
+      s"(sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)"
+
+  def oracleSql: Map[String, String] = Map(
+    "a2_weekly_histogram" ->
+      s"""WITH e AS (SELECT event_type, ${wom("CAST(ts AS DATE)")} AS w FROM events)
+         |SELECT event_type,
+         |  count(*) FILTER (WHERE w = 1) AS w1, count(*) FILTER (WHERE w = 2) AS w2,
+         |  count(*) FILTER (WHERE w = 3) AS w3, count(*) FILTER (WHERE w = 4) AS w4,
+         |  count(*) FILTER (WHERE w = 5) AS w5, count(*) FILTER (WHERE w = 6) AS w6
+         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a2_weekly_long" ->
+      s"""SELECT event_type,
+         |  CAST((month(ts) - 1) * 5 + ${wom("CAST(ts AS DATE)")} AS INT) AS bucket,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "a3_daily_cube" ->
+      s"""SELECT CAST(ts AS DATE) AS d, event_type, $districtSql AS district, count(*) AS n
+         |FROM events GROUP BY 1, 2, 3 ORDER BY d, event_type, district""".stripMargin,
+    "a3_daily_cube_indexed" ->
+      s"""WITH cube_ AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type, $districtSql AS district, count(*) AS n
+         |  FROM events GROUP BY 1, 2, 3),
+         |cd AS (SELECT CAST(row_number() OVER (ORDER BY event_type) AS INT) AS category_id, event_type
+         |       FROM (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL)),
+         |dd AS (SELECT CAST(row_number() OVER (ORDER BY district) AS INT) AS district_id, district
+         |       FROM (SELECT DISTINCT $districtSql AS district FROM events))
+         |SELECT strftime(cube_.d, '%Y/%m/%d') AS d, cd.category_id - 1 AS cat_idx,
+         |       dd.district_id - 1 AS dist_idx, cube_.n
+         |FROM cube_ JOIN cd USING (event_type) JOIN dd USING (district)
+         |ORDER BY d, cat_idx, dist_idx""".stripMargin,
+    "a4_category_totals" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+    "a6_dict_event_type" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS id, name
+        |FROM (SELECT DISTINCT event_type AS name FROM events WHERE event_type IS NOT NULL)
+        |ORDER BY id""".stripMargin,
+    "p5_date_normalize" ->
+      "SELECT event_id, strftime(ts, '%Y/%m/%d') AS d FROM events ORDER BY event_id",
+    "star_dim_category" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS category_id, name
+        |FROM (SELECT DISTINCT o_orderpriority AS name FROM orders WHERE o_orderpriority IS NOT NULL)
+        |ORDER BY category_id""".stripMargin,
+    "star_dim_district" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS district_id, name
+        |FROM (SELECT DISTINCT n_name AS name FROM nation WHERE n_name IS NOT NULL)
+        |ORDER BY district_id""".stripMargin,
+    "star_dim_time" ->
+      s"""WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+         |            WHERE o_orderdate IS NOT NULL)
+         |SELECT CAST(row_number() OVER (ORDER BY d) AS INT) AS time_id, d,
+         |  CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+         |  ${wom("d")} AS week, CAST(dayofmonth(d) AS INT) AS day
+         |FROM dd ORDER BY time_id""".stripMargin,
+    "star_fact" ->
+      """WITH src AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS d, o.o_orderpriority AS category, n.n_name AS district
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |agg AS (SELECT d, category, district, count(*) AS crimes FROM src GROUP BY 1, 2, 3),
+        |cat AS (SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS category_id, name
+        |        FROM (SELECT DISTINCT o_orderpriority AS name FROM orders WHERE o_orderpriority IS NOT NULL)),
+        |dist AS (SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS district_id, name
+        |         FROM (SELECT DISTINCT n_name AS name FROM nation WHERE n_name IS NOT NULL)),
+        |tp AS (SELECT CAST(row_number() OVER (ORDER BY d) AS INT) AS time_id, d
+        |       FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders WHERE o_orderdate IS NOT NULL))
+        |SELECT agg.crimes, dist.district_id, cat.category_id, tp.time_id
+        |FROM agg JOIN cat ON agg.category = cat.name
+        |         JOIN dist ON agg.district = dist.name
+        |         JOIN tp ON agg.d = tp.d
+        |ORDER BY tp.time_id, cat.category_id, dist.district_id""".stripMargin,
+    "a5_sum_by_category" ->
+      """SELECT o_orderpriority AS name, count(*) AS crimes FROM orders
+        |WHERE year(o_orderdate) = 1996 GROUP BY 1 ORDER BY name""".stripMargin,
+    "a5_sum_by_district" ->
+      """SELECT n.n_name AS name, count(*) AS crimes
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |              JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE year(o.o_orderdate) = 1996 GROUP BY 1 ORDER BY name""".stripMargin,
+    "olap_rollup_time" ->
+      s"""WITH b AS (SELECT CAST(year(o_orderdate) AS INT) AS year,
+         |  CAST(month(o_orderdate) AS INT) AS month,
+         |  ${wom("CAST(o_orderdate AS DATE)")} AS week,
+         |  CAST(dayofmonth(o_orderdate) AS INT) AS day FROM orders)
+         |SELECT year, month, week, day, count(*) AS crimes,
+         |  GROUPING(year, month, week, day) AS gid
+         |FROM b GROUP BY ROLLUP(year, month, week, day)
+         |ORDER BY gid, year NULLS FIRST, month NULLS FIRST, week NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "olap_cube_cat_district" ->
+      """WITH b AS (
+        |  SELECT o.o_orderpriority AS category, n.n_name AS district,
+        |         CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT category, district, count(*) AS n,
+        |  CAST(sum(price) AS DECIMAL(18,2)) AS total_price,
+        |  GROUPING(category, district) AS gid
+        |FROM b GROUP BY CUBE(category, district)
+        |ORDER BY gid, category NULLS FIRST, district NULLS FIRST""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))
+        |    * CAST(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,6)) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_urgent_orders" ->
+      s"""SELECT o.o_orderkey, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue,
+         |  min(CAST(o.o_orderdate AS DATE)) AS o_orderdate
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |               JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "join_semi_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,
+    "join_anti_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "win_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_order_deltas" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT o_custkey, o_orderkey, price,
+        |  lag(price, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "set_ops_priority" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT o_custkey, 'both' AS tag
+        |FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM high)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS tag
+        |FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM high)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "agg_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_extract_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "win_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "win_sliding_6h" ->
+      """WITH b AS (SELECT event_type,
+        |  make_timestamp((epoch_us(ts) // 10800000000) * 10800000000) AS w1 FROM events),
+        |u AS (SELECT event_type, unnest([w1 - INTERVAL 3 HOUR, w1]) AS w_start FROM b)
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "win_session_30m" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |       ELSE list_distinct([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))])
+         |  END AS grams FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS INT) AS n_common,
+         |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS n_union
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos
+         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
+         |ORDER BY vec_a""".stripMargin,
+    "sim_bruteforce_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qe", "e.emb")} AS cos
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    "text_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toksSql AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+         |  CAST(n_chars AS INT) AS n_chars,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars,
+         |  length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha,
+         |  $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS INT) AS n_stop,
+         |  n_nonalpha, n_chars FROM t)
+         |SELECT doc_id, n_tokens, n_stop,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(n_tokens BETWEEN 10 AND 1000 AS INT) AS len_ok,
+         |  1.0 - CAST(n_nonalpha AS DOUBLE) / n_chars AS alpha_ratio
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+         |  len(list_filter(toks, x -> list_contains(['the','and','is','of','to'], x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(['el','la','los','y','es'], x))) AS s_es,
+         |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est'], x))) AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+         |  FROM t)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_doc_frequency" ->
+      s"""WITH t AS (SELECT list_distinct($toksSql) AS toks FROM documents),
+         |x AS (SELECT unnest(toks) AS token FROM t)
+         |SELECT token, count(*) AS df FROM x GROUP BY token
+         |HAVING count(*) >= 2 ORDER BY token""".stripMargin,
+    "mm_blob_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  source, 'fake/raw' AS format
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
 }

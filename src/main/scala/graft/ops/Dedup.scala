@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Deduplication family (SURVEY.md §2.6 / BASELINE north star): exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: every near-dup variant is bucket-first — candidate pairs are
+  * generated ONLY inside LSH/band buckets (`groupBy` + self-equi-join on the
+  * bucket key), never by an O(n²) cross join, so the shuffle volume is
+  * O(n · bands) and the pair work is confined to colliding buckets. The
+  * signatures themselves are pure per-row column expressions (no shuffle).
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min doc_id) per distinct text.
+    * Equivalent to `dropDuplicates("text")` but with a deterministic survivor,
+    * which both the oracle and a 100 TB re-run can reproduce. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+
+  /** MinHash + LSH near-dup candidate pairs.
+    *
+    * Pipeline: tokens → `shingleSize`-word shingles → `k`-slot MinHash
+    * signature (per-row) → `bands` band-hashes → explode to (band, hash)
+    * buckets → self-join within buckets → distinct (a,b) pairs with exact
+    * n-gram Jaccard computed only for the candidates.
+    *
+    * With k=32, bands=8 (r=4), the S-curve threshold is ≈ (1/8)^(1/4) ≈ 0.6.
+    */
+  def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val r = k / bands
+    val sig = documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("sig", minhash_signature(shingles(col("toks"), shingleSize), k))
+      .withColumn("band", explode(arrays_zip(
+        sequence(lit(0), lit(bands - 1)).as("band_idx"),
+        minhash_bands(col("sig"), bands, r).as("band_hash"))))
+      .select(col("doc_id"), col("toks"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    val a = sig.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = sig.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("toks_a"), col("toks_b")).as("jacc"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(max("jacc"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup: 64-bit per-doc fingerprint; candidate pairs share at
+    * least one of 4 16-bit chunks (pigeonhole: hamming ≤ 3 guarantees a
+    * matching chunk), verified with the true hamming distance. */
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = 4
+    val fp = documents
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn("chunk",
+        call_function("shiftright", col("fp"), col("chunk_idx") * 16)
+          .bitwiseAND(lit(0xFFFFL)))
+    val a = fp.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over a deterministic pair set (adjacent doc_ids) —
+    * the SQL-expressible ground truth the LSH variants approximate, and the
+    * DuckDB-oracle anchor for the similarity math. */
+  def ngramJaccardAdjacent(documents: DataFrame, n: Int = 2): DataFrame = {
+    val shingled = documents.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), n)).as("grams"))
+    val a = shingled.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
+    val b = shingled.select((col("doc_id") - 1).as("doc_a"),
+      col("doc_id").as("doc_b"), col("grams").as("grams_b"))
+    a.join(b, "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("grams_a"), col("grams_b"))).as("n_common"),
+        size(array_union(col("grams_a"), col("grams_b"))).as("n_union"))
+      .orderBy("doc_a")
+  }
+
+  /** Embedding near-dup: cosine over adjacent vec_ids (deterministic pair
+    * set; the ANN-bucketed variant lives in SimSearch.lshTopK). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = embeddings.select((col("vec_id") - 1).as("vec_a"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, "vec_a")
+      // rounded to 6 decimals so engine-level summation-order noise (~1e-16)
+      // can't flip the oracle comparison
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine_similarity(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("vec_a")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.6 / BASELINE north star).
+  *
+  * Media are modeled the way a 100 TB training pipeline stores them: an
+  * opaque `binary` payload column plus typed metadata columns, decoded
+  * per-partition in batches. The Spark-side plumbing — schema, partition
+  * batching, output shape — is real; the actual image/audio codec is STUBBED
+  * (this container ships no media libraries) behind `decodeStub`, a
+  * deterministic fake that derives "decoded" properties from the payload
+  * bytes. Swap `decodeStub` for a real codec (e.g. javacv) without touching
+  * the plan shape.
+  */
+object Multimodal {
+
+  /** Wrap documents as media blobs: payload = UTF-8 bytes of the text (the
+    * stand-in for image bytes), with source/format metadata. */
+  def asBlobTable(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source"),
+      lit("fake/raw").as("format"))
+
+  /** Pure-column metadata extraction — byte length and a checksum; the cheap
+    * pre-filter a pipeline runs BEFORE paying for decode. Fully codegen'd. */
+  def blobMeta(documents: DataFrame): DataFrame =
+    asBlobTable(documents)
+      .select(
+        col("media_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("source"), col("format"))
+      .orderBy("media_id")
+
+  /** Output row of the (stubbed) decoder. */
+  case class DecodedMedia(media_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_frames: Int, feature: Array[Float])
+
+  /** STUB decoder: stands in for `imageio.decode(payload)`. Deterministic
+    * fake properties derived from payload bytes; a real implementation would
+    * decode pixels and run the feature extractor here, amortizing model/codec
+    * init across the partition's batch (why this is mapPartitions, not a
+    * per-row UDF). */
+  private def decodeStub(mediaId: Long, payload: Array[Byte]): DecodedMedia = {
+    var h = 1125899906842597L // deterministic FNV-ish roll over the payload
+    payload.foreach(b => h = h * 31 + b)
+    val width = 64 + math.floorMod(h, 512).toInt
+    val height = 64 + math.floorMod(h >> 16, 512).toInt
+    val frames = 1 + math.floorMod(h >> 32, 8).toInt
+    val feature = Array.tabulate(8)(i => math.floorMod(h >> i, 1000) / 1000.0f)
+    DecodedMedia(mediaId, payload.length, width, height, frames, feature)
+  }
+
+  /** Batch decode + feature extraction over the blob table: per-partition
+    * iterator processing (the Scala analog of mapInPandas batch UDFs) via the
+    * typed Dataset API — codec init happens once per partition, not per row.
+    */
+  def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    asBlobTable(documents)
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // real impl: open codec / load feature model here, once per batch
+        iter.map { case (id, payload) => decodeStub(id, payload) }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Reference-parity operators (SURVEY.md §2.1-§2.3), re-expressed Spark-first
+  * over the TESTDATA tables. The role mapping (FIXTURES.md §A): `events.ts` ↔
+  * incident Date, `event_type` ↔ Category, `user_id % 10` ↔ PdDistrict.
+  *
+  * Every function is DataFrame-in/DataFrame-out and purely declarative so
+  * Catalyst plans the whole pipeline (scan-level column pruning, partial
+  * aggregation before the shuffle, broadcast dictionary joins).
+  */
+object Parity {
+
+  /** The district analog: 10 synthetic "districts" from user_id buckets. */
+  def districtOf(userId: Column): Column =
+    concat(lit("D"), lpad(pmod(userId, lit(10)).cast("string"), 2, "0"))
+
+  /** A2 (`SanFranciscoCrime.ReduceByWeek`, SanFranciscoCrime.java:154-210):
+    * weekly incident-count histogram per key, dense buckets. The reference
+    * emits a 16-slot CSV vector; here `pivot` with an explicit bucket domain
+    * restores the dense shape (absent buckets zero-filled), which also keeps
+    * the output schema static for the oracle. One shuffle: the partial/final
+    * HashAggregate pair Hadoop's missing combiner never provided.
+    */
+  def weeklyHistogram(events: DataFrame, key: Column, keyName: String,
+      buckets: Seq[Int]): DataFrame =
+    events
+      .select(key.as(keyName), week_of_month(to_date(col("ts"))).as("w"))
+      .groupBy(col(keyName))
+      .pivot("w", buckets)
+      .count()
+      .na.fill(0L)
+      .toDF(keyName +: buckets.map(b => s"w$b"): _*)
+      .orderBy(col(keyName))
+
+  /** A2 in long (sparse) form: (key, bucket, n). Same aggregation without the
+    * pivot — the form that scales to arbitrary bucket domains at 100 TB. */
+  def weeklyHistogramLong(events: DataFrame, key: Column, keyName: String): DataFrame =
+    events
+      .select(key.as(keyName), month_week_bucket(to_date(col("ts"))).as("bucket"))
+      .groupBy(col(keyName), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col(keyName), col("bucket"))
+
+  /** A3 (`SanFranciscoCrimePrepOlap.Reduce`, :155-206): daily
+    * date × category × district counts, naturally sparse — `groupBy.count`
+    * produces only non-zero cells, exactly like the reference's non-zero
+    * triplet emission. */
+  def dailyCube(events: DataFrame): DataFrame =
+    events
+      .select(
+        to_date(col("ts")).as("d"),
+        col("event_type"),
+        districtOf(col("user_id")).as("district"))
+      .groupBy("d", "event_type", "district")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("d", "event_type", "district")
+
+  /** A4 (`categoryTotals.awk`): group-by-count of categories, ordered. */
+  def categoryTotals(events: DataFrame): DataFrame =
+    events.groupBy("event_type").agg(count(lit(1)).as("n")).orderBy("event_type")
+
+  /** A6 (`DataFile.extractKeys` + `LoadStarDB.setup`): distinct values of a
+    * column, sorted, with 1-based dense ids = sorted rank. The reference
+    * assigns dictionary ids by sorted insertion order; `row_number` over a
+    * global sort reproduces that deterministically.
+    *
+    * Scale note: the window is single-partition by design — valid only for
+    * dimension-cardinality inputs (10-40 values here; the distinct() shuffle
+    * reduces to that before the window sees it). A 100 TB-scale dictionary
+    * over a high-cardinality key should switch to hash ids or
+    * zipWithIndex-style assignment instead; this operator intentionally
+    * matches the reference's sorted-rank contract.
+    */
+  def dictionary(df: DataFrame, column: String, idName: String, nameName: String): DataFrame =
+    df.select(col(column).as(nameName))
+      .where(col(nameName).isNotNull)
+      .distinct()
+      .withColumn(idName, row_number().over(Window.orderBy(col(nameName))).cast("int"))
+      .select(col(idName), col(nameName))
+      .orderBy(col(idName))
+
+  /** P5 (`MapReduceJobBase.getKeyDate`/`formatKey`): normalize a timestamp to
+    * the reference's `yyyy/MM/dd` sort-stable string key. */
+  def dateNormalize(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), date_format(col("ts"), "yyyy/MM/dd").as("d"))
+      .orderBy("event_id")
+
+  /** A3 + A6 composed: the OLAP-prep job's full output — daily counts keyed by
+    * dictionary ids rather than names (SanFranciscoCrimePrepOlap.java:161-205).
+    * The reference probes driver-local static HashMaps (single-JVM-only);
+    * here the dictionaries are tiny DataFrames broadcast-joined in, which is
+    * the same hash probe but correct on a real cluster.
+    */
+  def dailyCubeIndexed(events: DataFrame): DataFrame = {
+    val cube = dailyCube(events)
+    val catDict = dictionary(events, "event_type", "category_id", "event_type")
+    val distDict = dictionary(
+      events.select(districtOf(col("user_id")).as("district")), "district",
+      "district_id", "district")
+    cube
+      .join(broadcast(catDict), "event_type")
+      .join(broadcast(distDict), "district")
+      .select(
+        date_format(col("d"), "yyyy/MM/dd").as("d"),
+        (col("category_id") - 1).as("cat_idx"),
+        (col("district_id") - 1).as("dist_idx"),
+        col("n"))
+      .orderBy("d", "cat_idx", "dist_idx")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational surface (SURVEY.md §2.4-§2.6): the join/window/limit/
+  * set-op operators the reference lacks but a user of a general engine needs,
+  * exercised as concrete queries over the TESTDATA tables.
+  *
+  * Numeric-parity rule used throughout (SURVEY.md §7.5-4): any aggregated
+  * money amount is cast to `decimal` BEFORE summation, in both the Spark plan
+  * and the DuckDB oracle — decimal addition is exact and associative, so the
+  * shuffle's nondeterministic reduce order cannot flip low bits the way a
+  * double sum can.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy filter + wide aggregate.
+    * The filter and the 7-column projection both push into the parquet scan.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        // tight precisions keep every intermediate product within decimal
+        // range in BOTH engines (price(12,2) × (5,2) × (5,2) → (24,6) ≤ 38)
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(5,2)").as("one_minus_disc"),
+        (lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)"))
+          .cast("decimal(5,2)").as("one_plus_tax"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("qty").cast("decimal(18,2)").as("sum_qty"),
+        sum("price").cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("price") * col("one_minus_disc"))
+          .cast("decimal(18,4)").as("sum_disc_price"),
+        sum(col("price") * col("one_minus_disc") * col("one_plus_tax"))
+          .cast("decimal(18,6)").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-shaped: 3-way join (broadcast dim, shuffled fact-fact), group,
+    * top-10 by revenue. Ties broken by key so the limit is deterministic. */
+  def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(5,2)"))
+          .as("rev"))
+      .join(
+        orders
+          .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey")), orders("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(sum("rev").cast("decimal(18,4)").as("revenue"),
+        first(to_date(col("o_orderdate"))).as("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders.select("o_custkey"), customer("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join: customers who never placed a 1-URGENT order
+    * (NOT EXISTS). The priority filter keeps the result non-empty on
+    * TESTDATA, where every customer has at least one order. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(
+        orders.where(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        customer("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Window top-k: each customer's 3 highest-value orders. One shuffle on the
+    * partition key; rank predicate applied before any further join. */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("int"))
+      .where(col("rn") <= k)
+      .orderBy("o_custkey", "rn")
+
+  /** Lag/lead + running frame: per-customer order-value deltas and running
+    * totals — the window-frame surface (rowsBetween). */
+  def orderDeltas(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("prev_price", lag(col("price"), 1).over(
+        Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))))
+      .withColumn("running_total",
+        sum(col("price")).over(Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("decimal(18,2)"))
+      .select("o_custkey", "o_orderkey", "price", "prev_price", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set ops: order keys seen in lineitem but placed by no BUILDING-segment
+    * customer (EXCEPT), plus the INTERSECT of two priority slices — exercised
+    * as one union-all'd result with a tag column. */
+  def setOps(orders: DataFrame): DataFrame = {
+    val urgent = orders.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val high = orders.where(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+    val both = urgent.intersect(high).withColumn("tag", lit("both"))
+    val onlyUrgent = urgent.except(high).withColumn("tag", lit("urgent_only"))
+    both.unionAll(onlyUrgent).orderBy("tag", "o_custkey")
+  }
+
+  /** Exact distinct users per event type — DuckDB-oracled. */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct (`approx_count_distinct`) — the 100 TB path
+    * where exact distinct would shuffle every key. Sketch values are
+    * engine-specific, so this query is rows-only checked (no oracle). */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** JSON extraction (SURVEY.md §2.6): pull `$.k` out of the props JSON
+    * string with `get_json_object`. */
+  def jsonExtract(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Tumbling window counts (batch form of the streaming §2.6 operator):
+    * 1-day windows per event type via `window()`. */
+  def tumblingDailyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"))
+      .orderBy("day", "event_type")
+
+  /** Sliding window counts: 6-hour windows sliding every 3 hours — each event
+    * lands in 2 windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
+  /** Session windows (gap-based, 30 min) per user: `session_window` merges
+    * events closer than the gap; start = first event, n = session size. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.6).
+  *
+  * Two paths, as a real 100 TB pipeline would ship them:
+  *   - `bruteForceTopK`: exact cosine top-k for a bounded query set —
+  *     broadcast the queries, stream the corpus once, per-partition top-k via
+  *     window rank. Cost O(|corpus| · |queries|) with NO corpus shuffle until
+  *     the (tiny) rank step.
+  *   - `lshTopK`: sign-random-projection LSH (SimHash for vectors) — corpus
+  *     and queries are bucketed by b-bit hypercube cell; candidates come only
+  *     from colliding cells across `tables` independent hash tables, then are
+  *     exactly re-ranked. Recall < 1 by construction; the candidate volume —
+  *     not the corpus size — bounds the pair work.
+  */
+object SimSearch {
+
+  /** Exact cosine top-k neighbors for each query vector (vec_id < nQueries,
+    * self-match excluded). Output: (query_id, neighbor_id, rank). */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      // quantized to 6 decimals BEFORE ranking: ties then break on
+      // neighbor_id identically in any engine, making top-k deterministic
+      // cross-engine (raw doubles could rank-swap on ~1e-16 noise)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine_similarity(col("q_emb"), col("embedding")), 6).as("cos"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-random-projection bucket for one hash table: `bits` pseudo-random
+    * hyperplanes; bit i = sign of dot(v, h_i) where h_i components are
+    * xxhash64-derived in {-1, +1} per dimension. Pure column expression. */
+  private def srpBucket(emb: org.apache.spark.sql.Column, table: Int, bits: Int,
+      dim: Int): org.apache.spark.sql.Column = {
+    val bitCols = (0 until bits).map { i =>
+      // dot(v, h_i): per-dimension ±1 from a hash of (table, plane, dim idx)
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dim - 1)),
+          (x, d) => when(
+            xxhash64(lit(table), lit(i), d).bitwiseAND(lit(1L)) === lit(1L), x)
+            .otherwise(-x)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH ANN top-k: candidates from `tables` independent b-bit SRP bucketings,
+    * exact cosine re-rank of the union. Same output shape as bruteForceTopK;
+    * recall measured against it in tests. */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      bits: Int = 8, tables: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = embeddings.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t =>
+        struct(lit(t).as("tbl"), srpBucket(col("embedding"), t, bits, dim).as("bucket"))): _*))
+        .as("h"))
+      .select(col("vec_id"), col("embedding"),
+        col("h.tbl").as("tbl"), col("h.bucket").as("bucket"))
+    val queries = bucketed.where(col("vec_id") < nQueries)
+      .select(col("tbl"), col("bucket"),
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val candidates = bucketed
+      .join(broadcast(queries), Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("q_emb"), col("embedding")).as("cos"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max("cos").as("cos"))
+    candidates
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

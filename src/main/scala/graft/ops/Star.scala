@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Star-schema ETL + OLAP queries (SURVEY.md §2.1-S5/S6, §2.3-A5, §3.3).
+  *
+  * Reference (`LoadStarDB.java`, `starschema.sql`): dims `category`,
+  * `district`, `timeperiod(year, month, week, day)`; fact
+  * `(crimes, district_id, category_id, time_id)`. On TESTDATA the star is
+  * built from `orders` (fact source, `o_orderdate` ↔ incident date,
+  * `o_orderpriority` ↔ Category) joined through `customer` → `nation`
+  * (`n_name` ↔ PdDistrict).
+  *
+  * Scale design: dims are tiny by construction (priorities ≈ 5, nations = 25,
+  * distinct dates ≈ 2.4k) so every dim join is an explicit `broadcast` — the
+  * fact table never shuffles for id assignment. The reference's row-at-a-time
+  * JDBC insert path becomes a single columnar write.
+  */
+object Star {
+
+  /** Orders with the district analog resolved: two broadcast joins. */
+  def ordersWithDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        orders("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+
+  /** Category dimension: 1-based sorted-rank ids (LoadStarDB.java:186-195). */
+  def dimCategory(orders: DataFrame): DataFrame =
+    Parity.dictionary(orders, "o_orderpriority", "category_id", "name")
+
+  /** District dimension over nation names. */
+  def dimDistrict(nation: DataFrame): DataFrame =
+    Parity.dictionary(nation, "n_name", "district_id", "name")
+
+  /** Time dimension: distinct order dates decomposed to
+    * (year, month, week-of-month, day) — the `timeperiod` table
+    * (starschema.sql:2-6). The reference assigns `time_id` by first-seen file
+    * order (nondeterministic); here it is `row_number` over the date order —
+    * deterministic, documented delta (SURVEY.md §3.3). Months are 1-based
+    * (documented delta from the reference's raw Calendar.MONTH persistence).
+    */
+  def dimTime(orders: DataFrame): DataFrame =
+    orders
+      .select(to_date(col("o_orderdate")).as("d"))
+      .where(col("d").isNotNull)
+      .distinct()
+      .withColumn("time_id", row_number().over(Window.orderBy(col("d"))).cast("int"))
+      .select(
+        col("time_id"), col("d"),
+        year(col("d")).as("year"),
+        month(col("d")).as("month"),
+        week_of_month(col("d")).as("week"),
+        dayofmonth(col("d")).as("day"))
+      .orderBy("time_id")
+
+  /** The fact table: counts per (date, category, district) with surrogate ids
+    * from the dims — `fact(crimes, district_id, category_id, time_id)`.
+    * Aggregates FIRST (shrinking to cube cardinality), then broadcast-joins
+    * ids onto the aggregate — the fact-source scan shuffles exactly once.
+    */
+  def fact(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val src = ordersWithDistrict(orders, customer, nation)
+      .select(
+        to_date(col("o_orderdate")).as("d"),
+        col("o_orderpriority").as("category"),
+        col("n_name").as("district"))
+    val agg = src.groupBy("d", "category", "district").agg(count(lit(1)).as("crimes"))
+    agg
+      .join(broadcast(dimCategory(orders)), agg("category") === col("name"))
+      .drop("name")
+      .join(broadcast(dimDistrict(nation)), agg("district") === col("name"))
+      .drop("name")
+      .join(broadcast(dimTime(orders).select("time_id", "d")), Seq("d"))
+      .select("crimes", "district_id", "category_id", "time_id")
+      .orderBy("time_id", "category_id", "district_id")
+  }
+
+  /** A5 / bycategory.mdx: sum of the measure by category for one year slice,
+    * via the star join (fact ⋈ dims), as Mondrian would generate it. */
+  def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      yearSlice: Int): DataFrame = {
+    val f = fact(orders, customer, nation)
+    val t = dimTime(orders)
+    val c = dimCategory(orders)
+    f.join(broadcast(t), "time_id")
+      .where(col("year") === yearSlice)
+      .join(broadcast(c), "category_id")
+      .groupBy("name")
+      .agg(sum("crimes").as("crimes"))
+      .orderBy("name")
+  }
+
+  /** A5 / bydistrict.mdx analog: by district for one year slice. */
+  def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      yearSlice: Int): DataFrame = {
+    val f = fact(orders, customer, nation)
+    val t = dimTime(orders)
+    val d = dimDistrict(nation)
+    f.join(broadcast(t), "time_id")
+      .where(col("year") === yearSlice)
+      .join(broadcast(d), "district_id")
+      .groupBy("name")
+      .agg(sum("crimes").as("crimes"))
+      .orderBy("name")
+  }
+
+  /** Mondrian Time-hierarchy totals (sfcrime.xml:18-26): rollup over
+    * year > month > week > day with `grouping_id` disambiguating the "All"
+    * members — subtotal rows the reference's cube computes at MDX time. */
+  def rollupTime(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"),
+        week_of_month(to_date(col("o_orderdate"))).as("week"),
+        dayofmonth(col("o_orderdate")).as("day"))
+      .rollup("year", "month", "week", "day")
+      .agg(count(lit(1)).as("crimes"), grouping_id().as("gid"))
+      .orderBy(col("gid"), col("year"), col("month"), col("week"), col("day"))
+
+  /** Category × District cube with All-member totals (cube = the four MDX
+    * axis combinations at once), plus an exact-decimal measure sum. */
+  def cubeCategoryDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val agg = ordersWithDistrict(orders, customer, nation)
+      .select(
+        col("o_orderpriority").as("category"),
+        col("n_name").as("district"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      // cube(Column*) with unresolved col() refs: the cube(String*) overload
+      // eagerly resolves to dataset-tagged attributes, which trips
+      // DetectAmbiguousSelfJoin when the child plan contains joins
+      .cube(col("category"), col("district"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("price").cast("decimal(18,2)").as("total_price"),
+        grouping_id().as("gid"))
+    agg.orderBy(agg("gid"), agg("category"), agg("district"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators (SURVEY.md §2.6): token stats, quality scoring,
+  * language-ID heuristic, document fingerprinting, corpus doc-frequency.
+  * All per-document work is pure column expressions (whole-stage codegen);
+  * only docFrequency shuffles (one explode + groupBy).
+  */
+object TextOps {
+
+  /** Per-document token statistics: token count, distinct-token count,
+    * char count, mean token length, type-token ratio. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        length(col("text")).as("n_chars"))
+      // exact double division (not rounded): IEEE division of two ints is
+      // bit-identical in any engine, so the oracle can compare it raw
+      .withColumn("ttr",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score in [0,1]: blends length fit, stopword ratio and
+    * alphabetic purity — the shape of a C4/Gopher-style quality filter,
+    * deterministic and cheap enough to run inline at ingest. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = array(Seq("the", "a", "and", "of", "to", "in", "is", "on").map(lit): _*)
+    documents
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(array_intersect_dup(toks, stop)).as("n_stop"),
+        length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"),
+        length(col("text")).as("n_chars"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("len_ok",
+        (col("n_tokens") >= 10 && col("n_tokens") <= 1000).cast("int"))
+      .withColumn("alpha_ratio",
+        lit(1.0) - col("n_nonalpha").cast("double") / col("n_chars"))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "len_ok", "alpha_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** Count stopword OCCURRENCES (not set intersection): filter keeps
+    * duplicates, so "the ... the" counts twice. */
+  private def array_intersect_dup(toks: Column, stop: Column): Column =
+    filter(toks, t => array_contains(stop, t))
+
+  /** Language-ID by marker-token voting: per candidate language, count hits
+    * of a tiny high-frequency marker list; argmax wins (ties → lexicographic
+    * first, deterministic). An n-gram-frequency heuristic in miniature — on a
+    * real corpus the marker lists would be learned; the plumbing (per-row
+    * scoring, argmax via array_max over (score, lang) structs) is the real
+    * operator. */
+  def langId(documents: DataFrame): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "en" -> Seq("the", "and", "is", "of", "to"),
+      "es" -> Seq("el", "la", "los", "y", "es"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    val toks = tokens(col("text"))
+    val scored = markers.map { case (lang, words) =>
+      val hits = size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+      // negated score so an ASC struct sort puts (highest score, smallest
+      // lang) first — a deterministic argmax with lexicographic tie-break
+      struct((-hits).as("neg_score"), lit(lang).as("lang"))
+    }
+    documents
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        sort_array(array(scored: _*)).getItem(0).getField("lang")
+          .as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash document fingerprint + exact-dup group id: docs with equal
+    * prints are byte-identical token streams (mod 2^64 collisions). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  /** Corpus document-frequency: for each token, in how many documents it
+    * appears. The one genuinely distributed text op: explode distinct tokens
+    * per doc (map-side dedup BEFORE the shuffle cuts volume), then count.
+    * At 100 TB the same plan holds — partial aggregation keeps the explode
+    * local and only (token, partial-count) rows shuffle. */
+  def docFrequency(documents: DataFrame, minDf: Long = 2): DataFrame =
+    documents
+      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .orderBy("token")
+}
