@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY.md §2.6). The reference is pure
+  * batch — its "Previous Three Months" dataset implies re-execution-as-
+  * refresh; these operators are the streaming re-expression of the same
+  * aggregations, taking any streaming DataFrame with the `events` schema
+  * (`readStream` source → transform → `writeStream` sink).
+  *
+  * All transforms are source-agnostic: they accept the streaming DataFrame
+  * rather than creating it, so the same code runs on files, Kafka-style
+  * sources, or MemoryStream in tests. Watermarks bound the state the way the
+  * reference bounded input (drop-and-log late/malformed rows, SURVEY §2.2-P4):
+  * rows later than the watermark are dropped, and window state older than it
+  * is evicted — the property that keeps state finite on an unbounded stream
+  * (the 100 TB-scale requirement).
+  */
+object Streaming {
+
+  /** Streaming analog of the weekly histogram (A2): tumbling event-time
+    * window counts per event type, watermarked so state is bounded. Emits
+    * (window_start, window_end, event_type, n). */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLength: String = "1 day",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Sliding event-time windows (each event lands in size/slide windows). */
+  def slidingCounts(
+      events: DataFrame,
+      windowLength: String = "6 hours",
+      slide: String = "3 hours",
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Gap-based session windows per user — state merges as events arrive and
+    * a session finalizes once the watermark passes its close. */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+
+  /** Stateful streaming dedup by event_id: duplicates arriving within the
+    * watermark horizon are dropped; state for ids older than the watermark
+    * is evicted (unbounded-stream-safe, unlike plain dropDuplicates whose
+    * state grows forever). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

@@ -1,0 +1,152 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Operator-level specs on tiny inline fixtures (SURVEY §5.2-1). */
+class OpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, ts("2024-01-03 10:00:00"), 10L, "click"),
+    (2L, ts("2024-01-03 10:10:00"), 10L, "click"),
+    (3L, ts("2024-01-03 11:30:00"), 10L, "view"),
+    (4L, ts("2024-01-10 09:00:00"), 21L, "click"),
+    (5L, ts("2024-02-01 09:00:00"), 32L, "view")
+  ).toDF("event_id", "ts", "user_id", "event_type")
+
+  test("A2 weeklyHistogram: dense zero-filled buckets per key") {
+    val got = Parity.weeklyHistogram(events, col("event_type"), "event_type", 1 to 6)
+      .collect().map(r => r.getString(0) -> (1 to 6).map(i => r.getLong(i))).toMap
+    // 2024-01-03 is week 1 of Jan (Jan 1 2024 is Monday); Jan 10 week 2; Feb 1 week 1
+    assert(got("click") == Seq(2L, 1L, 0L, 0L, 0L, 0L))
+    assert(got("view") == Seq(2L, 0L, 0L, 0L, 0L, 0L))
+  }
+
+  test("A2 long form: month*5+week buckets") {
+    val got = Parity.weeklyHistogramLong(events, col("event_type"), "event_type")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got(("click", 1)) == 2L)  // Jan wk1: (1-1)*5+1
+    assert(got(("click", 2)) == 1L)  // Jan wk2
+    assert(got(("view", 6)) == 1L)   // Feb wk1: (2-1)*5+1
+  }
+
+  test("A3 dailyCube counts sparse non-zero cells") {
+    val got = Parity.dailyCube(events).collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(got(("2024-01-03", "click", "D00")) == 2L)
+    assert(got(("2024-01-03", "view", "D00")) == 1L)
+    assert(got(("2024-01-10", "click", "D01")) == 1L)
+    assert(got.size == 4)
+  }
+
+  test("A6 dictionary: 1-based sorted-rank ids, stable under input order") {
+    val names = Seq("zeta", "alpha", "mid", "alpha").toDF("event_type")
+    val got = Parity.dictionary(names, "event_type", "id", "name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1 -> "alpha", 2 -> "mid", 3 -> "zeta"))
+  }
+
+  test("A3+A6 dailyCubeIndexed: 0-based ids = sorted rank - 1") {
+    val got = Parity.dailyCubeIndexed(events).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // categories sorted: click=0, view=1; districts sorted: D00=0, D01=1, D02=2
+    assert(got(("2024/01/03", 0, 0)) == 2L)
+    assert(got(("2024/02/01", 1, 2)) == 1L)
+  }
+
+  test("dedup: exact keeps min doc_id with copy counts") {
+    val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("dedup: minhashLsh surfaces a planted near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("runs", "sprints")),
+      (2L, "completely different words about database engines and query planning systems")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, shingleSize = 2, k = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("dedup: simhash finds identical docs at hamming 0") {
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "unrelated totally different content here")).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDup(docs, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(got.map(_._1).contains((0L, 1L)))
+    assert(got.find(_._1 == (0L, 1L)).get._2 == 0)
+  }
+
+  test("simsearch: brute-force top-k ranks the planted twin first") {
+    val vecs = (0 until 20).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i.toLong, v)
+    } ++ Seq((100L, Array.tabulate(8)(j => (math.sin(0 * 8 + j) * 1.001).toFloat)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = SimSearch.bruteForceTopK(emb, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.head == ((0L, 100L, 1)))  // twin of query 0 ranked 1
+  }
+
+  test("simsearch: LSH candidates achieve recall vs brute force on real data") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = SimSearch.bruteForceTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimSearch.lshTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
+  test("star: fact crime total equals order count; dims are sorted ranks") {
+    val (o, c, n) = (Tables.orders(spark, TestSpark.sf0001),
+      Tables.customer(spark, TestSpark.sf0001), Tables.nation(spark, TestSpark.sf0001))
+    val f = Star.fact(o, c, n)
+    assert(f.agg(sum("crimes")).collect().head.getLong(0) == o.count())
+    val cats = Star.dimCategory(o).collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(cats.map(_._2).toSeq == cats.map(_._2).sorted.toSeq)
+    assert(cats.map(_._1).toSeq == (1 to cats.length))
+  }
+
+  test("star: sumByCategory matches direct aggregation") {
+    val (o, c, n) = (Tables.orders(spark, TestSpark.sf0001),
+      Tables.customer(spark, TestSpark.sf0001), Tables.nation(spark, TestSpark.sf0001))
+    val viaStar = Star.sumByCategory(o, c, n, 1996).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = o.where(year(col("o_orderdate")) === 1996)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaStar == direct)
+  }
+
+  test("text: quality + token stats have consistent counts") {
+    val docs = Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val stats = TextOps.tokenStats(docs).collect().head
+    assert(stats.getInt(1) == 6)      // n_tokens
+    assert(stats.getInt(2) == 5)      // distinct (the ×2)
+    val q = TextOps.qualityScore(docs).collect().head
+    assert(q.getInt(2) == 3)          // stop hits: the, on, the
+  }
+
+  test("multimodal: stub decode is deterministic and batch-shaped") {
+    val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
+      .toDF("doc_id", "text", "source")
+    val a = Multimodal.decodeFeatures(spark, docs).collect()
+    val b = Multimodal.decodeFeatures(spark, docs).collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getSeq[Float](5).length == 8))
+    val meta = Multimodal.blobMeta(docs).collect().head
+    assert(meta.getInt(1) == "payload one".getBytes("UTF-8").length)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streaming
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+/** Structured Streaming operators driven through MemoryStream → memory sink —
+  * the same transform code the batch queries use, now with incremental state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window counts aggregate incrementally across batches") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.tumblingCounts(src.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("stream_tumbling")
+      .outputMode("complete").start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "click"),
+        Ev(2, ts("2024-01-01 10:55:00"), 2, "click"))
+      q.processAllAvailable()
+      src.addData(Ev(3, ts("2024-01-01 10:30:00"), 3, "click")) // same window, later batch
+      q.processAllAvailable()
+      val got = spark.table("stream_tumbling").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+      assert(got(("2024-01-01 10:00:00.0", "click")) == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.sessionCounts(src.toDF(), "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("complete").start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 7, "a"),
+        Ev(2, ts("2024-01-01 10:20:00"), 7, "a"),  // within gap -> same session
+        Ev(3, ts("2024-01-01 12:00:00"), 7, "a"))  // far -> new session
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions").collect()
+        .map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+      assert(got("2024-01-01 10:00:00.0") == 2L)
+      assert(got("2024-01-01 12:00:00.0") == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate ids") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "a"),
+        Ev(1, ts("2024-01-01 10:00:01"), 1, "a"),  // dup id within watermark
+        Ev(2, ts("2024-01-01 10:02:00"), 2, "b"))
+      q.processAllAvailable()
+      assert(spark.table("stream_dedup").count() == 2)
+    } finally q.stop()
+  }
+}
