@@ -77,11 +77,36 @@ object GraftFunctions {
         sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
 
-  /** MinHash signature: k independent hash slots, slot i =
-    * min over shingles of xxhash64(i, shingle). Pure column expression —
-    * evaluated per row with no shuffle. */
+  /** Mersenne prime 2^31-1: the modulus for the universal-hash MinHash
+    * slots. All slot arithmetic stays below 2^62, so no Long overflow under
+    * ANSI mode. */
+  private val MinhashP = 2147483647L
+
+  /** ONE xxhash64 per shingle, reduced mod p — materialize this with
+    * `withColumn` and feed it to [[minhash_slots]], so the k slots reuse the
+    * hashes instead of rehashing every shingle per slot. */
+  def shingle_hashes(sh: Column): Column =
+    transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
+
+  /** MinHash signature over precomputed shingle hashes: slot i =
+    * min over shingles of (a_i * h + b_i) mod p — the standard universal
+    * family with driver-side seeded coefficients. The mod-p wraparound is
+    * what decorrelates the slots; a linear combination WITHOUT it lets one
+    * shingle with small halves win every slot (measured 0/32 near-dup slot
+    * agreement vs the expected ≈ Jaccard × 32). */
+  def minhash_slots(hs: Column, k: Int): Column = {
+    val rnd = new scala.util.Random(0x5EED)
+    array((0 until k).map { _ =>
+      val a = 1L + rnd.nextLong(MinhashP - 1)
+      val b = rnd.nextLong(MinhashP)
+      array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
+    }: _*)
+  }
+
+  /** Convenience composition of [[shingle_hashes]] + [[minhash_slots]] for
+    * one-shot use; hot paths should materialize the hashes first. */
   def minhash_signature(sh: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    minhash_slots(shingle_hashes(sh), k)
 
   /** Group a MinHash signature into `bands` band-hashes for LSH bucketing:
     * band j = xxhash64 over its `rowsPerBand` signature slots. Two docs land
@@ -99,19 +124,22 @@ object GraftFunctions {
     * Composed entirely from higher-order functions — per-row, shuffle-free.
     */
   def simhash64(toks: Column): Column = {
+    // hash each token ONCE up front; the per-bit vote lambda then only does
+    // shift/mask on the precomputed long (64× fewer hash evaluations)
+    val hashes = transform(toks, t => xxhash64(t))
     val votes = aggregate(
-      toks,
+      hashes,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, tokenBitVotes(t), (a, b) => a + b))
+      (acc, h) => zip_with(acc, hashBitVotes(h), (a, b) => a + b))
     (0 until 64)
       .map(j => when(element_at(votes, j + 1) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
   }
 
-  private def tokenBitVotes(t: Column): Column =
+  private def hashBitVotes(h: Column): Column =
     transform(
       sequence(lit(0), lit(63)),
-      j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+      j => when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1))
         .otherwise(lit(-1)))
 
   /** Hamming distance between two 64-bit fingerprints. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -14,6 +14,20 @@ import graft.functions.GraftFunctions._
   * signatures themselves are pure per-row column expressions (no shuffle).
   */
 object Dedup {
+
+  /** All unordered pairs (a < b in sort order) from one bucket's element
+    * list, as an array of (a, b) structs — the in-bucket pair generator all
+    * bucket-first near-dup variants share. Evaluated per bucket row, so the
+    * upstream signature computation runs ONCE (a self-join formulation
+    * recomputes the signature plan on both sides — measured 3× the work). */
+  private def bucketPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(
+      sequence(lit(0), size(sorted) - 2),
+      i => transform(
+        slice(sorted, i + lit(2), size(sorted) - i - lit(1)),
+        x => struct(element_at(sorted, i + lit(1)).as("a"), x.as("b")))))
+  }
 
   /** Exact dedup: canonical representative (min doc_id) per distinct text.
     * Equivalent to `dropDuplicates("text")` but with a deterministic survivor,
@@ -37,24 +51,29 @@ object Dedup {
   def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
       bands: Int = 8): DataFrame = {
     val r = k / bands
-    val sig = documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sig", minhash_signature(shingles(col("toks"), shingleSize), k))
-      .withColumn("band", explode(arrays_zip(
-        sequence(lit(0), lit(bands - 1)).as("band_idx"),
-        minhash_bands(col("sig"), bands, r).as("band_hash"))))
-      .select(col("doc_id"), col("toks"),
-        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    val a = sig.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = sig.select(col("band_idx"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .where(col("doc_a") < col("doc_b"))
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // shingles/signature each materialized ONCE per row (withColumn), then
+    // only (doc_id, band) pairs — not token arrays — enter the shuffle
+    val bandRows = toksDf
+      .withColumn("hs", shingle_hashes(shingles(col("toks"), shingleSize)))
+      .withColumn("sig", minhash_slots(col("hs"), k))
+      .select(col("doc_id"),
+        posexplode(minhash_bands(col("sig"), bands, r)).as(Seq("band_idx", "band_hash")))
+    // bucket-then-pair instead of self-join: one pass over the signatures,
+    // one shuffle; pairs colliding in several bands dedupe via distinct
+    // BEFORE the (expensive) exact-jaccard verify
+    val cand = bandRows
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
+    cand
+      .join(toksDf.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
+      .join(toksDf.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        jaccard(col("toks_a"), col("toks_b")).as("jacc"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(max("jacc"), 4).as("jaccard"))
+        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -69,14 +88,14 @@ object Dedup {
       .withColumn("chunk",
         call_function("shiftright", col("fp"), col("chunk_idx") * 16)
           .bitwiseAND(lit(0xFFFFL)))
-    val a = fp.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val b = fp.select(col("chunk_idx"), col("chunk"),
-      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+    // bucket-then-pair (fingerprints travel inside the bucket list, so the
+    // hamming verify needs no re-join and simhash64 runs once per doc)
+    fp.groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        hamming64(col("p.a.fp"), col("p.b.fp")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

@@ -42,17 +42,19 @@ object SimSearch {
   }
 
   /** Sign-random-projection bucket for one hash table: `bits` pseudo-random
-    * hyperplanes; bit i = sign of dot(v, h_i) where h_i components are
-    * xxhash64-derived in {-1, +1} per dimension. Pure column expression. */
+    * hyperplanes; bit i = sign of dot(v, h_i) with h_i a ±1 vector. The
+    * hyperplanes are deterministic per (table, plane) and precomputed
+    * DRIVER-side into array literals — the per-row work is one multiply-add
+    * per dimension, with zero runtime hash calls (the previous
+    * hash-per-element formulation cost dim × bits × tables xxhash64
+    * evaluations per row). */
   private def srpBucket(emb: org.apache.spark.sql.Column, table: Int, bits: Int,
       dim: Int): org.apache.spark.sql.Column = {
+    val rnd = new scala.util.Random(table * 7919 + 17)
     val bitCols = (0 until bits).map { i =>
-      // dot(v, h_i): per-dimension ±1 from a hash of (table, plane, dim idx)
+      val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)),
-          (x, d) => when(
-            xxhash64(lit(table), lit(i), d).bitwiseAND(lit(1L)) === lit(1L), x)
-            .otherwise(-x)),
+        zip_with(emb, typedlit(signs), (x, s) => x * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
