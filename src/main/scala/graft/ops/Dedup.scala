@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
+import graft.plans.GraftExtensions
 
 /** Deduplication family (SURVEY.md §2.6 / BASELINE north star): exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
@@ -54,9 +55,12 @@ object Dedup {
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
     // shingles/signature each materialized ONCE per row (withColumn), then
     // only (doc_id, band) pairs — not token arrays — enter the shuffle
+    GraftExtensions.ensureRegistered(documents.sparkSession)
     val bandRows = toksDf
-      .withColumn("hs", shingle_hashes(shingles(col("toks"), shingleSize)))
-      .withColumn("sig", minhash_slots(col("hs"), k))
+      // fused native expression (graft.plans.MinHashSignature): one loop
+      // from token array to k-slot signature, no intermediate arrays
+      .withColumn("sig",
+        call_function("minhash_sig", col("toks"), lit(shingleSize), lit(k)))
       .select(col("doc_id"),
         posexplode(minhash_bands(col("sig"), bands, r)).as(Seq("band_idx", "band_hash")))
     // bucket-then-pair instead of self-join: one pass over the signatures,
@@ -81,9 +85,11 @@ object Dedup {
     * least one of 4 16-bit chunks (pigeonhole: hamming ≤ 3 guarantees a
     * matching chunk), verified with the true hamming distance. */
   def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    GraftExtensions.ensureRegistered(documents.sparkSession)
     val chunks = 4
     val fp = documents
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("fp"))
+      .select(col("doc_id"),
+        call_function("simhash64", tokens(col("text"))).as("fp"))
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk",
         call_function("shiftright", col("fp"), col("chunk_idx") * 16)
@@ -123,11 +129,12 @@ object Dedup {
     val a = embeddings.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = embeddings.select((col("vec_id") - 1).as("vec_a"),
       col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    GraftExtensions.ensureRegistered(embeddings.sparkSession)
     a.join(b, "vec_a")
-      // rounded to 6 decimals so engine-level summation-order noise (~1e-16)
-      // can't flip the oracle comparison
+      // native codegen cosine; rounded to 6 decimals so engine-level
+      // summation-order noise (~1e-16) can't flip the oracle comparison
       .select(col("vec_a"), col("vec_b"),
-        round(cosine_similarity(col("emb_a"), col("emb_b")), 6).as("cos"))
+        round(call_function("cosine_sim", col("emb_a"), col("emb_b")), 6).as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("vec_a")
   }

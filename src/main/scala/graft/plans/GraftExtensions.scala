@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the graft native expressions as SQL functions.
+  *
+  * Two entry points:
+  *   - config-time: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *     (the standard SparkSessionExtensions hook);
+  *   - runtime: [[GraftExtensions.ensureRegistered]] for sessions the
+  *     library did not build — graft ops call it with `df.sparkSession`
+  *     before emitting a `call_function` on one of these names, so queries
+  *     work on any caller-provided session (the driver harness builds its
+  *     own).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans", name, usage)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("week_of_month"),
+      info("WeekOfMonth", "week_of_month(date) - Calendar.WEEK_OF_MONTH, US locale"),
+      (args: Seq[Expression]) => WeekOfMonth(args.head)),
+    (FunctionIdentifier("cosine_sim"),
+      info("CosineSimilarity", "cosine_sim(a, b) - cosine of two float vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("simhash64"),
+      info("SimHash64", "simhash64(tokens) - 64-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("minhash_sig"),
+      info("MinHashSignature",
+        "minhash_sig(tokens, shingleSize, k) - fused shingle+MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+
+  /** Idempotent runtime registration into an existing session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, inf, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, inf, builder)
+    }
+  }
+}

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions with whole-stage-codegen support — the cases
+  * where composing built-ins is either impossible (`W` pattern rejected by
+  * Spark 3+, SURVEY §4.3) or measurably slow (higher-order-function lambdas
+  * are interpreted per element with boxing; these loops codegen to tight
+  * scalar Java). Registered as SQL functions by [[GraftExtensions]].
+  */
+
+/** Static helpers referenced from generated code (stable JVM names). */
+object ExprUtil {
+  /** java.util.Calendar.WEEK_OF_MONTH, US locale (Sunday week start,
+    * minimal-days-in-first-week = 1), computed from days-since-epoch. */
+  def weekOfMonth(epochDay: Int): Int = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+    val first = d.withDayOfMonth(1)
+    // ISO dayOfWeek: Mon=1..Sun=7 -> US Sun-first index Sun=1..Sat=7
+    val dowFirstUs = first.getDayOfWeek.getValue % 7 + 1
+    (d.getDayOfMonth + dowFirstUs - 2) / 7 + 1
+  }
+
+  /** Cosine of two float vectors: element products and squares widened to
+    * double and accumulated sequentially left-to-right — the exact operation
+    * order of the higher-order-function formulation in GraftFunctions (and
+    * of DuckDB's list_inner_product over DOUBLE[]), so results stay
+    * bit-identical across all three. Zero norms yield 0.0, not NaN. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** 64-bit SimHash over a token array, same semantics as
+    * GraftFunctions.simhash64 (xxhash64 seed 42 per token, +1/-1 bit votes,
+    * bit set iff vote sum positive). */
+  def simhash(toks: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}
+
+/** `week_of_month(date)` as a native expression (SURVEY §4.3): Spark bans
+  * the `W` datetime pattern, and the pure-column formula costs four date
+  * field extractions; this is one table lookup per row, codegen'd. */
+case class WeekOfMonth(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DateType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"week_of_month needs DATE, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "week_of_month"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprUtil.weekOfMonth(input.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprUtil$$.MODULE$$.weekOfMonth($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WeekOfMonth =
+    copy(child = newChild)
+}
+
+/** `cosine_sim(array<float>, array<float>)`: a single fused loop in
+  * generated code; the equivalent zip_with/aggregate composition evaluates
+  * interpreted lambdas with per-element boxing (~5× slower measured on the
+  * brute-force top-k scan). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(s"cosine_sim needs two ARRAY<FLOAT>, got $l, $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ExprUtil.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.ExprUtil$$.MODULE$$.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_sig(tokens, shingleSize, k)`: the whole shingle → hash → k
+  * slot-min pipeline fused into one loop over the token array. The composed
+  * form (shingles via concat_ws-over-slices + per-slot transform) allocates
+  * a shingle array plus k hash arrays per row through interpreted lambdas —
+  * measured ~8 s of the sf0.1 bench on its own. Value-identical to
+  * GraftFunctions.shingle_hashes + minhash_slots (same xxhash64 seed, same
+  * seeded universal-hash coefficients — asserted in ExpressionsSpec). */
+case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private val p = 2147483647L
+  // same coefficient stream as GraftFunctions.minhash_slots
+  private lazy val (coeffA, coeffB) = {
+    val rnd = new scala.util.Random(0x5EED)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    (0 until k).foreach { i => a(i) = 1L + rnd.nextLong(p - 1); b(i) = rnd.nextLong(p) }
+    (a, b)
+  }
+  private lazy val space = UTF8String.fromString(" ")
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nShingles = if (n < shingleSize) 1 else n - shingleSize + 1
+    val window = new Array[UTF8String](if (n < shingleSize) n else shingleSize)
+    var s = 0
+    while (s < nShingles) {
+      var j = 0
+      while (j < window.length) { window(j) = toks.getUTF8String(s + j); j += 1 }
+      val h = XXH64.hashUTF8String(UTF8String.concatWs(space, window: _*), 42L)
+      val base = java.lang.Math.floorMod(h, p)
+      var i = 0
+      while (i < k) {
+        val v = (coeffA(i) * base + coeffB(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mh", this, classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(array<string>)`: fused token-hash + bit-vote loop. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprUtil.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprUtil$$.MODULE$$.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
