@@ -34,6 +34,8 @@ object SparkEntry {
       Parity.weeklyHistogram(Tables.events(s, d), col("event_type"), "event_type", 1 to 6)),
     "a2_weekly_long" -> ((s, d) =>
       Parity.weeklyHistogramLong(Tables.events(s, d), col("event_type"), "event_type")),
+    "a2_dotw_histogram" -> ((s, d) =>
+      Parity.dotwHistogram(Tables.events(s, d), col("event_type"), "event_type")),
     "a3_daily_cube" -> ((s, d) => Parity.dailyCube(Tables.events(s, d))),
     "a3_daily_cube_indexed" -> ((s, d) => Parity.dailyCubeIndexed(Tables.events(s, d))),
     "a4_category_totals" -> ((s, d) => Parity.categoryTotals(Tables.events(s, d))),
@@ -92,6 +94,14 @@ object SparkEntry {
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
+    "mm_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, Tables.documents(s, d))),
+    "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
+    // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
+    "s3_tsv_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_tsv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Sinks.writeTsv(Parity.categoryTotals(Tables.events(s, d)), out, 1)
+      graft.sources.Sinks.readTsvKeys(s, out)
+    }),
   )
 
   // ------------------------------------------------------------ oracle SQL --
@@ -132,6 +142,16 @@ object SparkEntry {
          |  CAST((month(ts) - 1) * 5 + ${wom("CAST(ts AS DATE)")} AS INT) AS bucket,
          |  count(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "a2_dotw_histogram" ->
+      """SELECT event_type,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Monday') AS monday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Tuesday') AS tuesday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Wednesday') AS wednesday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Thursday') AS thursday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Friday') AS friday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Saturday') AS saturday,
+        |  count(*) FILTER (WHERE dayname(ts) = 'Sunday') AS sunday
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a3_daily_cube" ->
       s"""SELECT CAST(ts AS DATE) AS d, event_type, $districtSql AS district, count(*) AS n
          |FROM events GROUP BY 1, 2, 3 ORDER BY d, event_type, district""".stripMargin,
@@ -320,9 +340,10 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
     "text_token_stats" ->
-      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toksSql AS toks FROM documents)
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
          |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS n_subword_tokens,
          |  CAST(n_chars AS INT) AS n_chars,
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
          |FROM t ORDER BY doc_id""".stripMargin,
@@ -363,5 +384,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  source, 'fake/raw' AS format
         |FROM documents ORDER BY media_id""".stripMargin,
+    "s3_tsv_roundtrip" ->
+      """SELECT DISTINCT event_type AS key FROM events
+        |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,
   )
 }

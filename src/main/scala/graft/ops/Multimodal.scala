@@ -69,4 +69,24 @@ object Multimodal {
       .toDF()
       .orderBy("media_id")
   }
+
+  /** Frame sampling over decoded media: one row per kept frame, every
+    * `everyN`-th of each medium's `n_frames` (a video pipeline's
+    * sample-before-decode-the-rest step). Pure column ops on the decoded
+    * metadata — the expensive per-frame decode would hang off these rows. */
+  def sampleFrames(spark: SparkSession, documents: DataFrame, everyN: Int = 2): DataFrame =
+    decodeFeatures(spark, documents)
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .where(pmod(col("frame_idx"), lit(everyN)) === 0)
+      .orderBy("media_id", "frame_idx")
+
+  /** Resize planning: target-width scaled dimensions preserving aspect ratio
+    * (rounded), the metadata half of an image-resize stage. */
+  def resizePlan(spark: SparkSession, documents: DataFrame, targetWidth: Int = 224): DataFrame =
+    decodeFeatures(spark, documents)
+      .select(col("media_id"), col("width"), col("height"),
+        lit(targetWidth).as("out_width"),
+        round(col("height") * lit(targetWidth) / col("width")).cast("int").as("out_height"))
+      .orderBy("media_id")
 }

@@ -37,6 +37,22 @@ object Parity {
       .toDF(keyName +: buckets.map(b => s"w$b"): _*)
       .orderBy(col(keyName))
 
+  /** The reference's declared-but-never-wired day-of-week mappers
+    * (`CategoryMapByDotw`/`DistrictMapByDotw`, SanFranciscoCrime.java:110-126,
+    * SURVEY §2.3 "unused-but-present"): histogram per key over day names. */
+  def dotwHistogram(events: DataFrame, key: Column, keyName: String): DataFrame = {
+    val days = Seq("Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+      "Saturday", "Sunday")
+    events
+      .select(key.as(keyName), date_format(col("ts"), "EEEE").as("dow"))
+      .groupBy(col(keyName))
+      .pivot("dow", days)
+      .count()
+      .na.fill(0L)
+      .toDF(keyName +: days.map(_.toLowerCase): _*)
+      .orderBy(col(keyName))
+  }
+
   /** A2 in long (sparse) form: (key, bucket, n). Same aggregation without the
     * pivot — the form that scales to arbitrary bucket domains at 100 TB. */
   def weeklyHistogramLong(events: DataFrame, key: Column, keyName: String): DataFrame =

@@ -81,15 +81,20 @@ object Star {
   }
 
   /** A5 / bycategory.mdx: sum of the measure by category for one year slice,
-    * via the star join (fact ⋈ dims), as Mondrian would generate it. */
+    * via the star join (fact ⋈ dims), as Mondrian would generate it.
+    *
+    * The year predicate is applied to the fact SOURCE by hand: Catalyst
+    * cannot push a filter on `dimTime.year` back through the fact build
+    * (the row_number window is a pushdown barrier), so filtering `orders`
+    * first is the manual equivalent — the cube aggregate then sees only the
+    * slice (7× less input on TESTDATA's seven-year span). Dim ids shift to
+    * the sliced domain, but only names are exposed, so results are
+    * identical. */
   def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
-    val f = fact(orders, customer, nation)
-    val t = dimTime(orders)
-    val c = dimCategory(orders)
-    f.join(broadcast(t), "time_id")
-      .where(col("year") === yearSlice)
-      .join(broadcast(c), "category_id")
+    val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
+    fact(ordersY, customer, nation)
+      .join(broadcast(dimCategory(ordersY)), "category_id")
       .groupBy("name")
       .agg(sum("crimes").as("crimes"))
       .orderBy("name")
@@ -98,12 +103,9 @@ object Star {
   /** A5 / bydistrict.mdx analog: by district for one year slice. */
   def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
-    val f = fact(orders, customer, nation)
-    val t = dimTime(orders)
-    val d = dimDistrict(nation)
-    f.join(broadcast(t), "time_id")
-      .where(col("year") === yearSlice)
-      .join(broadcast(d), "district_id")
+    val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
+    fact(ordersY, customer, nation)
+      .join(broadcast(dimDistrict(nation)), "district_id")
       .groupBy("name")
       .agg(sum("crimes").as("crimes"))
       .orderBy("name")

@@ -20,6 +20,10 @@ object TextOps {
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct_tokens"),
+        // BPE-style pre-tokenization count: letter runs, digit runs, and
+        // individual symbols — the unit a subword tokenizer would split on
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_subword_tokens"),
         length(col("text")).as("n_chars"))
       // exact double division (not rounded): IEEE division of two ints is
       // bit-identical in any engine, so the oracle can compare it raw
