@@ -49,6 +49,14 @@ object Dedup {
     *
     * With k=32, bands=8 (r=4), the S-curve threshold is ≈ (1/8)^(1/4) ≈ 0.6.
     */
+  /** Skew guard shared by the bucket-first variants: a degenerate bucket of
+    * b members expands to b(b-1)/2 pairs inside ONE row's expression — at
+    * corpus scale a boilerplate-text bucket (thousands of identical docs)
+    * would blow the row budget. Buckets above the cap are dropped; exact
+    * duplicates that caused them are what [[exact]] already catches, and the
+    * cap-sized sample of near-dup structure survives in the other bands. */
+  val MaxBucket = 1024
+
   def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
       bands: Int = 8): DataFrame = {
     val r = k / bands
@@ -69,7 +77,7 @@ object Dedup {
     val cand = bandRows
       .groupBy("band_idx", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")).between(2, MaxBucket))
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
@@ -98,7 +106,7 @@ object Dedup {
     // hamming verify needs no re-join and simhash64 runs once per doc)
     fp.groupBy("chunk_idx", "chunk")
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")).between(2, MaxBucket))
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
         hamming64(col("p.a.fp"), col("p.b.fp")).as("hamming"))

@@ -37,6 +37,18 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed table write: pre-partitions (and optionally pre-sorts) the
+    * data by join key so repeated fact-fact joins on that key plan WITHOUT a
+    * shuffle exchange — the storage-level co-location strategy for the
+    * 100 TB fact tables (SortMergeJoin reads co-bucketed files directly;
+    * verified shuffle-free in SinksSpec). */
+  def writeBucketed(df: DataFrame, table: String, bucketColumn: String,
+      numBuckets: Int, sortColumn: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketColumn)
+    sortColumn.map(w.sortBy(_)).getOrElse(w).saveAsTable(table)
+  }
+
   /** S5+S6: JDBC star-schema load, the `LoadStarDB` replacement. Overwrite
     * with `truncate=true` preserves the target DDL like the reference's
     * `truncate table`; `batchsize` replaces its autocommit row-at-a-time

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Date
+import java.util.{Calendar, Locale}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.ops.Parity
+
+/** Property-based checks (SURVEY §5.2-2) — randomized inputs via scalacheck
+  * generators, invariants that must hold for ANY input. */
+class PropertiesSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic forAll: scalacheck generators driven by fixed seeds (the
+    * scalatestplus bridge isn't in the offline dependency cache). */
+  private def forAll[A](gen: Gen[A], runs: Int = 8)(body: A => Unit): Unit =
+    (1 to runs).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val genDay: Gen[java.time.LocalDate] =
+    Gen.choose(0L, 73048L).map(java.time.LocalDate.of(1900, 1, 1).plusDays(_)) // ..2100
+
+  test("property: week_of_month == Calendar.WEEK_OF_MONTH (US) on random dates 1900-2100") {
+    forAll(Gen.listOfN(200, genDay), runs = 4) { days =>
+      {
+        val got = days.map(Date.valueOf).toDF("d")
+          .select(col("d"), week_of_month(col("d")).as("w"))
+          .collect().map(r => r.getDate(0).toString -> r.getInt(1)).toMap
+        days.foreach { d =>
+          val cal = Calendar.getInstance(Locale.US)
+          cal.clear(); cal.set(d.getYear, d.getMonthValue - 1, d.getDayOfMonth)
+          assert(got(d.toString) == cal.get(Calendar.WEEK_OF_MONTH), s"date $d")
+        }
+      }
+    }
+  }
+
+  test("property: dictionary ids are a permutation-invariant function of the value set") {
+    val values = Gen.listOfN(30, Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox"))
+    forAll(values, runs = 6) { vs =>
+      {
+        val base = Parity.dictionary(vs.toDF("v"), "v", "id", "name")
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+        val shuffled = Parity.dictionary(scala.util.Random.shuffle(vs).toDF("v"), "v", "id", "name")
+          .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+        assert(base == shuffled)
+        assert(base.map(_._2) == base.map(_._2).sorted)        // rank = sorted order
+        assert(base.map(_._1) == (1 to base.length))           // dense 1-based
+      }
+    }
+  }
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
+      {
+        val df = Seq((x.mkString(" "), y.mkString(" "))).toDF("x", "y")
+        val Array(xy, yx, xx) = df.select(
+          jaccard(tokens(col("x")), tokens(col("y"))),
+          jaccard(tokens(col("y")), tokens(col("x"))),
+          jaccard(tokens(col("x")), tokens(col("x"))))
+          .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+        assert(xy == yx)
+        assert(xy >= 0.0 && xy <= 1.0)
+        assert(xx == 1.0)
+      }
+    }
+  }
+
+  test("property: minhash slot-agreement approximates jaccard") {
+    // near-dup pairs with known overlap: agreement rate must track J within
+    // wide statistical bounds (k = 64 slots)
+    val base = (1 to 40).map(i => s"tok$i")
+    val variants = Seq(0, 5, 15, 30).map(d => base.drop(d) ++ (1 to d).map(i => s"alt$i"))
+    val df = variants.map(v => Tuple1(v.mkString(" "))).toDF("text")
+      .withColumn("hs", shingle_hashes(shingles(tokens(col("text")), 2)))
+      .select(minhash_slots(col("hs"), 64).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    val aggrees = variants.indices.drop(1).map { i =>
+      sigs(0).zip(sigs(i)).count { case (a, b) => a == b } / 64.0
+    }
+    // monotone in overlap, and the exact-duplicate case is exact
+    assert(aggrees == aggrees.sorted.reverse, s"agreement not monotone: $aggrees")
+    val self = sigs(0).zip(sigs(0)).count { case (a, b) => a == b }
+    assert(self == 64)
+  }
+}
