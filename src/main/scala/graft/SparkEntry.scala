@@ -85,6 +85,7 @@ object SparkEntry {
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
+    "sim_ivf_topk" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     // ---- text analysis (SURVEY §2.6)
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),

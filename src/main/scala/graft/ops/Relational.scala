@@ -121,6 +121,20 @@ object Relational {
     both.unionAll(onlyUrgent).orderBy("tag", "o_custkey")
   }
 
+  /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
+    * large side derives a deterministic salt from its full row hash, the
+    * small side is replicated ×`salts`, and the key becomes (key, salt) —
+    * one hot key spreads over `salts` reducers instead of one straggler.
+    * Row-for-row equivalent to the plain join (asserted in OpsSpec). AQE's
+    * skew-join handles sort-merge cases adaptively; this is the explicit
+    * form for when the skew is known up front or AQE is unavailable. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    val l = large.withColumn("_salt",
+      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(s, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Exact distinct users per event type — DuckDB-oracled. */
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy("event_type")

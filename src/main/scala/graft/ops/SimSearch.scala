@@ -69,6 +69,48 @@ object SimSearch {
     bitCols.reduce(_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
+    * LSH variant complements. Cells are seeded with `nCells` deterministic
+    * corpus vectors (a k-means refinement would drop in here in production);
+    * every vector is assigned to its nearest centroid (one broadcast
+    * compare, no shuffle), queries probe their `nProbe` nearest cells, and
+    * only those cells' members are exactly re-ranked. Candidate volume ≈
+    * corpus × nProbe / nCells per query, independent of corpus size. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cos = cosineNative(embeddings) _
+    val centroids = embeddings.where(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    // nearest-centroid assignment: broadcast compare + max_by, shuffle-free
+    // until the (tiny) per-vector argmax aggregation
+    val assigned = embeddings
+      .crossJoin(broadcast(centroids))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cell"), struct(round(cos(col("embedding"), col("c_emb")), 6),
+          -col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+    val queryProbes = embeddings.where(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
+        round(cos(col("embedding"), col("c_emb")), 6).as("c_cos"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("c_cos").desc, col("cell"))))
+      .where(col("cr") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    assigned
+      .join(queryProbes, "cell")
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cos(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** LSH ANN top-k: candidates from `tables` independent b-bit SRP bucketings,
     * exact cosine re-rank of the union. Same output shape as bruteForceTopK;
     * recall measured against it in tests.

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.6). The reference is pure
   * batch — its "Previous Three Months" dataset implies re-execution-as-
@@ -65,4 +66,42 @@ object Streaming {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running stats emitted on every update. */
+  case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
+
+  /** Custom arbitrary state via `flatMapGroupsWithState` (the escape hatch
+    * when windowed built-ins can't express the semantics): per-user running
+    * event counter that also emits a milestone record each time the count
+    * crosses a multiple of `every`. State = one (count, milestones) pair per
+    * user. Pass `ProcessingTimeTimeout` + `inactivityTimeout` in production
+    * to evict idle users and keep the map bounded (NOTE: with a timeout
+    * configured the engine schedules continuous timeout-check micro-batches,
+    * so tests that wait for idleness must use the NoTimeout default). */
+  def runningUserStats(spark: SparkSession, events: DataFrame,
+      every: Long = 10L,
+      timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      inactivityTimeout: String = "1 hour"): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserRunning](
+        OutputMode.Append, timeoutConf) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, m0) = state.getOption.getOrElse((0L, 0L))
+            val n1 = n0 + rows.size
+            val m1 = n1 / every
+            state.update((n1, m1))
+            if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(inactivityTimeout)
+            if (m1 > m0) Iterator(UserRunning(user, n1, m1)) else Iterator.empty
+          }
+      }
+  }
 }

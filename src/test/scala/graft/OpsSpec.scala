@@ -109,6 +109,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"LSH recall too low: $recall")
   }
 
+  test("simsearch: IVF candidates achieve recall vs brute force on real data") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = SimSearch.bruteForceTopK(emb, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimSearch.ivfTopK(emb, nQueries = 3, k = 5, nCells = 16, nProbe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("salted join is row-equivalent to the plain join under heavy skew") {
+    val large = ((1 to 5000).map(i => (1L, i.toLong)) ++           // hot key
+      (1 to 500).map(i => ((i % 10 + 2).toLong, i.toLong))).toDF("k", "payload")
+    val small = (1L to 12L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, "k")
+    val salted = Relational.saltedJoin(large, small, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("star: fact crime total equals order count; dims are sorted ranks") {
     val (o, c, n) = (Tables.orders(spark, TestSpark.sf0001),
       Tables.customer(spark, TestSpark.sf0001), Tables.nation(spark, TestSpark.sf0001))

@@ -52,6 +52,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState: milestone rows emitted as per-user counts cross thresholds") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.runningUserStats(spark, src.toDF(), every = 3)
+      .writeStream.format("memory").queryName("stream_running")
+      .outputMode("append").start()
+    try {
+      src.addData((1 to 4).map(i => Ev(i, ts(s"2024-01-01 10:0$i:00"), 7, "a")): _*)
+      q.processAllAvailable()   // user 7 at 4 events -> milestone 1 (crossed 3)
+      src.addData((5 to 6).map(i => Ev(i, ts(s"2024-01-01 10:0$i:00"), 7, "a")): _*)
+      q.processAllAvailable()   // at 6 events -> milestone 2
+      val got = spark.table("stream_running").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((7L, 4L, 1L), (7L, 6L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
