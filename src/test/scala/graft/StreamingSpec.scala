@@ -68,6 +68,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late rows once the watermark has advanced past them") {
+    val src = MemoryStream[Ev](spark)
+    // 10-minute watermark, 1-hour tumbling windows, append mode: a window
+    // only emits after the watermark passes its end, and rows older than the
+    // watermark are dropped (the streaming analog of the reference's
+    // drop-and-log malformed handling, SURVEY §2.2-P4)
+    val q = Streaming.tumblingCounts(src.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("stream_late")
+      .outputMode("append").start()
+    try {
+      src.addData(Ev(1, ts("2024-01-01 10:20:00"), 1, "a"),
+        Ev(2, ts("2024-01-01 10:40:00"), 1, "a"))
+      q.processAllAvailable()
+      // advance event time far past the 10:00 window + watermark
+      src.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "a"))
+      q.processAllAvailable()
+      // this row is in the 10:00 window, which closed at watermark 12:50
+      src.addData(Ev(4, ts("2024-01-01 10:50:00"), 1, "a"))
+      q.processAllAvailable()
+      val got = spark.table("stream_late").collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(3)).toMap
+      // late row 4 dropped: the emitted 10:00 window holds only rows 1-2
+      assert(got("2024-01-01 10:00:00.0") == 2L)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
