@@ -71,6 +71,8 @@ object SparkEntry {
     "agg_approx_distinct_users" -> ((s, d) =>
       Relational.approxDistinctUsers(Tables.events(s, d))),
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
+    "dedup_first_event" -> ((s, d) =>
+      Relational.firstEventPerUserType(Tables.events(s, d))),
     // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
     "win_sliding_6h" -> ((s, d) => Relational.slidingCounts(Tables.events(s, d))),
@@ -92,6 +94,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_doc_frequency" -> ((s, d) => TextOps.docFrequency(Tables.documents(s, d))),
+    "text_tfidf" -> ((s, d) => TextOps.tfIdf(Tables.documents(s, d))),
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
@@ -104,6 +107,16 @@ object SparkEntry {
       graft.sources.Sinks.readTsvKeys(s, out)
     }),
   )
+
+  /** Headline benchmark set (graft.Bench): the reference-parity pipeline
+    * plus one representative per extension family. Verify still covers every
+    * query; set SPARK_GRAFT_BENCH_ALL=1 to time the full inventory. */
+  val headlineQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_urgent_orders",
+    "a2_weekly_histogram", "a3_daily_cube_indexed", "a4_category_totals",
+    "star_fact", "a5_sum_by_category", "olap_rollup_time",
+    "win_session_30m", "dedup_minhash_lsh", "sim_bruteforce_topk",
+    "text_doc_frequency")
 
   // ------------------------------------------------------------ oracle SQL --
 
@@ -292,6 +305,12 @@ object SparkEntry {
     "json_extract_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "dedup_first_event" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "win_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
@@ -381,6 +400,18 @@ object SparkEntry {
          |x AS (SELECT unnest(toks) AS token FROM t)
          |SELECT token, count(*) AS df FROM x GROUP BY token
          |HAVING count(*) >= 2 ORDER BY token""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tfc AS (SELECT doc_id, token, count(*) AS tf
+         |        FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY 1, 2),
+         |dfc AS (SELECT token, count(*) AS df
+         |        FROM (SELECT unnest(list_distinct(toks)) AS token FROM t)
+         |        GROUP BY token HAVING count(*) >= 2),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+         |  round(tfc.tf * ln(CAST(n.n + 1 AS DOUBLE) / (dfc.df + 1)), 6) AS tf_idf
+         |FROM tfc JOIN dfc USING (token) CROSS JOIN n
+         |ORDER BY doc_id, token""".stripMargin,
     "mm_blob_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  source, 'fake/raw' AS format

@@ -149,6 +149,21 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Batch exact dedup with a deterministic survivor: first event (by ts,
+    * then event_id) per (user_id, event_type) — the batch form of streaming
+    * `dropDuplicatesWithinWatermark`, expressed as a rank-1 window so the
+    * oracle can reproduce the survivor choice (plain `dropDuplicates` keeps
+    * an arbitrary row). */
+  def firstEventPerUserType(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+
   /** JSON extraction (SURVEY.md §2.6): pull `$.k` out of the props JSON
     * string with `get_json_object`. */
   def jsonExtract(events: DataFrame): DataFrame =

@@ -91,6 +91,29 @@ object TextOps {
       .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** TF-IDF: per (doc, token) term frequency joined with corpus document
+    * frequency; idf = ln((N+1)/(df+1)) (smoothed). The explode shuffles
+    * once for tf and once for df — both partial-aggregated map-side. Scores
+    * round to 6 decimals: JVM Math.log and libm ln legitimately differ in
+    * the last ulp, so raw doubles cannot oracle-match. */
+  def tfIdf(documents: DataFrame, minDf: Long = 2): DataFrame = {
+    val n = documents.count()
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = documents
+      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6)
+          .as("tf_idf"))
+      .orderBy("doc_id", "token")
+  }
+
   /** Corpus document-frequency: for each token, in how many documents it
     * appears. The one genuinely distributed text op: explode distinct tokens
     * per doc (map-side dedup BEFORE the shuffle cuts volume), then count.
