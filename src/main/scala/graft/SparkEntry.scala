@@ -65,6 +65,16 @@ object SparkEntry {
       Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "win_top3_orders_per_customer" -> ((s, d) =>
       Relational.topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    "win_top3_native" -> ((s, d) => {
+      // custom LogicalPlan + SparkStrategy + heap-based physical operator
+      // (graft.plans.TopKPerKey*) — same results/oracle as the window form
+      val ranked = TopK.perKey(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys = Seq("o_custkey"),
+        orderSpec = Seq(("o_totalprice", true), ("o_orderkey", false)),
+        k = 3)
+      ranked.orderBy("o_custkey", "rn")
+    }),
     "win_order_deltas" -> ((s, d) => Relational.orderDeltas(Tables.orders(s, d))),
     "set_ops_priority" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
@@ -277,6 +287,12 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "win_top3_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_top3_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey

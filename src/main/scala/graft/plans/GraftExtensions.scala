@@ -16,8 +16,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     own).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -41,12 +43,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSignature(args(0),
         args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
 
-  /** Idempotent runtime registration into an existing session. */
+  /** Idempotent runtime registration into an existing session: SQL
+    * functions via the registry, the top-k planner strategy via the public
+    * `experimental.extraStrategies` hook. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (ident, inf, builder) =>
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, inf, builder)
     }
+    val experimental =
+      org.apache.spark.sql.GraftBridge.classicSession(spark).experimental
+    if (!experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      experimental.extraStrategies = experimental.extraStrategies :+ TopKPerKeyStrategy
   }
 }

@@ -1,0 +1,125 @@
+package graft.plans
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, AttributeSet, Descending, GenericInternalRow, JoinedRow, RowOrdering,
+  SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator extension path (SURVEY §4.3 / builder preference (c)):
+  * per-key top-k as a custom LogicalPlan + SparkStrategy + physical
+  * operator.
+  *
+  * The idiomatic formulation — `row_number().over(partitionBy(key).orderBy(o))`
+  * then `rn <= k` — makes the Window operator SORT every row of every key
+  * partition before the filter throws all but k away: O(n log n) comparisons
+  * and a full materialized sort buffer per partition. This operator keeps a
+  * bounded k-element heap per key instead: O(n log k) and O(keys × k)
+  * memory, the difference between sorting 100 TB and scanning it once. Same
+  * shuffle (clustered by key), no sort exchange.
+  *
+  * Results are asserted identical to the window formulation AND
+  * hash-matched against the DuckDB oracle (`win_top3_native`).
+  */
+case class TopKPerKeyPlan(
+    keyNames: Seq[String],
+    orderSpec: Seq[(String, Boolean)], // (column, descending)
+    k: Int,
+    child: LogicalPlan,
+    rankAttr: AttributeReference)
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rn is GENERATED here, not consumed from the child — without this the
+  // analyzer reports MISSING_ATTRIBUTES
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+object TopKPerKeyPlan {
+  def apply(keyNames: Seq[String], orderSpec: Seq[(String, Boolean)], k: Int,
+      rankName: String, child: LogicalPlan): TopKPerKeyPlan =
+    TopKPerKeyPlan(keyNames, orderSpec, k, child,
+      AttributeReference(rankName, IntegerType, nullable = false)())
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case p: TopKPerKeyPlan =>
+      def attr(n: String) = p.child.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"top_k_per_key: column $n not in ${p.child.output.map(_.name)}"))
+      val orders = p.orderSpec.map { case (n, desc) =>
+        SortOrder(attr(n), if (desc) Descending else Ascending)
+      }
+      TopKPerKeyExec(p.keyNames.map(attr), orders, p.k, p.rankAttr,
+        planLater(p.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keyAttrs: Seq[Attribute],
+    orders: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  /** Rows of one key must meet in one partition — but NO sort is required
+    * of the child (the heap does the bounded ordering). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keyAttrs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val outputAttrs = output
+    val keys = keyAttrs
+    val sortOrders = orders
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      // downstream exec nodes require UnsafeRow; serialize the JoinedRow
+      // (childRow ++ rank) through one output projection
+      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val cmp = RowOrdering.create(sortOrders, childOutput)
+      // max-heap under cmp: head = worst of the current k best
+      implicit val heapOrd: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => cmp.compare(a, b)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (cmp.compare(row, heap.head) < 0) {
+              heap.dequeue()
+              heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow]
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+        ranked.iterator.zipWithIndex.map { case (r, i) =>
+          outProj(new JoinedRow(r, new GenericInternalRow(Array[Any](i + 1))))
+            : InternalRow
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
