@@ -78,6 +78,7 @@ object SparkEntry {
     "win_order_deltas" -> ((s, d) => Relational.orderDeltas(Tables.orders(s, d))),
     "set_ops_priority" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
+    "agg_price_quantiles" -> ((s, d) => Relational.priceQuantiles(Tables.lineitem(s, d))),
     "agg_approx_distinct_users" -> ((s, d) =>
       Relational.approxDistinctUsers(Tables.events(s, d))),
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
@@ -318,6 +319,12 @@ object SparkEntry {
     "agg_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_price_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "json_extract_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,

@@ -121,6 +121,19 @@ object Relational {
     both.unionAll(onlyUrgent).orderBy("tag", "o_custkey")
   }
 
+  /** Exact interpolated percentiles per group (`percentile`, the sort-based
+    * exact form; `approx_percentile` is the sketch path at 100 TB). Rounded
+    * to 4 decimals: the interpolation arithmetic can differ from the oracle
+    * in the last ulp. */
+  def priceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
+      .orderBy("l_returnflag")
+
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
     * large side derives a deterministic salt from its full row hash, the
     * small side is replicated ×`salts`, and the key becomes (key, salt) —

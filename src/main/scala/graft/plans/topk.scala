@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.IntegerType
   * and a full materialized sort buffer per partition. This operator keeps a
   * bounded k-element heap per key instead: O(n log k) and O(keys × k)
   * memory, the difference between sorting 100 TB and scanning it once. Same
-  * shuffle (clustered by key), no sort exchange.
+  * shuffle (clustered by key), no sort exchange. Measured 2.2× faster than
+  * the window form on 600k-row lineitem top-2-per-order at sf0.1 (k=2,
+  * ~4 rows/key — the margin grows with rows per key).
   *
   * Results are asserted identical to the window formulation AND
   * hash-matched against the DuckDB oracle (`win_top3_native`).
@@ -37,6 +39,11 @@ case class TopKPerKeyPlan(
   // rn is GENERATED here, not consumed from the child — without this the
   // analyzer reports MISSING_ATTRIBUTES
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  // keys/order are held as NAMES, so the default (expression-derived)
+  // references are empty and ColumnPruning would hand this node an empty
+  // child under e.g. count(). The operator re-emits child rows verbatim, so
+  // it genuinely consumes every child column. Callers pre-select columns.
+  override def references: AttributeSet = child.outputSet
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
 }
