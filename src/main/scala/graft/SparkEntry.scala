@@ -53,6 +53,8 @@ object SparkEntry {
     "a5_sum_by_district" -> ((s, d) =>
       Star.sumByDistrict(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d), 1996)),
     "olap_rollup_time" -> ((s, d) => Star.rollupTime(Tables.orders(s, d))),
+    "olap_grouping_sets" -> ((s, d) =>
+      Star.marginals(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "olap_cube_cat_district" -> ((s, d) =>
       Star.cubeCategoryDistrict(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     // ---- general relational surface (SURVEY §2.4)
@@ -249,6 +251,14 @@ object SparkEntry {
          |  GROUPING(year, month, week, day) AS gid
          |FROM b GROUP BY ROLLUP(year, month, week, day)
          |ORDER BY gid, year NULLS FIRST, month NULLS FIRST, week NULLS FIRST, day NULLS FIRST""".stripMargin,
+    "olap_grouping_sets" ->
+      """WITH b AS (
+        |  SELECT o.o_orderpriority AS category, n.n_name AS district
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT category, district, count(*) AS n, GROUPING(category, district) AS gid
+        |FROM b GROUP BY GROUPING SETS ((category), (district))
+        |ORDER BY gid, category NULLS FIRST, district NULLS FIRST""".stripMargin,
     "olap_cube_cat_district" ->
       """WITH b AS (
         |  SELECT o.o_orderpriority AS category, n.n_name AS district,

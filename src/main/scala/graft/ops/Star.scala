@@ -125,6 +125,21 @@ object Star {
       .agg(count(lit(1)).as("crimes"), grouping_id().as("gid"))
       .orderBy(col("gid"), col("year"), col("month"), col("week"), col("day"))
 
+  /** Explicit GROUPING SETS — the two one-dimensional marginals in one pass
+    * (what Mondrian issues for the two MDX reports together), without the
+    * (category, district) fine cells `cube` would also produce. */
+  def marginals(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val agg = ordersWithDistrict(orders, customer, nation)
+      .select(
+        col("o_orderpriority").as("category"),
+        col("n_name").as("district"))
+      .groupingSets(
+        Seq(Seq(col("category")), Seq(col("district"))),
+        col("category"), col("district"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+    agg.orderBy(agg("gid"), agg("category"), agg("district"))
+  }
+
   /** Category × District cube with All-member totals (cube = the four MDX
     * axis combinations at once), plus an exact-decimal measure sum. */
   def cubeCategoryDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {

@@ -52,6 +52,20 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding windows place one event in size/slide windows") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.slidingCounts(src.toDF(), "6 hours", "3 hours", "1 day")
+      .writeStream.format("memory").queryName("stream_sliding")
+      .outputMode("complete").start()
+    try {
+      src.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "a"))
+      q.processAllAvailable()
+      val starts = spark.table("stream_sliding").collect()
+        .map(_.getTimestamp(0).toString).sorted.toSeq
+      assert(starts == Seq("2024-01-01 06:00:00.0", "2024-01-01 09:00:00.0"))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState: milestone rows emitted as per-user counts cross thresholds") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.runningUserStats(spark, src.toDF(), every = 3)
