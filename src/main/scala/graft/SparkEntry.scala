@@ -108,6 +108,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     "text_doc_frequency" -> ((s, d) => TextOps.docFrequency(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfIdf(Tables.documents(s, d))),
+    "text_ngram_counts" -> ((s, d) => TextOps.ngramCounts(Tables.documents(s, d))),
+    "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
@@ -428,6 +430,20 @@ object SparkEntry {
          |       WHEN s_fr >= s_zh THEN 'fr'
          |       ELSE 'zh' END AS predicted_lang
          |FROM s ORDER BY doc_id""".stripMargin,
+    "text_ngram_counts" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |g AS (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |  ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |  END) AS gram FROM t)
+         |SELECT gram, count(*) AS n FROM g GROUP BY gram
+         |HAVING count(*) >= 3 ORDER BY gram""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS INT) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_doc_frequency" ->
       s"""WITH t AS (SELECT list_distinct($toksSql) AS toks FROM documents),
          |x AS (SELECT unnest(toks) AS token FROM t)

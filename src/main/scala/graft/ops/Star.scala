@@ -44,7 +44,11 @@ object Star {
     * deterministic, documented delta (SURVEY.md §3.3). Months are 1-based
     * (documented delta from the reference's raw Calendar.MONTH persistence).
     */
-  def dimTime(orders: DataFrame): DataFrame =
+  def dimTime(orders: DataFrame): DataFrame = {
+    // native codegen week_of_month (graft.plans.WeekOfMonth) — proven equal
+    // to the column formula in ExpressionsSpec, and this keeps the custom
+    // expression on the oracle-gated path
+    graft.plans.GraftExtensions.ensureRegistered(orders.sparkSession)
     orders
       .select(to_date(col("o_orderdate")).as("d"))
       .where(col("d").isNotNull)
@@ -54,9 +58,10 @@ object Star {
         col("time_id"), col("d"),
         year(col("d")).as("year"),
         month(col("d")).as("month"),
-        week_of_month(col("d")).as("week"),
+        call_function("week_of_month", col("d")).as("week"),
         dayofmonth(col("d")).as("day"))
       .orderBy("time_id")
+  }
 
   /** The fact table: counts per (date, category, district) with surrogate ids
     * from the dims — `fact(crimes, district_id, category_id, time_id)`.

@@ -114,6 +114,36 @@ object TextOps {
       .orderBy("doc_id", "token")
   }
 
+  /** Corpus-wide n-gram frequency: top word bigrams with counts — the
+    * co-occurrence statistic behind phrase mining / tokenizer-merge rules.
+    * Shingling is per-row; only (gram, partial-count) rows shuffle. */
+  def ngramCounts(documents: DataFrame, n: Int = 2, minCount: Long = 3): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    documents
+      .select(explode(
+        call_function("shingles", tokens(col("text")), lit(n))).as("gram"))
+      .where(size(split(col("gram"), " ")) === n)  // drop short-doc collapse rows
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy("gram")
+  }
+
+  /** Regex redaction (quality-pipeline scrub step): mask digit runs and
+    * email-shaped tokens, report per-doc replacement counts. Pure per-row
+    * regex work — codegen'd, no shuffle. */
+  def redact(documents: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val digitRe = "[0-9]{3,}"
+    documents
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          digitRe, "<NUM>").as("clean_text"),
+        (size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))).as("n_emails"),
+        (size(regexp_extract_all(col("text"), lit(digitRe), lit(0)))).as("n_digit_runs"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus document-frequency: for each token, in how many documents it
     * appears. The one genuinely distributed text op: explode distinct tokens
     * per doc (map-side dedup BEFORE the shuffle cuts volume), then count.

@@ -37,6 +37,10 @@ object GraftExtensions {
     (FunctionIdentifier("simhash64"),
       info("SimHash64", "simhash64(tokens) - 64-bit SimHash fingerprint"),
       (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("shingles"),
+      info("NgramShingles", "shingles(tokens, n) - word n-gram strings"),
+      (args: Seq[Expression]) => NgramShingles(args(0),
+        args(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("minhash_sig"),
       info("MinHashSignature",
         "minhash_sig(tokens, shingleSize, k) - fused shingle+MinHash signature"),

@@ -180,6 +180,51 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `shingles(tokens, n)`: word n-gram strings in one loop over the token
+  * array (UTF8String.concatWs, no per-window slice allocation). Same
+  * semantics as GraftFunctions.shingles: documents shorter than n tokens
+  * collapse to one whole-document shingle. The HOF formulation
+  * (transform + concat_ws over slice) is interpreted per window — measured
+  * ~6 s of the sf0.1 n-gram count on its own. */
+case class NgramShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  private lazy val space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData): ArrayData = {
+    val num = toks.numElements()
+    val winLen = if (num < n) num else n
+    val nOut = if (num < n) 1 else num - n + 1
+    val out = new Array[AnyRef](nOut)
+    val window = new Array[UTF8String](winLen)
+    var s = 0
+    while (s < nOut) {
+      var j = 0
+      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
+      out(s) = UTF8String.concatWs(space, window: _*)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sh", this, classOf[NgramShingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramShingles =
+    copy(child = newChild)
+}
+
 /** `simhash64(array<string>)`: fused token-hash + bit-vote loop. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {

@@ -64,6 +64,19 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("shingles native == HOF composition (incl. short-doc collapse)") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("text"))
+      .union(Seq("one", "two words", "").toDF("text"))
+    val toks = GraftFunctions.tokens(col("text"))
+    val diffs = docs.select(
+        GraftFunctions.shingles(toks, 3).as("hof"),
+        call_function("shingles", toks, lit(3)).as("native"))
+      .where(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("simhash64 native == HOF composition") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val toks = GraftFunctions.tokens(col("text"))
