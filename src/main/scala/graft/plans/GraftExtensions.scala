@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => WindowTopKRewrite)
   }
 }
 
@@ -60,5 +61,8 @@ object GraftExtensions {
       org.apache.spark.sql.GraftBridge.classicSession(spark).experimental
     if (!experimental.extraStrategies.contains(TopKPerKeyStrategy))
       experimental.extraStrategies = experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!experimental.extraOptimizations.contains(WindowTopKRewrite))
+      experimental.extraOptimizations =
+        experimental.extraOptimizations :+ WindowTopKRewrite
   }
 }

@@ -70,6 +70,83 @@ object TopKPerKeyStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: rewrites the idiomatic window top-k pattern —
+  * `Filter(rn <= k)` over `Window([row_number() over (partition ORDER BY o)])`
+  * — into [[TopKPerKeyPlan]], so EXISTING queries written with the standard
+  * API get the heap operator without changing a line. The rewrite reuses the
+  * window alias's attribute (same exprId), so references above the filter
+  * keep resolving; it bails out on anything but the exact safe shape
+  * (single row_number expression, attribute-only keys/orders with default
+  * null ordering, unique column names, literal k ≥ 1). */
+object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => LWindow}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: LWindow) =>
+      rewrite(cond, w).getOrElse(f)
+    case f @ Filter(cond, p @ Project(list, w: LWindow))
+        if list.forall(e => e.isInstanceOf[AttributeReference] ||
+          (e.isInstanceOf[Alias] && e.asInstanceOf[Alias].child.isInstanceOf[AttributeReference])) =>
+      // filter above a rename-only projection of the window output: resolve
+      // the condition through the aliases before matching
+      val aliasMap = list.collect {
+        case al @ Alias(ar: AttributeReference, _) => al.toAttribute.exprId -> ar
+      }.toMap
+      val resolved = cond.transform {
+        case a: AttributeReference if aliasMap.contains(a.exprId) => aliasMap(a.exprId)
+      }
+      rewrite(resolved, w) match {
+        case Some(topk) => Project(list, topk)
+        case _ => f
+      }
+  }
+
+  private def rewrite(cond: Expression, w: LWindow): Option[LogicalPlan] = {
+    val single = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(parts, orders,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
+        Some((a, parts, orders))
+      case _ => None
+    }
+    single.flatMap { case (alias, parts, orders) =>
+      val rnAttr = alias.toAttribute
+      val k = cond match {
+        case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rnAttr.exprId => Some(v)
+        case LessThan(a: AttributeReference, Literal(v: Int, IntegerType))
+          if a.exprId == rnAttr.exprId => Some(v - 1)
+        case _ => None
+      }
+      val keyAttrs = parts.collect { case a: AttributeReference => a }
+      val orderCols = orders.collect {
+        case SortOrder(a: AttributeReference, Ascending, NullsFirst, _) => (a.name, false)
+        case SortOrder(a: AttributeReference, Descending, NullsLast, _) => (a.name, true)
+      }
+      val usedNames = (keyAttrs.map(_.name) ++ orderCols.map(_._1)).toSet
+      val namesUnique =
+        w.child.output.map(_.name).groupBy(identity)
+          .forall { case (n, g) => !usedNames.contains(n) || g.size == 1 }
+      // Spark's own InferWindowGroupLimit may already have wrapped the child
+      // in a WindowGroupLimit (sort-based partial/final top-k); the heap
+      // operator subsumes it, so strip it or we'd pay both
+      val child = w.child match {
+        case wgl: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          wgl.child
+        case c => c
+      }
+      k match {
+        case Some(kv) if kv >= 1 && keyAttrs.size == parts.size &&
+            orderCols.size == orders.size && orders.nonEmpty && namesUnique =>
+          Some(TopKPerKeyPlan(keyAttrs.map(_.name), orderCols, kv, child,
+            rnAttr.asInstanceOf[AttributeReference]))
+        case _ => None
+      }
+    }
+  }
+}
+
 case class TopKPerKeyExec(
     keyAttrs: Seq[Attribute],
     orders: Seq[SortOrder],

@@ -35,6 +35,21 @@ class TopKSpec extends AnyFunSuite {
     assert(!ranked.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("optimizer rule rewrites the idiomatic window top-k into the heap operator") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val viaWindow = Relational.topOrdersPerCustomer(
+      Tables.orders(spark, TestSpark.sf0001), 3)
+    val plan = viaWindow.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"window top-k should auto-rewrite to the heap operator:\n$plan")
+    // neither the Window exec nor Spark's sort-based WindowGroupLimit remains
+    assert(!plan.contains("WindowGroupLimit"), s"redundant group limit:\n$plan")
+    assert(!plan.contains("Window ["))
+    // and results are still the reference row_number semantics
+    val rows = viaWindow.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
+  }
+
   test("handles groups smaller than k and unknown columns fail cleanly") {
     import spark.implicits._
     val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 20L, 1.0))
