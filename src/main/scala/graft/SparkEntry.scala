@@ -81,6 +81,7 @@ object SparkEntry {
     "set_ops_priority" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
     "agg_price_quantiles" -> ((s, d) => Relational.priceQuantiles(Tables.lineitem(s, d))),
+    "agg_weighted_discount" -> ((s, d) => Relational.weightedDiscount(Tables.lineitem(s, d))),
     "agg_approx_distinct_users" -> ((s, d) =>
       Relational.approxDistinctUsers(Tables.events(s, d))),
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
@@ -331,6 +332,11 @@ object SparkEntry {
     "agg_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_weighted_discount" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)
+        |    AS w_avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_price_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

@@ -121,6 +121,19 @@ object Relational {
     both.unionAll(onlyUrgent).orderBy("tag", "o_custkey")
   }
 
+  /** Custom typed aggregate (`Aggregator[IN,BUF,OUT]` via `udaf`):
+    * extended-price-weighted mean discount per return flag. Summation-order
+    * noise in the double Σw·x is bounded by rounding to 6 (the oracle
+    * computes the same sum under a different reduce order). */
+  def weightedDiscount(lineitem: DataFrame): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMean)
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(round(
+        wmean(col("l_discount"), col("l_extendedprice")), 6).as("w_avg_discount"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact interpolated percentiles per group (`percentile`, the sort-based
     * exact form; `approx_percentile` is the sketch path at 100 TB). Rounded
     * to 4 decimals: the interpolation arithmetic can differ from the oracle

@@ -129,6 +129,16 @@ class OpsSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("skew guard: a degenerate all-identical corpus can't explode the pair space") {
+    val boiler = (0L until 3000L).map(i => (i, "the same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    // every doc lands in one bucket per band -> size 3000 > MaxBucket -> dropped
+    assert(Dedup.minhashLsh(boiler).count() == 0)
+    // the duplicates themselves are exact-dedup's job, and it sees them all
+    val exact = Dedup.exact(boiler).collect()
+    assert(exact.length == 1 && exact.head.getLong(1) == 3000L)
+  }
+
   test("star: fact crime total equals order count; dims are sorted ranks") {
     val (o, c, n) = (Tables.orders(spark, TestSpark.sf0001),
       Tables.customer(spark, TestSpark.sf0001), Tables.nation(spark, TestSpark.sf0001))
