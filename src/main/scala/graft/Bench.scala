@@ -40,8 +40,16 @@ object Bench {
       else SparkEntry.headlineQueries
     val results = names.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query reports -1, NOT its elapsed time — a regression must
+      // show up as broken, never as "fast"
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -118,7 +118,10 @@ object SparkEntry {
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s3_tsv_roundtrip" -> ((s, d) => {
-      val out = s"/tmp/graft_tsv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      // process-unique path: concurrent runs on the same sfDir (e.g. bench
+      // and verify) must not race on one directory
+      val out = s"/tmp/graft_tsv_roundtrip_${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
       graft.sources.Sinks.writeTsv(Parity.categoryTotals(Tables.events(s, d)), out, 1)
       graft.sources.Sinks.readTsvKeys(s, out)
     }),
@@ -313,13 +316,14 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "win_order_deltas" ->
-      """WITH b AS (SELECT o_custkey, o_orderkey,
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
         |SELECT o_custkey, o_orderkey, price,
-        |  lag(price, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
-        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  lag(price, 1) OVER w AS prev_price,
+        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
-        |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
+        |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "set_ops_priority" ->
       """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')

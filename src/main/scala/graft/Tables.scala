@@ -40,7 +40,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events` with `ts` as a microsecond TimestampType column (see scaladoc). */
+  /** `events` with `ts` as a microsecond TimestampType column (see scaladoc).
+    *
+    * NOTE: setting `nanosAsLong` is a SESSION-level conf — after this call,
+    * other parquet reads in the same session will also map TIMESTAMP(NANOS)
+    * columns to raw longs instead of failing fast. That is the intended
+    * behavior for this harness (events is the only nanos table and every
+    * load goes through here), but a general-purpose caller mixing in their
+    * own nanos-timestamp tables should be aware their `ts` columns arrive
+    * as longs WITHOUT the µs truncation applied below. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path(dir, "events"))

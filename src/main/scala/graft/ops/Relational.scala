@@ -96,15 +96,16 @@ object Relational {
   /** Lag/lead + running frame: per-customer order-value deltas and running
     * totals — the window-frame surface (rowsBetween). */
   def orderDeltas(orders: DataFrame): DataFrame = {
+    // chronological per customer (orderkeys are NOT date-ordered in
+    // TPC-H-ish data), with the key as deterministic tiebreaker
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     orders
-      .select(col("o_custkey"), col("o_orderkey"),
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice").cast("decimal(18,2)").as("price"))
-      .withColumn("prev_price", lag(col("price"), 1).over(
-        Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))))
+      .withColumn("prev_price", lag(col("price"), 1).over(w))
       .withColumn("running_total",
-        sum(col("price")).over(Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        sum(col("price")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("decimal(18,2)"))
       .select("o_custkey", "o_orderkey", "price", "prev_price", "running_total")
       .orderBy("o_custkey", "o_orderkey")

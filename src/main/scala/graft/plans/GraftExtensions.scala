@@ -27,6 +27,21 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.plans", name, usage)
 
+  /** Extract a required integer-literal argument with a proper analysis
+    * message (a bare `eval().asInstanceOf[Int]` would surface as
+    * ClassCastException on BIGINT literals or an unresolved-eval internal
+    * error on column arguments). */
+  private def intLiteral(fn: String, arg: String, e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $e")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("week_of_month"),
@@ -41,12 +56,13 @@ object GraftExtensions {
     (FunctionIdentifier("shingles"),
       info("NgramShingles", "shingles(tokens, n) - word n-gram strings"),
       (args: Seq[Expression]) => NgramShingles(args(0),
-        args(1).eval().asInstanceOf[Int])),
+        intLiteral("shingles", "n", args(1)))),
     (FunctionIdentifier("minhash_sig"),
       info("MinHashSignature",
         "minhash_sig(tokens, shingleSize, k) - fused shingle+MinHash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        intLiteral("minhash_sig", "shingleSize", args(1)),
+        intLiteral("minhash_sig", "k", args(2)))))
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public

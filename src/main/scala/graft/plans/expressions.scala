@@ -33,7 +33,13 @@ object ExprUtil {
     * of DuckDB's list_inner_product over DOUBLE[]), so results stay
     * bit-identical across all three. Zero norms yield 0.0, not NaN. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    // fail fast on ragged input rather than silently scoring a prefix
+    // (the HOF formulation would yield NULL here; a corrupt short embedding
+    // should surface, not pass with a plausible score)
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector lengths differ (${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -54,7 +60,11 @@ object ExprUtil {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(toks.getUTF8String(i), 42L)
+      // null token: Spark's xxhash64 leaves the seed unchanged for null
+      // input, so the HOF formulation scores it as hash==42 — match that
+      // instead of NPEing on getUTF8String
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val h = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

@@ -58,7 +58,9 @@ object TopKPerKeyPlan {
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: TopKPerKeyPlan =>
-      def attr(n: String) = p.child.output.find(_.name == n).getOrElse(
+      // honor the session's case-sensitivity for name resolution
+      val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+      def attr(n: String) = p.child.output.find(a => resolver(a.name, n)).getOrElse(
         throw new IllegalArgumentException(
           s"top_k_per_key: column $n not in ${p.child.output.map(_.name)}"))
       val orders = p.orderSpec.map { case (n, desc) =>
@@ -137,7 +139,11 @@ object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logica
         case c => c
       }
       k match {
-        case Some(kv) if kv >= 1 && keyAttrs.size == parts.size &&
+        // parts.nonEmpty: a GLOBAL top-k (no partitionBy) is better served
+        // by Spark's own partial/final WindowGroupLimit than by funneling
+        // every row into one partition's heap — leave it alone
+        case Some(kv) if kv >= 1 && parts.nonEmpty &&
+            keyAttrs.size == parts.size &&
             orderCols.size == orders.size && orders.nonEmpty && namesUnique =>
           Some(TopKPerKeyPlan(keyAttrs.map(_.name), orderCols, kv, child,
             rnAttr.asInstanceOf[AttributeReference]))
@@ -159,9 +165,12 @@ case class TopKPerKeyExec(
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
   /** Rows of one key must meet in one partition — but NO sort is required
-    * of the child (the heap does the bounded ordering). */
+    * of the child (the heap does the bounded ordering). Empty keys = global
+    * top-k: all rows to one partition (ClusteredDistribution(Nil) is
+    * rejected by its constructor). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keyAttrs) :: Nil
+    (if (keyAttrs.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples
+     else ClusteredDistribution(keyAttrs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
