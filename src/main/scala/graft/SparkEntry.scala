@@ -61,6 +61,12 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
     "q3_top_urgent_orders" -> ((s, d) =>
       Relational.topUrgentOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_local_supplier_revenue" -> ((s, d) =>
+      Relational.localSupplierRevenue(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
+    "q14_brand_revenue" -> ((s, d) =>
+      Relational.brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "join_semi_customers_with_orders" -> ((s, d) =>
       Relational.customersWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "join_anti_customers_without_orders" -> ((s, d) =>
@@ -295,6 +301,20 @@ object SparkEntry {
          |               JOIN customer c ON o.o_custkey = c.c_custkey
          |WHERE c.c_mktsegment = 'BUILDING'
          |GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_revenue" ->
+      s"""SELECT n.n_name, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey AND year(o.o_orderdate) = 1996
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q14_brand_revenue" ->
+      s"""SELECT p.p_brand, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
     "join_semi_customers_with_orders" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""".stripMargin,

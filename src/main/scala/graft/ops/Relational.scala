@@ -64,6 +64,47 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
+  /** TPC-H Q5-shaped: 6-way star join — revenue from "local" suppliers
+    * (customer and supplier in the same nation) per nation, one region and
+    * one year slice. The three dimension tables broadcast; the fact-fact
+    * joins (lineitem ⋈ orders ⋈ customer/supplier) shuffle on their keys. */
+  def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+      region: DataFrame, regionName: String = "ASIA", yearSlice: Int = 1996): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(5,2)")).as("rev"))
+      .join(orders.where(year(col("o_orderdate")) === yearSlice)
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === regionName)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum("rev").cast("decimal(18,4)").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q14-flavored: lineitem ⋈ broadcast(part), revenue per brand. */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(5,2)")).as("rev"))
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum("rev").cast("decimal(18,4)").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+
   /** Left-semi join: customers having at least one order (EXISTS). */
   def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer
