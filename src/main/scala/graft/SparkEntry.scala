@@ -88,6 +88,8 @@ object SparkEntry {
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
     "agg_price_quantiles" -> ((s, d) => Relational.priceQuantiles(Tables.lineitem(s, d))),
     "agg_weighted_discount" -> ((s, d) => Relational.weightedDiscount(Tables.lineitem(s, d))),
+    "agg_approx_quantiles" -> ((s, d) =>
+      Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
     "agg_approx_distinct_users" -> ((s, d) =>
       Relational.approxDistinctUsers(Tables.events(s, d))),
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),

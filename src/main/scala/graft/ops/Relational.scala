@@ -189,6 +189,17 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"))
       .orderBy("l_returnflag")
 
+  /** Sketch-based quantiles (`approx_percentile`, KLL-style) — the 100 TB
+    * counterpart of [[priceQuantiles]]: bounded memory per group, no full
+    * sort. Sketch results are engine-specific → rows-only checked. */
+  def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("price_quartiles"))
+      .orderBy("l_returnflag")
+
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
     * large side derives a deterministic salt from its full row hash, the
     * small side is replicated ×`salts`, and the key becomes (key, salt) —

@@ -66,8 +66,10 @@ object GraftExtensions {
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public
-    * `experimental.extraStrategies` hook. */
-  def ensureRegistered(spark: SparkSession): Unit = {
+    * `experimental.extraStrategies` hook. Synchronized: the underlying
+    * SimpleFunctionRegistry map is not thread-safe, and ops may call this
+    * from concurrently-built queries (e.g. a parallel Verify). */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
     val registry = spark.sessionState.functionRegistry
     functions.foreach { case (ident, inf, builder) =>
       if (!registry.functionExists(ident))
