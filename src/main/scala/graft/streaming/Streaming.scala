@@ -67,6 +67,15 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: attach a static dimension (broadcast
+    * per micro-batch) to a stream — the streaming analog of the reference's
+    * dictionary side-input lookups (SURVEY §2.4). The static side may be
+    * any batch DataFrame; Spark re-plans it each micro-batch, so a small
+    * dim table broadcasts exactly like in the batch star join. */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
+
   /** Per-user running stats emitted on every update. */
   case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
 

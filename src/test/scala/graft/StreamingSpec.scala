@@ -108,6 +108,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events with a dimension") {
+    val src = MemoryStream[Ev](spark)
+    val dim = Seq(("click", "interaction"), ("view", "passive"))
+      .toDF("etype", "family")
+    val q = Streaming.enrich(src.toDF(), dim, "event_type", "etype")
+      .select("event_id", "family")
+      .writeStream.format("memory").queryName("stream_enriched")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click"),
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "view"),
+        Ev(3, ts("2024-01-01 10:02:00"), 1, "unknown"))
+      q.processAllAvailable()
+      val got = spark.table("stream_enriched").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("-")).toMap
+      assert(got == Map(1L -> "interaction", 2L -> "passive", 3L -> "-"))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
