@@ -100,6 +100,20 @@ class CrimePipelineSpec extends AnyFunSuite {
     assert(got(("2013/01/02", cats("LARCENY/THEFT"), dists("MISSION"))) == 2L)
   }
 
+  test("golden: pipeline outputs are byte-stable against pinned goldens") {
+    val out = "/tmp/graft_crime_golden"
+    CrimePipeline.runAll(spark, csvPath, out)
+    def lines(dir: String): Seq[String] =
+      spark.read.text(dir).collect().map(_.getString(0)).sorted.toSeq
+    def golden(name: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"src/test/resources/golden/$name.tsv")), "UTF-8")
+        .linesIterator.filter(_.nonEmpty).toSeq.sorted
+    assert(lines(s"$out/bycategory") == golden("bycategory"))
+    assert(lines(s"$out/bydistrict") == golden("bydistrict"))
+    assert(lines(s"$out/star") == golden("star"))
+  }
+
   test("S4: TSV sink emits the part-00000 row shape") {
     val out = "/tmp/graft_crime_out"
     CrimePipeline.runAll(spark, csvPath, out)
