@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -125,6 +125,29 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, Tables.documents(s, d))),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
+    "s_json_roundtrip" -> ((s, d) => {
+      // JSON-lines source format: write the events slice as json, read it
+      // back with an explicit schema (scan-friendly), aggregate
+      val out = s"/tmp/graft_json_rt_${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+      ev.write.mode("overwrite").json(out)
+      s.read.schema(ev.schema).json(out)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    "s_orc_roundtrip" -> ((s, d) => {
+      // ORC source/sink: the second columnar format the engine speaks
+      val out = s"/tmp/graft_orc_rt_${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      Tables.lineitem(s, d).select("l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     "s3_tsv_roundtrip" -> ((s, d) => {
       // process-unique path: concurrent runs on the same sfDir (e.g. bench
       // and verify) must not race on one directory
@@ -500,5 +523,12 @@ object SparkEntry {
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,
+    "s_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_orc_roundtrip" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

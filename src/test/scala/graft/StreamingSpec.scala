@@ -108,6 +108,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch and streaming sliding windows agree on the same data") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val batch = graft.ops.Relational.slidingCounts(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.slidingCounts(src.toDF(), "6 hours", "3 hours", "100 days")
+      .writeStream.format("memory").queryName("stream_parity")
+      .outputMode("complete").start()
+    try {
+      val evs = events.select("event_id", "ts", "user_id", "event_type").collect()
+        .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      src.addData(evs.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val stream = spark.table("stream_parity").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events with a dimension") {
     val src = MemoryStream[Ev](spark)
     val dim = Seq(("click", "interaction"), ("view", "passive"))
