@@ -99,7 +99,9 @@ object SimSearch {
       .where(col("cr") <= nProbe)
       .select("query_id", "q_emb", "cell")
     assigned
-      .join(queryProbes, "cell")
+      // broadcast the (nQueries × nProbe)-row probe set: an SMJ here would
+      // shuffle the whole assigned corpus on cell
+      .join(broadcast(queryProbes), "cell")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cos(col("q_emb"), col("embedding")), 6).as("cos"))
