@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked process's stdout must reach the caller's stdout UNPREFIXED:
+// sbt's default logger wraps every line in "[info] ", which broke the
+// driver's parse of Bench's one-line JSON (BENCH_r01 parsed: null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,7 +54,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout is the contract (run/outputStrategy in build.sbt keeps it
+    // unprefixed); the file is the belt-and-braces copy a log-scraping
+    // driver can read even if a wrapper mangles stdout
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/bench_out.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

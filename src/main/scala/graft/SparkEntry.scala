@@ -145,7 +145,7 @@ object SparkEntry {
       s.read.orc(out)
         .groupBy("l_returnflag")
         .agg(sum(col("l_quantity").cast("decimal(12,2)"))
-          .cast("decimal(18,2)").as("sum_qty"))
+          .cast("decimal(18,2)").cast("double").as("sum_qty"))
         .orderBy("l_returnflag")
     }),
     "s3_tsv_roundtrip" -> ((s, d) => {
@@ -303,31 +303,31 @@ object SparkEntry {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |                JOIN nation n ON c.c_nationkey = n.n_nationkey)
         |SELECT category, district, count(*) AS n,
-        |  CAST(sum(price) AS DECIMAL(18,2)) AS total_price,
+        |  CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
         |  GROUPING(category, district) AS gid
         |FROM b GROUP BY CUBE(category, district)
         |ORDER BY gid, category NULLS FIRST, district NULLS FIRST""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |    * CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |    * CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))
-        |    * CAST(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,6)) AS sum_charge,
+        |    * CAST(CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_urgent_orders" ->
-      s"""SELECT o.o_orderkey, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue,
+      s"""SELECT o.o_orderkey, CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          |  min(CAST(o.o_orderdate AS DATE)) AS o_orderdate
          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |               JOIN customer c ON o.o_custkey = c.c_custkey
          |WHERE c.c_mktsegment = 'BUILDING'
          |GROUP BY o.o_orderkey ORDER BY revenue DESC, o.o_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier_revenue" ->
-      s"""SELECT n.n_name, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue
+      s"""SELECT n.n_name, CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
          |FROM lineitem l
          |JOIN orders o ON l.l_orderkey = o.o_orderkey AND year(o.o_orderdate) = 1996
          |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -336,7 +336,7 @@ object SparkEntry {
          |JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
          |GROUP BY n.n_name ORDER BY revenue DESC, n.n_name""".stripMargin,
     "q14_brand_revenue" ->
-      s"""SELECT p.p_brand, CAST(sum($revSql) AS DECIMAL(18,4)) AS revenue,
+      s"""SELECT p.p_brand, CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          |  count(*) AS n_items
          |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
@@ -363,10 +363,10 @@ object SparkEntry {
     "win_order_deltas" ->
       """WITH b AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
-        |SELECT o_custkey, o_orderkey, price,
-        |  lag(price, 1) OVER w AS prev_price,
-        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+        |SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+        |  CAST(lag(price, 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
         |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "set_ops_priority" ->
@@ -528,7 +528,7 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s_orc_roundtrip" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

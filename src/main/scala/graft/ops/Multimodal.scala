@@ -57,7 +57,10 @@ object Multimodal {
   /** Batch decode + feature extraction over the blob table: per-partition
     * iterator processing (the Scala analog of mapInPandas batch UDFs) via the
     * typed Dataset API — codec init happens once per partition, not per row.
-    */
+    * The feature vector is flattened to scalar columns f0..f7 at the output
+    * boundary: array-typed output crashes the driver's pandas comparator
+    * (round-1 lesson); downstream consumers wanting the vector re-assemble
+    * with `array(f0..f7)`. */
   def decodeFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     asBlobTable(documents)
@@ -67,6 +70,9 @@ object Multimodal {
         iter.map { case (id, payload) => decodeStub(id, payload) }
       }
       .toDF()
+      .select(Seq(col("media_id"), col("n_bytes"), col("width"), col("height"),
+        col("n_frames")) ++
+        (0 until 8).map(i => element_at(col("feature"), i + 1).as(s"f$i")): _*)
       .orderBy("media_id")
   }
 

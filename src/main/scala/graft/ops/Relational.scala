@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   * and the DuckDB oracle — decimal addition is exact and associative, so the
   * shuffle's nondeterministic reduce order cannot flip low bits the way a
   * double sum can.
+  *
+  * OUTPUT-boundary rule (round-1 driver lesson): the exact decimal sums are
+  * cast to DOUBLE in the final select, mirrored by `CAST(... AS DOUBLE)` in
+  * the oracle. The driver compares value REPRESENTATIONS (pandas reprs), and
+  * a parquet decimal (`Decimal('5432.00')`) never matches DuckDB's float64
+  * (`5432.0`) even though the values are equal. Casting one exact decimal to
+  * double is a single deterministic rounding, identical in both engines.
   */
 object Relational {
 
@@ -34,12 +41,12 @@ object Relational {
           .cast("decimal(5,2)").as("one_plus_tax"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum("qty").cast("decimal(18,2)").as("sum_qty"),
-        sum("price").cast("decimal(18,2)").as("sum_base_price"),
+        sum("qty").cast("decimal(18,2)").cast("double").as("sum_qty"),
+        sum("price").cast("decimal(18,2)").cast("double").as("sum_base_price"),
         sum(col("price") * col("one_minus_disc"))
-          .cast("decimal(18,4)").as("sum_disc_price"),
+          .cast("decimal(18,4)").cast("double").as("sum_disc_price"),
         sum(col("price") * col("one_minus_disc") * col("one_plus_tax"))
-          .cast("decimal(18,6)").as("sum_charge"),
+          .cast("decimal(18,6)").cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -59,7 +66,7 @@ object Relational {
           .select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey")
-      .agg(sum("rev").cast("decimal(18,4)").as("revenue"),
+      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"),
         first(to_date(col("o_orderdate"))).as("o_orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -89,7 +96,7 @@ object Relational {
       .join(broadcast(region.where(col("r_name") === regionName)
         .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(sum("rev").cast("decimal(18,4)").as("revenue"))
+      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** TPC-H Q14-flavored: lineitem ⋈ broadcast(part), revenue per brand. */
@@ -102,7 +109,8 @@ object Relational {
       .join(broadcast(part.select("p_partkey", "p_brand")),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(sum("rev").cast("decimal(18,4)").as("revenue"), count(lit(1)).as("n_items"))
+      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
       .orderBy("p_brand")
 
   /** Left-semi join: customers having at least one order (EXISTS). */
@@ -148,7 +156,10 @@ object Relational {
         sum(col("price")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("decimal(18,2)"))
-      .select("o_custkey", "o_orderkey", "price", "prev_price", "running_total")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("price").cast("double").as("price"),
+        col("prev_price").cast("double").as("prev_price"),
+        col("running_total").cast("double").as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -191,13 +202,19 @@ object Relational {
 
   /** Sketch-based quantiles (`approx_percentile`, KLL-style) — the 100 TB
     * counterpart of [[priceQuantiles]]: bounded memory per group, no full
-    * sort. Sketch results are engine-specific → rows-only checked. */
+    * sort. Sketch results are engine-specific → rows-only checked. The
+    * quartile array is flattened to three scalar columns: array-typed output
+    * crashes the driver's pandas comparator (round-1 lesson). */
   def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("price_quartiles"))
+          .as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 1).as("p25_price"),
+        element_at(col("q"), 2).as("p50_price"),
+        element_at(col("q"), 3).as("p75_price"))
       .orderBy("l_returnflag")
 
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the

@@ -159,7 +159,9 @@ object Star {
       .cube(col("category"), col("district"))
       .agg(
         count(lit(1)).as("n"),
-        sum("price").cast("decimal(18,2)").as("total_price"),
+        // exact decimal sum internally; DOUBLE at the output boundary (the
+        // driver compares representations — see Relational's scaladoc)
+        sum("price").cast("decimal(18,2)").cast("double").as("total_price"),
         grouping_id().as("gid"))
     agg.orderBy(agg("gid"), agg("category"), agg("district"))
   }

