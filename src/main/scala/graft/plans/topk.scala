@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.IntegerType
   * partition before the filter throws all but k away: O(n log n) comparisons
   * and a full materialized sort buffer per partition. This operator keeps a
   * bounded k-element heap per key instead: O(n log k) and O(keys × k)
-  * memory, the difference between sorting 100 TB and scanning it once. Same
-  * shuffle (clustered by key), no sort exchange. Measured 2.2× faster than
+  * memory, the difference between sorting 100 TB and scanning it once. The
+  * operator is planned as a partial/final pair (see [[TopKPerKeyExec]]): the
+  * partial heap pass runs below the exchange, so the shuffle carries at most
+  * k rows per (key, input partition) — on a cluster the shuffle, not the
+  * post-shuffle sort, is the dominant cost. Measured 2.2× faster than
   * the window form on 600k-row lineitem top-2-per-order at sf0.1 (k=2,
   * ~4 rows/key — the margin grows with rows per key).
   *
@@ -66,8 +69,15 @@ object TopKPerKeyStrategy extends SparkStrategy {
       val orders = p.orderSpec.map { case (n, desc) =>
         SortOrder(attr(n), if (desc) Descending else Ascending)
       }
-      TopKPerKeyExec(p.keyNames.map(attr), orders, p.k, p.rankAttr,
-        planLater(p.child)) :: Nil
+      val keys = p.keyNames.map(attr)
+      // partial/final split (the HashAggregate pattern): the partial pass
+      // runs a bounded heap per input partition BELOW the exchange, so at
+      // most k rows per (key, input-partition) ever cross the shuffle — any
+      // row outside its partition-local top-k cannot be in the global top-k
+      val partialPass =
+        TopKPerKeyExec(keys, orders, p.k, p.rankAttr, planLater(p.child),
+          partial = true)
+      TopKPerKeyExec(keys, orders, p.k, p.rankAttr, partialPass) :: Nil
     case _ => Nil
   }
 }
@@ -153,23 +163,44 @@ object WindowTopKRewrite extends org.apache.spark.sql.catalyst.rules.Rule[Logica
   }
 }
 
+/** Heap-based per-key top-k, in two modes (the partial/final HashAggregate
+  * pattern):
+  *
+  *   - `partial = true`: runs on the child's own partitioning (no required
+  *     distribution) and emits the ≤ k surviving rows per (key, partition),
+  *     UNRANKED. This is the map-side prune — at most k·distinctKeys rows
+  *     per input partition reach the exchange, instead of every child row.
+  *   - `partial = false` (final): requires rows clustered by key, re-heaps
+  *     the survivors, and appends the 1-based rank.
+  *
+  * The split is semantics-preserving for row_number-style ranking: a row
+  * outside its input partition's top-k under the (total) sort order cannot
+  * be in the global top-k for its key. */
 case class TopKPerKeyExec(
     keyAttrs: Seq[Attribute],
     orders: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
   extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
-  /** Rows of one key must meet in one partition — but NO sort is required
-    * of the child (the heap does the bounded ordering). Empty keys = global
-    * top-k: all rows to one partition (ClusteredDistribution(Nil) is
-    * rejected by its constructor). */
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
+
+  /** Final: rows of one key must meet in one partition — but NO sort is
+    * required of the child (the heap does the bounded ordering). Empty keys
+    * = global top-k: all (partial-pruned) rows to one partition
+    * (ClusteredDistribution(Nil) is rejected by its constructor).
+    * Partial: runs wherever the child's rows already are. */
   override def requiredChildDistribution: Seq[Distribution] =
-    (if (keyAttrs.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else if (keyAttrs.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples
      else ClusteredDistribution(keyAttrs)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -178,11 +209,9 @@ case class TopKPerKeyExec(
     val keys = keyAttrs
     val sortOrders = orders
     val limit = k
+    val isPartial = partial
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOutput)
-      // downstream exec nodes require UnsafeRow; serialize the JoinedRow
-      // (childRow ++ rank) through one output projection
-      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val cmp = RowOrdering.create(sortOrders, childOutput)
       // max-heap under cmp: head = worst of the current k best
       implicit val heapOrd: Ordering[InternalRow] =
@@ -203,11 +232,22 @@ case class TopKPerKeyExec(
             heaps.put(key.copy(), heap)
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map { case (r, i) =>
-          outProj(new JoinedRow(r, new GenericInternalRow(Array[Any](i + 1))))
-            : InternalRow
+      if (isPartial) {
+        // survivors only, no rank (heap order is irrelevant — the final
+        // pass re-ranks); downstream exchange requires UnsafeRow
+        val proj = UnsafeProjection.create(childOutput, childOutput)
+        heaps.iterator.flatMap { case (_, heap) =>
+          heap.iterator.map(r => proj(r): InternalRow)
+        }
+      } else {
+        // serialize the JoinedRow (childRow ++ rank) through one projection
+        val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+        heaps.iterator.flatMap { case (_, heap) =>
+          val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map { case (r, i) =>
+            outProj(new JoinedRow(r, new GenericInternalRow(Array[Any](i + 1))))
+              : InternalRow
+          }
         }
       }
     }

@@ -50,6 +50,31 @@ class TopKSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 3))
   }
 
+  test("partial heap pass prunes below the exchange (map-side top-k)") {
+    val ranked = TopK.perKey(
+      Tables.orders(spark, TestSpark.sf0001)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartition(8), // force a genuinely multi-partition child
+      keys = Seq("o_custkey"),
+      orderSpec = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+    val plan = ranked.queryExecution.executedPlan.toString
+    val iFinal = plan.indexOf("TopKPerKeyFinal")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0,
+      s"expected final + key exchange + partial in plan:\n$plan")
+    // tree prints top-down: final ABOVE the key exchange, partial BELOW it
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"partial pass must run below the exchange:\n$plan")
+    // ranks are still the global per-key row_number semantics
+    val viaWindow = Relational.topOrdersPerCustomer(
+      Tables.orders(spark, TestSpark.sf0001), 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = ranked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == viaWindow)
+  }
+
   test("handles groups smaller than k and unknown columns fail cleanly") {
     import spark.implicits._
     val tiny = Seq((1L, 10L, 5.0), (1L, 11L, 7.0), (2L, 20L, 1.0))
