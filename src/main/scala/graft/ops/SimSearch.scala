@@ -72,24 +72,20 @@ object SimSearch {
   /** IVF (inverted-file) ANN top-k — the coarse-quantizer scale path the
     * LSH variant complements. Cells are seeded with `nCells` deterministic
     * corpus vectors (a k-means refinement would drop in here in production);
-    * every vector is assigned to its nearest centroid (one broadcast
-    * compare, no shuffle), queries probe their `nProbe` nearest cells, and
-    * only those cells' members are exactly re-ranked. Candidate volume ≈
+    * every vector is assigned to its nearest centroid PER ROW — the nCells
+    * centroids are collected driver-side (bounded, like the LSH hyperplanes;
+    * in production the quantizer codebook is driver-held anyway) and inlined
+    * as literals, so assignment is a zero-shuffle map: no crossJoin row
+    * expansion, no argmax aggregation, the corpus vectors never move.
+    * Queries probe their `nProbe` nearest cells, and only those cells'
+    * members are exactly re-ranked. Candidate volume ≈
     * corpus × nProbe / nCells per query, independent of corpus size. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val cos = cosineNative(embeddings) _
     val centroids = embeddings.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    // nearest-centroid assignment: broadcast compare + max_by, shuffle-free
-    // until the (tiny) per-vector argmax aggregation
-    val assigned = embeddings
-      .crossJoin(broadcast(centroids))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cell"), struct(round(cos(col("embedding"), col("c_emb")), 6),
-          -col("cell"))).as("cell"),
-        first(col("embedding")).as("embedding"))
+    val assigned = ivfAssign(embeddings, nCells)
     val queryProbes = embeddings.where(col("vec_id") < nQueries)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"),
@@ -111,6 +107,30 @@ object SimSearch {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** Nearest-centroid assignment as a zero-shuffle, zero-join per-row
+    * argmax: the nCells centroid vectors are collected driver-side (bounded
+    * by the parameter, exactly like the LSH hyperplanes) and inlined as
+    * literals; `greatest()` over (cosine, -cell, cell) structs picks the
+    * max-cosine cell with ties to the smaller cell id. The corpus vectors
+    * never cross an exchange — the previous crossJoin(broadcast)+groupBy
+    * formulation shuffled the full corpus (×nCells expanded) to compute
+    * this same per-row value. */
+  private[graft] def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val cos = cosineNative(embeddings) _
+    val codebook: Array[(Int, Array[Float])] = embeddings
+      .where(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    require(codebook.nonEmpty, s"no centroid seeds with vec_id < $nCells")
+    // greatest() requires ≥ 2 children
+    val bestCell = if (codebook.length == 1) lit(codebook.head._1)
+    else greatest(codebook.map { case (cellId, cEmb) =>
+      struct(round(cos(col("embedding"), typedlit(cEmb)), 6).as("c"),
+        lit(-cellId).as("neg"), lit(cellId).as("id"))
+    }: _*).getField("id")
+    embeddings.select(col("vec_id"), col("embedding"), bestCell.as("cell"))
   }
 
   /** LSH ANN top-k: candidates from `tables` independent b-bit SRP bucketings,

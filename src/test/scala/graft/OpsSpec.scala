@@ -119,6 +119,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("simsearch: IVF centroid assignment is a zero-shuffle per-row map") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val plan = SimSearch.ivfAssign(emb, nCells = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment must not join:\n$plan")
+    // every vector gets a valid cell
+    val cells = SimSearch.ivfAssign(emb, nCells = 16)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 16))
+  }
+
   test("salted join is row-equivalent to the plain join under heavy skew") {
     val large = ((1 to 5000).map(i => (1L, i.toLong)) ++           // hot key
       (1 to 500).map(i => ((i % 10 + 2).toLong, i.toLong))).toDF("k", "payload")
