@@ -16,6 +16,40 @@ class SinksSpec extends AnyFunSuite {
     assert(keys == want)
   }
 
+  test("JDBC star-schema round-trip against embedded Derby (S5/S6)") {
+    // in-memory Derby: the JDBC path end-to-end (DDL, batched inserts,
+    // truncate-before-load) without filesystem or network state. Derby has
+    // no auth by default — user/password exercise the property plumbing.
+    val url = "jdbc:derby:memory:graftstar;create=true"
+    val props = new java.util.Properties()
+    val d = TestSpark.sf0001
+    val orders = Tables.orders(spark, d)
+    val nation = Tables.nation(spark, d)
+    val customer = Tables.customer(spark, d)
+    val dimCat = ops.Star.dimCategory(orders)
+    val dimDist = ops.Star.dimDistrict(nation)
+    val fact = ops.Star.fact(orders, customer, nation)
+    Sinks.writeJdbc(dimCat, url, "dim_category", "app", "app")
+    Sinks.writeJdbc(dimDist, url, "dim_district", "app", "app")
+    Sinks.writeJdbc(fact, url, "fact_crime", "app", "app")
+    def readBack(table: String) = spark.read.jdbc(url, table, props)
+    assert(readBack("dim_category").count() == dimCat.count())
+    assert(readBack("dim_district").count() == dimDist.count())
+    assert(readBack("fact_crime").count() == fact.count())
+    // star join over the JDBC-read tables reproduces the parquet-side totals
+    def starTotals(f: org.apache.spark.sql.DataFrame,
+        dim: org.apache.spark.sql.DataFrame) =
+      f.join(dim, "category_id").groupBy("name").agg(sum("crimes").as("crimes"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(starTotals(readBack("fact_crime"), readBack("dim_category")) ==
+      starTotals(fact, dimCat))
+    // truncate-before-load (S6): a second overwrite with a subset must
+    // REPLACE the rows (reference: LoadStarDB's `truncate table` step)
+    val subset = dimCat.limit(2)
+    Sinks.writeJdbc(subset, url, "dim_category", "app", "app")
+    assert(readBack("dim_category").count() == 2)
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val d = TestSpark.sf0001
     Sinks.writeBucketed(Tables.orders(spark, d), "b_orders", "o_orderkey", 8,
