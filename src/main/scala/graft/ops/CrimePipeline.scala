@@ -34,11 +34,15 @@ object CrimePipeline {
     "PdDistrict", "Resolution", "Address", "X", "Y", "Location")
     .map(StructField(_, StringType, nullable = true)))
 
-  /** S1+S2+P3+P4: CSV scan with quote handling, header dropped, malformed
-    * rows (missing key columns or unparseable date) filtered out. Adds the
-    * parsed `incident_date` column; time-of-day is split off first
-    * (`MapReduceJobBase.java:75-77`). */
-  def readCrimeCsv(spark: SparkSession, path: String): DataFrame =
+  /** S1+S2+P3: CSV scan with quote handling and header dropped, every data
+    * row tagged with a `bad_reason` column — null for clean rows, else the
+    * first failing validity rule. The reference LOGS each dropped malformed
+    * row (`SanFranciscoCrime.java:91-99`) rather than silently skipping;
+    * this is the columnar side channel for that: one scan serves both the
+    * clean pipeline ([[readCrimeCsv]]) and the dropped-row audit
+    * ([[badRecords]]) — at scale the audit is a filter over the same
+    * pruned scan, not a second parse. */
+  def readCrimeCsvTagged(spark: SparkSession, path: String): DataFrame =
     spark.read
       .option("header", "true")
       .option("quote", "\"")
@@ -47,8 +51,23 @@ object CrimePipeline {
       .csv(path)
       .withColumn("incident_date",
         try_to_date(split(col("Date"), " ").getItem(0), "MM/dd/yyyy"))
-      .where(col("Category").isNotNull && col("PdDistrict").isNotNull &&
-        col("incident_date").isNotNull)
+      .withColumn("bad_reason",
+        when(col("Category").isNull, "missing_category")
+          .when(col("PdDistrict").isNull, "missing_district")
+          .when(col("incident_date").isNull, "bad_date"))
+
+  /** P4: the clean rows (malformed dropped, as the reference's
+    * catch-ParseException-and-skip path does). */
+  def readCrimeCsv(spark: SparkSession, path: String): DataFrame =
+    readCrimeCsvTagged(spark, path)
+      .where(col("bad_reason").isNull).drop("bad_reason")
+
+  /** P4 side output: the dropped rows with their reason — the engine's
+    * badRecordsPath-style accounting for the reference's per-row skip log.
+    */
+  def badRecords(spark: SparkSession, path: String): DataFrame =
+    readCrimeCsvTagged(spark, path)
+      .where(col("bad_reason").isNotNull).drop("incident_date")
 
   /** A2 / `ReduceByWeek`: dense weekly histogram per key column over buckets
     * 0..16 (reference pre-zeroes 0..15 and leaks 16 on 6-week months).
@@ -102,8 +121,9 @@ object CrimePipeline {
     * one cached scan feeds all three outputs (the reference re-scans the CSV
     * per job). */
   def runAll(spark: SparkSession, csvPath: String, outDir: String): Unit = {
-    val crime = readCrimeCsv(spark, csvPath).cache()
+    val tagged = readCrimeCsvTagged(spark, csvPath).cache()
     try {
+      val crime = tagged.where(col("bad_reason").isNull).drop("bad_reason")
       toTsv(weeklyCounts(crime, "Category"), "key")
         .coalesce(1).write.mode("overwrite").text(s"$outDir/bycategory")
       toTsv(weeklyCounts(crime, "PdDistrict"), "key")
@@ -112,6 +132,11 @@ object CrimePipeline {
           concat_ws(",", col("cat_idx"), col("dist_idx"), col("n")))
           .select("d", "triplet"), "d")
         .coalesce(1).write.mode("overwrite").text(s"$outDir/star")
-    } finally crime.unpersist()
+      // dropped-row audit (the reference logs every skipped malformed row)
+      tagged.where(col("bad_reason").isNotNull)
+        .select(col("IncidntNum"), col("bad_reason"))
+        .coalesce(1).write.mode("overwrite").option("sep", "\t")
+        .csv(s"$outDir/badrecords")
+    } finally tagged.unpersist()
   }
 }

@@ -71,6 +71,25 @@ class CrimePipelineSpec extends AnyFunSuite {
     assert(descripts.contains("GRAND THEFT FROM LOCKED AUTO, ATTEMPTED"))
   }
 
+  test("P4 side channel: dropped rows are accounted for, with reasons") {
+    val tagged = CrimePipeline.readCrimeCsvTagged(spark, csvPath)
+    val bad = CrimePipeline.badRecords(spark, csvPath)
+    // conservation: every data row is exactly clean or dropped
+    assert(tagged.count() == rows.length - 1) // header excluded
+    assert(CrimePipeline.readCrimeCsv(spark, csvPath).count() + bad.count()
+      == rows.length - 1)
+    val reasons = bad.collect()
+      .map(r => r.getString(r.fieldIndex("IncidntNum")) ->
+        r.getString(r.fieldIndex("bad_reason"))).toMap
+    assert(reasons == Map("006" -> "missing_district", "007" -> "bad_date"))
+    // runAll writes the audit next to the data outputs
+    val out = "/tmp/graft_crime_badrec"
+    CrimePipeline.runAll(spark, csvPath, out)
+    val audit = spark.read.option("sep", "\t").csv(s"$out/badrecords")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(audit == reasons)
+  }
+
   test("A2: weekly histograms match the Calendar-based oracle, incl. bucket 16") {
     val got = CrimePipeline.weeklyCounts(
         CrimePipeline.readCrimeCsv(spark, csvPath), "Category")
