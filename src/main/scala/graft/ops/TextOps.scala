@@ -93,11 +93,14 @@ object TextOps {
 
   /** TF-IDF: per (doc, token) term frequency joined with corpus document
     * frequency; idf = ln((N+1)/(df+1)) (smoothed). The explode shuffles
-    * once for tf and once for df — both partial-aggregated map-side. Scores
+    * once for tf and once for df — both partial-aggregated map-side. N is
+    * computed IN-PLAN (a broadcast one-row count aggregate crossed onto the
+    * result) rather than an eager driver-side count() — no extra eager scan
+    * per invocation, and the whole computation stays one lazy plan. Scores
     * round to 6 decimals: JVM Math.log and libm ln legitimately differ in
     * the last ulp, so raw doubles cannot oracle-match. */
   def tfIdf(documents: DataFrame, minDf: Long = 2): DataFrame = {
-    val n = documents.count()
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val tf = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
@@ -108,8 +111,10 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6)
+        round(col("tf") *
+          log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6)
           .as("tf_idf"))
       .orderBy("doc_id", "token")
   }

@@ -190,8 +190,11 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output :+ rankAttr
-  override def producedAttributes: AttributeSet =
-    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
+  // rankAttr is always "produced here, not consumed from the child" — in
+  // partial mode it is simply not emitted. Keeping it in producedAttributes
+  // in both modes stops missingInput from flagging the partial node (the
+  // "!" prefix in plan strings).
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
   /** Final: rows of one key must meet in one partition — but NO sort is
     * required of the child (the heap does the bounded ordering). Empty keys

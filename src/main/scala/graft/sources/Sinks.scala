@@ -52,9 +52,9 @@ object Sinks {
   /** S5+S6: JDBC star-schema load, the `LoadStarDB` replacement. Overwrite
     * with `truncate=true` preserves the target DDL like the reference's
     * `truncate table`; `batchsize` replaces its autocommit row-at-a-time
-    * inserts. Not exercised in CI (no database ships in the test
-    * environment); parameters mirror `LoadStarDB.main` (host/db/user/pass).
-    */
+    * inserts. Exercised end-to-end against embedded Derby in `SinksSpec`
+    * (write + read-back + truncate semantics); parameters mirror
+    * `LoadStarDB.main` (host/db/user/pass). */
   def writeJdbc(df: DataFrame, url: String, table: String, user: String,
       password: String, batchSize: Int = 10000): Unit = {
     val props = new Properties()
