@@ -17,9 +17,13 @@ import graft.ops._
   *   - identical column NAMES on both sides (the driver sorts columns by name
   *     before hashing);
   *   - a deterministic total ORDER BY on both sides;
-  *   - money sums in decimal (exact, order-independent), float math widened
-  *     to double with identical operation order, rounded where ranking could
-  *     tie-break differently;
+  *   - money sums in decimal INTERNALLY (exact, order-independent), cast to
+  *     DOUBLE at the output boundary on both sides (the driver compares value
+  *     representations — a parquet decimal never matches DuckDB's float64);
+  *     float math widened to double with identical operation order, rounded
+  *     where ranking could tie-break differently;
+  *   - no array-typed output columns (they crash the driver's comparator) —
+  *     flatten to scalars;
   *   - explicit NULLS FIRST in DuckDB ORDER BY (Spark's asc default).
   */
 object SparkEntry {
@@ -124,6 +128,25 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, Tables.documents(s, d))),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
+    // ---- deterministic sampling / splitting / mixing (SURVEY §2.6)
+    "samp_hash_10pct" -> ((s, d) =>
+      Sampling.sampleByHash(Tables.documents(s, d), "doc_id", 10)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "samp_split_counts" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id", 80, 10)
+        .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
+    "samp_stratified_lang" -> ((s, d) =>
+      Sampling.stratifiedSampleByHash(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 50), defaultPct = 10)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "samp_mix_corpora" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val head = Seq("src0", "src1", "src2", "src3", "src4")
+      Sampling.mixCorpora(Seq(
+          ("head", docs.where(col("source").isin(head: _*)), 60),
+          ("tail", docs.where(!col("source").isin(head: _*)), 20)), "doc_id")
+        .groupBy("corpus").agg(count(lit(1)).as("n")).orderBy("corpus")
+    }),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s_json_roundtrip" -> ((s, d) => {
       // JSON-lines source format: write the events slice as json, read it
@@ -186,6 +209,10 @@ object SparkEntry {
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))"
+
+  /** Sampling.hashBucket in SQL: (((key mod P)·A) mod P) mod 100. */
+  private val bucketSql =
+    "(((doc_id % 2147483647) * 1103515245) % 2147483647) % 100"
 
   /** cosine(a, b) over DOUBLE[] rounded to 6 — GraftFunctions.cosine_similarity
     * + the engine-side round. */
@@ -444,6 +471,54 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
          |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qe", "e.emb")} AS cos
          |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin,
+    // deterministic multiplicative-hash sampling: the bucket expression is
+    // plain integer arithmetic, identical in both engines
+    "samp_hash_10pct" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $bucketSql < 10 ORDER BY doc_id""".stripMargin,
+    "samp_split_counts" ->
+      s"""WITH b AS (SELECT $bucketSql AS bkt FROM documents)
+         |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'
+         |  ELSE 'test' END AS split, count(*) AS n
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "samp_stratified_lang" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucketSql < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+         |ORDER BY doc_id""".stripMargin,
+    "samp_mix_corpora" ->
+      s"""WITH h AS (SELECT doc_id, source, $bucketSql AS bkt FROM documents),
+         |m AS (
+         |  SELECT 'head' AS corpus, doc_id FROM h
+         |  WHERE source IN ('src0','src1','src2','src3','src4') AND bkt < 60
+         |  UNION ALL
+         |  SELECT 'tail' AS corpus, doc_id FROM h
+         |  WHERE source NOT IN ('src0','src1','src2','src3','src4') AND bkt < 20)
+         |SELECT corpus, count(*) AS n FROM m
+         |GROUP BY corpus ORDER BY corpus""".stripMargin,
+    // IVF is fully deterministic (seeded centroids, rounded cosines, total
+    // tie-breaks), so the whole index path — assignment argmax, probe
+    // selection, in-cell re-rank — is SQL-expressible and oracled
+    "sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.emb, c.cell, row_number() OVER (
+         |         PARTITION BY e.vec_id
+         |         ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cell) AS rn
+         |       FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, emb, cell FROM a0 WHERE rn = 1),
+         |p0 AS (SELECT q.vec_id AS query_id, q.emb AS qe, c.cell,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.emb", "c.ce")} DESC, c.cell) AS cr
+         |       FROM e q CROSS JOIN c WHERE q.vec_id < 5),
+         |p AS (SELECT query_id, qe, cell FROM p0 WHERE cr <= 4),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("p.qe", "a.emb")} AS cos
+         |      FROM a JOIN p ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
          |r AS (SELECT query_id, neighbor_id,
          |        CAST(row_number() OVER (PARTITION BY query_id
          |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)

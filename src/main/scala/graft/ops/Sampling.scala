@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, splitting, and corpus mixing — the stage of a
+  * training-data pipeline that runs after dedup/quality filtering (SURVEY
+  * §2.6 family). Everything is keyed on a multiplicative hash rather than an
+  * RNG, so results are reproducible across runs, partitionings, AND engines:
+  * no seed state, no partition-order dependence, pure per-row column
+  * arithmetic (codegen'd, pushes down to the scan, zero shuffle). The same
+  * expression is ANSI-SQL-expressible, which is what lets the DuckDB oracle
+  * hash-match these ops — `rand(seed)`-based sampling could never be
+  * cross-engine checked.
+  */
+object Sampling {
+
+  /** Mersenne prime 2^31−1 and the classic LCG multiplier. */
+  private val P = 2147483647L
+  private val A = 1103515245L
+
+  /** Percent bucket in [0,100) of a non-negative integer key:
+    * (((key mod P) · A) mod P) mod 100. The product is bounded by
+    * (2^31)·(2^30.04) < 2^62, so ANSI-mode long arithmetic cannot overflow
+    * — the reason for mod-P-first instead of a raw 64-bit multiply. */
+  def hashBucket(key: Column): Column =
+    ((key % P) * A % P) % 100
+
+  /** Deterministic pct% subsample by key — the scale-safe `LIMIT`-free
+    * downsampling of a 100 TB corpus (each executor decides per row; no
+    * coordination, no count pass). */
+  def sampleByHash(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.where(hashBucket(col(keyCol)) < pct)
+
+  /** Reproducible train/val/test split: adds a `split` column from the key
+    * bucket. Membership is a pure function of the key, so reruns, late
+    * data, and other engines agree on every row's assignment. */
+  def hashSplit(df: DataFrame, keyCol: String, pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain + pctVal <= 100, "train+val must be <= 100")
+    val b = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < pctTrain, "train")
+        .when(b < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum deterministic rates (language/domain rebalancing): strata
+    * listed in `rates` sample at their percent, all others at `defaultPct`.
+    * One scan, no join — the rate is a when-chain on the stratum column. */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (value, p)) => when(col(strataCol) === value, p).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol)) < pct)
+  }
+
+  /** Weighted corpus mixing: each named corpus sampled at its percent, then
+    * unioned with a `corpus` tag — the blend step that builds a training
+    * mixture from heterogeneous sources. A union of deterministic
+    * subsamples is itself deterministic; each leg keeps its own pushed-down
+    * filter, so nothing is scanned beyond the sampled sources. */
+  def mixCorpora(corpora: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame =
+    corpora.map { case (tag, df, pct) =>
+      sampleByHash(df, keyCol, pct).withColumn("corpus", lit(tag))
+    }.reduce(_ unionByName _)
+}

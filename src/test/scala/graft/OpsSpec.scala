@@ -131,6 +131,43 @@ class OpsSpec extends AnyFunSuite {
     assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 16))
   }
 
+  test("sampling: hash split is deterministic, exhaustive, and disjoint") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val total = docs.count()
+    val split = Sampling.hashSplit(docs, "doc_id", 80, 10)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == total)          // every row assigned
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (hash uniformity; generous bounds for small n)
+    assert(counts("train").toDouble / total > 0.6)
+    // pure function of the key: a second run assigns identically
+    val again = Sampling.hashSplit(docs, "doc_id", 80, 10)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+    // sample ⊂ corpus and matches the explicit bucket predicate
+    val sampled = Sampling.sampleByHash(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.forall(id => ((id % 2147483647L) * 1103515245L % 2147483647L) % 100 < 10))
+  }
+
+  test("sampling: stratified rates and corpus mixing are tag-correct") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val strat = Sampling.stratifiedSampleByHash(docs, "lang", "doc_id",
+      Map("en" -> 100), defaultPct = 0)
+    // en sampled at 100%, everything else at 0%
+    assert(strat.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+    assert(strat.count() == docs.where(col("lang") === "en").count())
+    val mixed = Sampling.mixCorpora(Seq(
+      ("a", docs.where(col("lang") === "en"), 100),
+      ("b", docs.where(col("lang") =!= "en"), 100)), "doc_id")
+    assert(mixed.count() == docs.count())
+    assert(mixed.where(col("corpus") === "a").count() ==
+      docs.where(col("lang") === "en").count())
+  }
+
   test("salted join is row-equivalent to the plain join under heavy skew") {
     val large = ((1 to 5000).map(i => (1L, i.toLong)) ++           // hot key
       (1 to 500).map(i => ((i % 10 + 2).toLong, i.toLong))).toDF("k", "payload")
