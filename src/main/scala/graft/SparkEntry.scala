@@ -128,6 +128,40 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, Tables.documents(s, d))),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
+    // ---- as-of (temporal) joins (SURVEY §2.4 extension)
+    "asof_purchase_last_view" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      // dedup equal-(user, ts) right rows to the max event_id so the
+      // winner is deterministic in BOTH engines (DuckDB ASOF leaves
+      // equal-time ties unspecified)
+      val views = ev.where(col("event_type") === "view")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+        .where(col("rn") === 1).drop("rn")
+      AsofJoin.asof(purchases, views, Seq("user_id"), "ts", "ts",
+          Seq("ts", "event_id", "value"))
+        .orderBy("event_id")
+    }),
+    "asof_signup_next_click" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.row_number
+      val ev = Tables.events(s, d)
+      val signups = ev.where(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "ts").orderBy(col("event_id").asc)))
+        .where(col("rn") === 1).drop("rn")
+      AsofJoin.asof(signups, clicks, Seq("user_id"), "ts", "ts",
+          Seq("ts", "event_id"), forward = true)
+        .orderBy("event_id")
+    }),
     // ---- deterministic sampling / splitting / mixing (SURVEY §2.6)
     "samp_hash_10pct" -> ((s, d) =>
       Sampling.sampleByHash(Tables.documents(s, d), "doc_id", 10)
@@ -476,6 +510,31 @@ object SparkEntry {
          |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
          |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+    // as-of joins: DuckDB has native ASOF JOIN; equal-time right rows are
+    // deduped on both sides so the match is engine-independent
+    "asof_purchase_last_view" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |        ORDER BY event_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  v.ts AS matched_ts, v.event_id AS matched_event_id,
+        |  v.value AS matched_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "asof_signup_next_click" ->
+      """WITH s AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'signup'),
+        |c AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |        ORDER BY event_id) = 1)
+        |SELECT s.event_id, s.user_id, s.ts,
+        |  c.ts AS matched_ts, c.event_id AS matched_event_id
+        |FROM s ASOF LEFT JOIN c ON s.user_id = c.user_id AND s.ts <= c.ts
+        |ORDER BY s.event_id""".stripMargin,
     // deterministic multiplicative-hash sampling: the bucket expression is
     // plain integer arithmetic, identical in both engines
     "samp_hash_10pct" ->

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — an operator Spark's relational surface lacks.
+  * For each left row, attach the closest right row at-or-before (backward)
+  * or at-or-after (forward) its timestamp, per join key: the canonical
+  * "state at event time" lookup (price as of trade time, last profile
+  * update before a click, ...).
+  *
+  * Implementation is the single-shuffle union-scan, NOT a range join:
+  * both sides are tagged and unioned, clustered by key, and sorted by
+  * (time, side); `last(_, ignoreNulls)` over the running frame carries the
+  * most recent right payload onto each left row. Cost is one shuffle + one
+  * in-partition sort — the same class as a sort-merge join — with NO
+  * candidate-pair expansion, so it scales to 100 TB the way an
+  * interval/range formulation (every left × every in-range right) cannot.
+  * Ties on (key, time): right rows sort before left rows, so an exactly
+  * simultaneous right row IS visible to the left row (inclusive bound), and
+  * among equal-time right rows the payload struct's ordering picks a
+  * deterministic winner (callers wanting a specific winner dedup first —
+  * see the `asof_*` queries).
+  */
+object AsofJoin {
+
+  /** @param rightPayload right columns to attach, renamed `prefix`+name.
+    * @param forward false = latest right at-or-before (backward, the
+    *   default direction); true = earliest right at-or-after. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightPayload: Seq[String],
+      prefix: String = "matched_", forward: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val keyCols = keys.map(col)
+    val lStruct = struct(leftCols.map(col): _*)
+    val rStruct = struct(rightPayload.map(col): _*)
+    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
+    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val lSide = left.select(
+      keyCols :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
+        lStruct.as("_l") :+ lit(null).cast(rType).as("_r"): _*)
+    val rSide = right.select(
+      keyCols :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
+        lit(null).cast(lType).as("_l") :+ rStruct.as("_r"): _*)
+    // forward = backward on reversed time: scan descending, so "last right
+    // seen" is the smallest right time >= the left time. _side stays ASC in
+    // both directions (right first at equal times = inclusive bound); _r in
+    // the sort makes equal-time right rows deterministically ordered.
+    val timeOrder =
+      if (forward) Seq(col("_t").desc, col("_side").asc, col("_r").asc)
+      else Seq(col("_t").asc, col("_side").asc, col("_r").asc)
+    val w = Window.partitionBy(keyCols: _*).orderBy(timeOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
+        rightPayload.map(p => col(s"_m.$p").as(prefix + p)): _*)
+  }
+}
