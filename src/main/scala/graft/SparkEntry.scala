@@ -248,6 +248,20 @@ object SparkEntry {
   private val bucketSql =
     "(((doc_id % 2147483647) * 1103515245) % 2147483647) % 100"
 
+  /** The multimodal decode stub's dual polynomial residues over the payload
+    * bytes (Multimodal.decodeStub), as a DuckDB CTE: every "decoded"
+    * property is a pure function of (h1, h2), so the oracle re-derives the
+    * stub's output exactly from the same bytes (ASCII corpus: byte == char
+    * code). */
+  private val mmHashCte =
+    """h AS (
+      |  SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) AS h1,
+      |    list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629) AS h2
+      |  FROM (SELECT doc_id, text, list_prepend(CAST(0 AS BIGINT),
+      |          [ord(text[i:i]) for i in range(1, length(text)+1)]) AS cs
+      |        FROM documents))""".stripMargin
+
   /** cosine(a, b) over DOUBLE[] rounded to 6 — GraftFunctions.cosine_similarity
     * + the engine-side round. */
   private def cosSql(a: String, b: String): String =
@@ -559,6 +573,43 @@ object SparkEntry {
          |  WHERE source NOT IN ('src0','src1','src2','src3','src4') AND bkt < 20)
          |SELECT corpus, count(*) AS n FROM m
          |GROUP BY corpus ORDER BY corpus""".stripMargin,
+    // the SRP hyperplanes are deterministic driver-side arrays — embedded
+    // below as literals, so the full LSH path (projection signs, per-table
+    // buckets, candidate union, exact re-rank) is hash-verified cross-engine;
+    // the fold order of the projection sum matches the engine's exactly
+    "sim_lsh_topk" -> {
+      val signsValues = (0 until 8).flatMap { t =>
+        val signs = ops.SimSearch.srpSigns(t, bits = 4, dim = 64)
+        (0 until 4).map { i =>
+          val arr = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+          s"($t, $i, CAST([$arr] AS DOUBLE[]))"
+        }
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s(tbl, bit, signs) AS (VALUES
+         |  $signsValues),
+         |p AS (SELECT e.vec_id, s.tbl, s.bit,
+         |        list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 65), i -> e.emb[i] * s.signs[i])),
+         |          (a, b) -> a + b) AS proj
+         |      FROM e CROSS JOIN s),
+         |b AS (SELECT vec_id, tbl,
+         |        sum(CASE WHEN proj > 0 THEN 1 << bit ELSE 0 END) AS bucket
+         |      FROM p GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |         FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |         WHERE c.vec_id <> q.query_id),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${cosSql("qe.emb", "ne.emb")} AS cos
+         |       FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                 JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM sc)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin
+    },
     // IVF is fully deterministic (seeded centroids, rounded cosines, total
     // tie-breaks), so the whole index path — assignment argmax, probe
     // selection, in-cell re-rank — is SQL-expressible and oracled
@@ -633,6 +684,16 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3,}')) AS INT) AS n_digit_runs
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the polynomial dual-residue rolling hash is plain integer arithmetic —
+    // DuckDB re-derives the exact fingerprint from the char stream
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, array_to_string($toksSql, ' ') AS s FROM documents),
+         |c AS (SELECT doc_id, list_prepend(CAST(0 AS BIGINT),
+         |        [ord(s[i:i]) for i in range(1, length(s)+1)]) AS cs FROM t)
+         |SELECT doc_id,
+         |  list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) * 2147483648 +
+         |  list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629) AS fp
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_doc_frequency" ->
       s"""WITH t AS (SELECT list_distinct($toksSql) AS toks FROM documents),
          |x AS (SELECT unnest(toks) AS token FROM t)
@@ -654,6 +715,28 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  source, 'fake/raw' AS format
         |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_decode_features" ->
+      s"""WITH $mmHashCte
+         |SELECT media_id, n_bytes,
+         |  CAST(64 + h1 % 512 AS INT) AS width, CAST(64 + h2 % 512 AS INT) AS height,
+         |  CAST(1 + (h1 + h2) % 8 AS INT) AS n_frames,
+         |${(0 until 8).map(i =>
+             s"  ((h1 * ${i + 1} + h2 * ${i + 7}) % 1000) / 1000.0 AS f$i")
+             .mkString(",\n")}
+         |FROM h ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH $mmHashCte,
+         |f AS (SELECT media_id, CAST(1 + (h1 + h2) % 8 AS INT) AS n_frames FROM h)
+         |SELECT media_id, n_frames, CAST(frame_idx AS INT) AS frame_idx
+         |FROM (SELECT media_id, n_frames, unnest(range(0, n_frames)) AS frame_idx FROM f)
+         |WHERE frame_idx % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_resize_plan" ->
+      s"""WITH $mmHashCte,
+         |d AS (SELECT media_id, CAST(64 + h1 % 512 AS INT) AS width,
+         |        CAST(64 + h2 % 512 AS INT) AS height FROM h)
+         |SELECT media_id, width, height, 224 AS out_width,
+         |  CAST(floor(height * 224.0 / width + 0.5) AS INT) AS out_height
+         |FROM d ORDER BY media_id""".stripMargin,
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,

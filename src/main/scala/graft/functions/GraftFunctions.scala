@@ -155,6 +155,30 @@ object GraftFunctions {
   def doc_fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Order-sensitive polynomial (Rabin–Karp-style) rolling fingerprint over
+    * the characters of the space-joined token stream: two independent
+    * residues
+    *
+    *   h1 = foldLeft(0)((acc, c) => (acc *  31 + code(c)) mod 2147483647)
+    *   h2 = foldLeft(0)((acc, c) => (acc * 131 + code(c)) mod 2147483629)
+    *
+    * packed as `h1 * 2^31 + h2` (62 effective bits — collision odds at
+    * 100 TB doc counts comparable to a single 64-bit hash). Every
+    * intermediate stays below 2^39, so it is ANSI-overflow-safe, and unlike
+    * the xxhash64 fold in [[doc_fingerprint]] it is plain integer arithmetic
+    * any engine reproduces exactly — this is the cross-engine-verifiable
+    * variant (oracled in `text_fingerprint`).
+    */
+  def doc_fingerprint_poly(toks: Column): Column = {
+    // split("ab", "") yields ["a","b",""] (Java split with limit -1 keeps
+    // the trailing empty) — drop empties so the char stream matches the
+    // oracle's 1..length(s) codes exactly
+    val chars = filter(split(concat_ws(" ", toks), ""), c => length(c) > 0)
+    def residue(mult: Long, p: Long): Column =
+      aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
+    residue(31L, 2147483647L) * lit(2147483648L) + residue(131L, 2147483629L)
+  }
+
   /** Jaccard similarity of the distinct-token sets of two token arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -37,20 +37,34 @@ object Multimodal {
 
   /** Output row of the (stubbed) decoder. */
   case class DecodedMedia(media_id: Long, n_bytes: Int, width: Int,
-      height: Int, n_frames: Int, feature: Array[Float])
+      height: Int, n_frames: Int, feature: Array[Double])
 
   /** STUB decoder: stands in for `imageio.decode(payload)`. Deterministic
     * fake properties derived from payload bytes; a real implementation would
     * decode pixels and run the feature extractor here, amortizing model/codec
     * init across the partition's batch (why this is mapPartitions, not a
-    * per-row UDF). */
+    * per-row UDF).
+    *
+    * The fake is two polynomial residues over the payload bytes — plain
+    * integer arithmetic (every step < 2^39), so the DuckDB oracle re-derives
+    * the exact "decoded" properties from the same bytes and the whole
+    * multimodal pipeline is hash-verified end to end despite the codec being
+    * a stand-in. (Oracle folds character codes, so it matches for ASCII
+    * payloads — which the synthetic corpus is; a real codec replaces all of
+    * this anyway.) */
   private def decodeStub(mediaId: Long, payload: Array[Byte]): DecodedMedia = {
-    var h = 1125899906842597L // deterministic FNV-ish roll over the payload
-    payload.foreach(b => h = h * 31 + b)
-    val width = 64 + math.floorMod(h, 512).toInt
-    val height = 64 + math.floorMod(h >> 16, 512).toInt
-    val frames = 1 + math.floorMod(h >> 32, 8).toInt
-    val feature = Array.tabulate(8)(i => math.floorMod(h >> i, 1000) / 1000.0f)
+    var h1 = 0L
+    var h2 = 0L
+    payload.foreach { b =>
+      val c = b & 0xff
+      h1 = (h1 * 31 + c) % 2147483647L
+      h2 = (h2 * 131 + c) % 2147483629L
+    }
+    val width = 64 + (h1 % 512).toInt
+    val height = 64 + (h2 % 512).toInt
+    val frames = 1 + ((h1 + h2) % 8).toInt
+    val feature =
+      Array.tabulate(8)(i => ((h1 * (i + 1) + h2 * (i + 7)) % 1000) / 1000.0)
     DecodedMedia(mediaId, payload.length, width, height, frames, feature)
   }
 
@@ -88,11 +102,14 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
 
   /** Resize planning: target-width scaled dimensions preserving aspect ratio
-    * (rounded), the metadata half of an image-resize stage. */
+    * (rounded half-up — `floor(x + 0.5)`, spelled out because engines split
+    * on round-half ties: Spark HALF_UP vs DuckDB HALF_EVEN), the metadata
+    * half of an image-resize stage. */
   def resizePlan(spark: SparkSession, documents: DataFrame, targetWidth: Int = 224): DataFrame =
     decodeFeatures(spark, documents)
       .select(col("media_id"), col("width"), col("height"),
         lit(targetWidth).as("out_width"),
-        round(col("height") * lit(targetWidth) / col("width")).cast("int").as("out_height"))
+        floor(col("height") * lit(targetWidth) / col("width") + lit(0.5))
+          .cast("int").as("out_height"))
       .orderBy("media_id")
 }

@@ -49,20 +49,30 @@ object SimSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** Deterministic ±1 hyperplane signs for SRP table `table` — ONE source of
+    * truth backing both the engine's bucket expression and the generated
+    * oracle SQL (SparkEntry embeds these arrays as literals in the DuckDB
+    * query, so the full LSH path is hash-verified cross-engine). */
+  private[graft] def srpSigns(table: Int, bits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(table * 7919 + 17)
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** Sign-random-projection bucket for one hash table: `bits` pseudo-random
     * hyperplanes; bit i = sign of dot(v, h_i) with h_i a ±1 vector. The
     * hyperplanes are deterministic per (table, plane) and precomputed
     * DRIVER-side into array literals — the per-row work is one multiply-add
     * per dimension, with zero runtime hash calls (the previous
     * hash-per-element formulation cost dim × bits × tables xxhash64
-    * evaluations per row). */
+    * evaluations per row). Elements are widened to double before the multiply
+    * and folded sequentially left-to-right — the exact op sequence the oracle
+    * runs, so the projection (hence the bucket) is bit-identical
+    * cross-engine. */
   private def srpBucket(emb: org.apache.spark.sql.Column, table: Int, bits: Int,
       dim: Int): org.apache.spark.sql.Column = {
-    val rnd = new scala.util.Random(table * 7919 + 17)
-    val bitCols = (0 until bits).map { i =>
-      val signs = Array.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+    val bitCols = srpSigns(table, bits, dim).zipWithIndex.map { case (signs, i) =>
       val proj = aggregate(
-        zip_with(emb, typedlit(signs), (x, s) => x * s),
+        zip_with(emb, typedlit(signs), (x, s) => x.cast("double") * s),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
@@ -157,8 +167,10 @@ object SimSearch {
     val candidates = bucketed
       .join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
+      // rounded to 6 before ranking, as in bruteForceTopK: ties then break
+      // on neighbor_id identically in any engine
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineNative(embeddings)(col("q_emb"), col("embedding")).as("cos"))
+        round(cosineNative(embeddings)(col("q_emb"), col("embedding")), 6).as("cos"))
       .groupBy("query_id", "neighbor_id")
       .agg(max("cos").as("cos"))
     candidates

@@ -84,11 +84,15 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Rolling-hash document fingerprint + exact-dup group id: docs with equal
-    * prints are byte-identical token streams (mod 2^64 collisions). */
+  /** Rolling-hash document fingerprint: docs with equal prints are
+    * byte-identical token streams (mod collisions). Uses the polynomial
+    * dual-residue roll ([[graft.functions.GraftFunctions.doc_fingerprint_poly]])
+    * — plain integer arithmetic a DuckDB oracle recomputes exactly, unlike
+    * the engine-native xxhash64 fold (`doc_fingerprint`, spec-covered),
+    * whose values are engine-specific. */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), doc_fingerprint(tokens(col("text"))).as("fp"))
+      .select(col("doc_id"), doc_fingerprint_poly(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
   /** TF-IDF: per (doc, token) term frequency joined with corpus document

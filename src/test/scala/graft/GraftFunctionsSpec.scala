@@ -54,6 +54,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(fps(0) != fps(1))
   }
 
+  test("doc_fingerprint_poly matches the reference fold and is order-sensitive") {
+    def ref(s: String): Long = {
+      def residue(mult: Long, p: Long): Long =
+        s.foldLeft(0L)((acc, c) => (acc * mult + c.toInt) % p)
+      residue(31L, 2147483647L) * 2147483648L + residue(131L, 2147483629L)
+    }
+    val texts = Seq("a b c", "c b a", "", "  spaced   out  ", "x")
+    val df = texts.toDF("text")
+      .select(doc_fingerprint_poly(tokens(col("text"))).as("fp"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    // the engine normalizes whitespace runs (tokens joined by one space)
+    val want = texts.map(t => ref(t.split("\\s+").filter(_.nonEmpty).mkString(" ")))
+    assert(got == want)
+    assert(got(0) != got(1)) // permuted tokens → different print
+  }
+
   test("jaccard on distinct-token sets") {
     val df = Seq(("a b c", "b c d")).toDF("x", "y")
       .select(jaccard(tokens(col("x")), tokens(col("y"))).as("j"))
