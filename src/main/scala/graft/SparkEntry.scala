@@ -88,7 +88,21 @@ object SparkEntry {
       ranked.orderBy("o_custkey", "rn")
     }),
     "win_order_deltas" -> ((s, d) => Relational.orderDeltas(Tables.orders(s, d))),
+    "win_ntile_priority" -> ((s, d) => Relational.priorityPriceRanks(Tables.orders(s, d))),
     "set_ops_priority" -> ((s, d) => Relational.setOps(Tables.orders(s, d))),
+    "reshape_pivot_monthly" -> ((s, d) =>
+      Relational.pivotMonthlyRevenue(Tables.lineitem(s, d))),
+    "reshape_unpivot_monthly" -> ((s, d) =>
+      Relational.unpivotMonthlyRevenue(Tables.lineitem(s, d))),
+    "join_range_price_bands" -> ((s, d) =>
+      Relational.priceBandCounts(s, Tables.orders(s, d))),
+    "subq_above_avg_activity" -> ((s, d) =>
+      Relational.aboveAvgActivity(Tables.events(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      Relational.largeOrders(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
+    "text_token_positions" -> ((s, d) =>
+      TextOps.tokenPositions(Tables.documents(s, d))),
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
     "agg_price_quantiles" -> ((s, d) => Relational.priceQuantiles(Tables.lineitem(s, d))),
     "agg_weighted_discount" -> ((s, d) => Relational.weightedDiscount(Tables.lineitem(s, d))),
@@ -444,6 +458,57 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_total
         |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_ntile_priority" ->
+      """SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, price, o_orderkey""".stripMargin,
+    "reshape_pivot_monthly" ->
+      s"""WITH b AS (SELECT l_returnflag, month(l_shipdate) AS m, $revSql AS rev FROM lineitem)
+         |SELECT l_returnflag,
+         |${(1 to 12).map(i =>
+             s"  CAST(CAST(sum(rev) FILTER (WHERE m = $i) AS DECIMAL(18,4)) AS DOUBLE) AS m$i")
+             .mkString(",\n")}
+         |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "reshape_unpivot_monthly" ->
+      s"""WITH b AS (SELECT l_returnflag, month(l_shipdate) AS m, $revSql AS rev FROM lineitem)
+         |SELECT l_returnflag, 'm' || CAST(m AS VARCHAR) AS month,
+         |  CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM b GROUP BY 1, 2 ORDER BY l_returnflag, month""".stripMargin,
+    "join_range_price_bands" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('b0_under_100k', 0, 100000), ('b1_100k_200k', 100000, 200000),
+        |  ('b2_200k_300k', 200000, 300000), ('b3_300k_400k', 300000, 400000),
+        |  ('b4_over_400k', 400000, 600000)),
+        |j AS (SELECT b.band, o.o_totalprice FROM orders o JOIN bands b
+        |      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi)
+        |SELECT band, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM j GROUP BY band ORDER BY band""".stripMargin,
+    "subq_above_avg_activity" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |st AS (SELECT sum(n) AS total, count(*) AS n_users FROM pu)
+        |SELECT user_id, n FROM pu, st
+        |WHERE n * n_users > total ORDER BY user_id""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
+        |SELECT o.o_orderkey, c.c_name,
+        |  CAST(CAST(b.total_qty AS DECIMAL(18,2)) AS DOUBLE) AS total_qty,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |              JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "text_token_positions" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST(pos AS INT) AS pos, token FROM (
+         |  SELECT doc_id, unnest(range(0, len(toks))) AS pos, unnest(toks) AS token
+         |  FROM t)
+         |ORDER BY doc_id, pos""".stripMargin,
     "set_ops_priority" ->
       """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')

@@ -217,6 +217,111 @@ object Relational {
         element_at(col("q"), 3).as("p75_price"))
       .orderBy("l_returnflag")
 
+  /** Pivot (long → wide): revenue per return flag × ship month, the
+    * reference's dense-histogram shape (A2) via Spark's native `pivot`
+    * operator with an explicit value list — explicit values keep the plan a
+    * single pass (no extra distinct-values job) and fix the column set, which
+    * an implicit pivot would make data-dependent. */
+  def pivotMonthlyRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), month(col("l_shipdate")).as("m"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(5,2)")).as("rev"))
+      .groupBy("l_returnflag")
+      .pivot("m", 1 to 12)
+      .agg(sum("rev").cast("decimal(18,4)").cast("double"))
+      .select(col("l_returnflag") +:
+        (1 to 12).map(i => col(i.toString).as(s"m$i")): _*)
+      .orderBy("l_returnflag")
+
+  /** Unpivot (wide → long, melt): the inverse reshape over the pivoted
+    * monthly revenue — Spark's native `unpivot`. Null cells (months with no
+    * rows) are dropped so the long form matches a direct group-by. */
+  def unpivotMonthlyRevenue(lineitem: DataFrame): DataFrame =
+    pivotMonthlyRevenue(lineitem)
+      .unpivot(
+        Array(col("l_returnflag")),
+        (1 to 12).map(i => col(s"m$i")).toArray,
+        "month", "revenue")
+      .where(col("revenue").isNotNull)
+      .orderBy("l_returnflag", "month")
+
+  /** Range (inequality) join: orders against a small in-memory band table on
+    * `lo <= price < hi`. A non-equi predicate cannot hash-partition, so the
+    * right plan is broadcast nested-loop with the TINY side broadcast — the
+    * fact side streams, never shuffles; at 100 TB this is the only join
+    * shape that works for banding. */
+  def priceBandCounts(spark: org.apache.spark.sql.SparkSession,
+      orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("b0_under_100k", 0, 100000), ("b1_100k_200k", 100000, 200000),
+      ("b2_200k_300k", 200000, 300000), ("b3_300k_400k", 300000, 400000),
+      ("b4_over_400k", 400000, 600000)).toDF("band", "lo", "hi")
+    orders
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double").as("total_price"))
+      .orderBy("band")
+  }
+
+  /** Distribution windows: quartile (`ntile`), `percent_rank`, `cume_dist`
+    * per order within its priority class. The partition key bounds each
+    * window's row count (≈ |orders| / 5 here); the fraction outputs are exact
+    * IEEE divisions of two ints, so the oracle matches them raw. */
+  def priorityPriceRanks(orders: DataFrame): DataFrame = {
+    // ordering on the double-cast price is order-equivalent to the decimal:
+    // decimal(12,2) fits double exactly, so the cast is monotone + injective
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("price"), col("o_orderkey"))
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy("o_orderpriority", "price", "o_orderkey")
+  }
+
+  /** Scalar-subquery-style filter: users whose event count exceeds the
+    * per-user mean. The global stats are a one-row aggregate broadcast onto
+    * the per-user counts (Spark's plan for an uncorrelated scalar subquery);
+    * the predicate is kept in integer cross-multiplied form
+    * (`n · n_users > total`) — exact, no float boundary to disagree on. */
+  def aboveAvgActivity(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val stats = perUser.agg(sum("n").as("total"), count(lit(1)).as("n_users"))
+    perUser
+      .crossJoin(broadcast(stats))
+      .where(col("n") * col("n_users") > col("total"))
+      .select("user_id", "n")
+      .orderBy("user_id")
+  }
+
+  /** TPC-H Q18-shaped: orders whose total quantity exceeds a threshold —
+    * aggregate-then-join-back (the HAVING-into-join pattern). The big-order
+    * key set is tiny after the HAVING, so it broadcasts into the join with
+    * orders; customer is a broadcast dim. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      minQty: Int = 250): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"),
+        col("total_qty").cast("decimal(18,2)").cast("double").as("total_qty"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
     * large side derives a deterministic salt from its full row hash, the
     * small side is replicated ×`salts`, and the key becomes (key, salt) —

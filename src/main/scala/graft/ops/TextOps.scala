@@ -95,6 +95,16 @@ object TextOps {
       .select(col("doc_id"), doc_fingerprint_poly(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Lateral position-explode (`posexplode`): one row per (doc, token
+    * position) over a bounded doc slice — the order-preserving flatten a
+    * sequence-labeling pipeline starts from. */
+  def tokenPositions(documents: DataFrame, maxDocId: Long = 50): DataFrame =
+    documents
+      .where(col("doc_id") < maxDocId)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .orderBy("doc_id", "pos")
+
   /** TF-IDF: per (doc, token) term frequency joined with corpus document
     * frequency; idf = ln((N+1)/(df+1)) (smoothed). The explode shuffles
     * once for tf and once for df — both partial-aggregated map-side. N is

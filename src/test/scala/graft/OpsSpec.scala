@@ -218,6 +218,47 @@ class OpsSpec extends AnyFunSuite {
     assert(q.getInt(2) == 3)          // stop hits: the, on, the
   }
 
+  test("reshape: unpivot(pivot(x)) equals the direct long-form aggregate") {
+    val li = Seq(
+      ("A", "1995-01-15", 100.0, 0.0), ("A", "1995-01-20", 50.0, 0.0),
+      ("A", "1995-03-01", 10.0, 0.0), ("R", "1995-02-10", 70.0, 0.0))
+      .toDF("l_returnflag", "d", "l_extendedprice", "l_discount")
+      .withColumn("l_shipdate", col("d").cast("timestamp")).drop("d")
+    val roundTrip = Relational.unpivotMonthlyRevenue(li)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(roundTrip == Map(
+      ("A", "m1") -> 150.0, ("A", "m3") -> 10.0, ("R", "m2") -> 70.0))
+    // wide form keeps every month column, empty cells null
+    val wide = Relational.pivotMonthlyRevenue(li).where(col("l_returnflag") === "A")
+      .collect().head
+    assert(wide.getDouble(wide.fieldIndex("m1")) == 150.0)
+    assert(wide.isNullAt(wide.fieldIndex("m2")))
+  }
+
+  test("range join: bands partition all orders; plan broadcasts the band table") {
+    val orders = Seq((1L, 50000.0), (2L, 150000.0), (3L, 450000.0), (4L, 99999.99))
+      .toDF("o_orderkey", "p")
+      .select(col("o_orderkey"), col("p").cast("decimal(12,2)").as("o_totalprice"))
+    val got = Relational.priceBandCounts(spark, orders)
+    assert(got.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("b0_under_100k" -> 2L, "b1_100k_200k" -> 1L, "b4_over_400k" -> 1L))
+    // a non-equi join must NOT shuffle the fact side: broadcast nested loop
+    val phys = got.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+  }
+
+  test("scalar-subquery filter: strictly-above-mean via integer cross-multiply") {
+    val ev = (1 to 10).map(i => (i.toLong, 1L)) ++ (1 to 9).map(i => (100L + i, 2L))
+    val df = ev.toDF("event_id", "user_id")
+    // user 1: 10 events, user 2: 9; mean 9.5 → only user 1 is above it
+    // (integer form: 10·2 > 19 true, 9·2 > 19 false — no float boundary)
+    val got = Relational.aboveAvgActivity(df).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    // exactly-at-mean is NOT above: two users × 5 events each
+    val even = (1 to 5).map(i => (i.toLong, 1L)) ++ (1 to 5).map(i => (50L + i, 2L))
+    assert(Relational.aboveAvgActivity(even.toDF("event_id", "user_id")).count() == 0)
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
       .toDF("doc_id", "text", "source")
