@@ -195,6 +195,13 @@ object SparkEntry {
           ("tail", docs.where(!col("source").isin(head: _*)), 20)), "doc_id")
         .groupBy("corpus").agg(count(lit(1)).as("n")).orderBy("corpus")
     }),
+    // ---- corpus assembly (SURVEY §2.6): packing + decontamination
+    "corpus_pack_sequences" -> ((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d))),
+    "corpus_decontaminate" -> ((s, d) =>
+      Corpus.decontaminate(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s_json_roundtrip" -> ((s, d) => {
       // JSON-lines source format: write the events slice as json, read it
@@ -699,6 +706,44 @@ object SparkEntry {
          |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
          |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
          |ORDER BY query_id, "rank"""".stripMargin,
+    // concat-and-chunk packing: the window cumsum and pack arithmetic are
+    // exact integers, so the assignment is engine-independent
+    "corpus_pack_sequences" ->
+      s"""WITH t AS (SELECT source, doc_id, CAST(len($toksSql) AS INT) AS n_tokens
+         |           FROM documents),
+         |o AS (SELECT source, doc_id, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS off
+         |      FROM t)
+         |SELECT source, doc_id, n_tokens,
+         |  CAST(off // 2048 AS INT) AS pack_id,
+         |  CAST(off % 2048 AS INT) AS offset_in_pack
+         |FROM o ORDER BY source, doc_id""".stripMargin,
+    "corpus_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END) AS grams
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 5)
+         |SELECT tr.doc_id, count(*) AS n_hits
+         |FROM tr JOIN bench USING (gram)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+         |  CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |       ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |  END AS g2,
+         |  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |       ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  END AS g3
+         |  FROM t)
+         |SELECT doc_id, n_tokens, CAST(len(g2) AS INT) AS n_2grams,
+         |  1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_ratio,
+         |  1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars, $toksSql AS toks FROM documents)
          |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

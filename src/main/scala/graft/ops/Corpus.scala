@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Corpus-assembly operators for a training-data pipeline (SURVEY.md §2.6 /
+  * BASELINE north star): sequence packing and benchmark decontamination.
+  */
+object Corpus {
+
+  /** Concat-and-chunk sequence packing — the exact assignment LLM
+    * pretraining uses: the corpus is treated as one concatenated token
+    * stream per `source` and chunked into fixed `budget`-token packs; a doc
+    * whose tokens straddle a boundary is split across the two packs (hence
+    * `offset_in_pack + n_tokens` may exceed `budget` — the tail spills
+    * forward).
+    *
+    * Scale design: packing is per-source (PARTITION BY source), so the
+    * running sum parallelizes across sources instead of collapsing to one
+    * global cumulative window; stream order within a source is doc_id — any
+    * deterministic order works, and a shuffled order would just be a
+    * different (equally valid) pack assignment. Output is pure integer
+    * arithmetic over the window sum, so the oracle reproduces it exactly. */
+  def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("offset",
+        (sum(col("n_tokens").cast("long")).over(w) - col("n_tokens")))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        // floor(long / int): the double division is exact (offsets < 2^53)
+        floor(col("offset") / budget).cast("int").as("pack_id"),
+        (col("offset") % budget).cast("int").as("offset_in_pack"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Benchmark decontamination: training docs sharing at least one `n`-gram
+    * shingle with the benchmark set, with the overlap count — the contains-
+    * check run before a corpus ships. The benchmark's distinct shingles are
+    * a broadcast build side (benchmarks are small by definition); the corpus
+    * side explodes its distinct shingles once and probes — shuffle volume is
+    * O(matching shingles), never corpus × benchmark. */
+  def decontaminate(documents: DataFrame, benchMaxDocId: Long = 5,
+      n: Int = 4): DataFrame = {
+    val grams = array_distinct(shingles(tokens(col("text")), n))
+    val bench = documents.where(col("doc_id") < benchMaxDocId)
+      .select(explode(grams).as("gram")).distinct()
+    documents.where(col("doc_id") >= benchMaxDocId)
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+}

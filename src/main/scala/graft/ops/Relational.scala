@@ -223,6 +223,9 @@ object Relational {
     * single pass (no extra distinct-values job) and fix the column set, which
     * an implicit pivot would make data-dependent. */
   def pivotMonthlyRevenue(lineitem: DataFrame): DataFrame =
+    pivotMonthlyCore(lineitem).orderBy("l_returnflag")
+
+  private def pivotMonthlyCore(lineitem: DataFrame): DataFrame =
     lineitem
       .select(col("l_returnflag"), month(col("l_shipdate")).as("m"),
         (col("l_extendedprice").cast("decimal(12,2)")
@@ -233,13 +236,14 @@ object Relational {
       .agg(sum("rev").cast("decimal(18,4)").cast("double"))
       .select(col("l_returnflag") +:
         (1 to 12).map(i => col(i.toString).as(s"m$i")): _*)
-      .orderBy("l_returnflag")
 
   /** Unpivot (wide → long, melt): the inverse reshape over the pivoted
     * monthly revenue — Spark's native `unpivot`. Null cells (months with no
-    * rows) are dropped so the long form matches a direct group-by. */
+    * rows) are dropped so the long form matches a direct group-by; built on
+    * the unsorted pivot core (the melt re-sorts anyway — sorting twice would
+    * add a pointless range exchange). */
   def unpivotMonthlyRevenue(lineitem: DataFrame): DataFrame =
-    pivotMonthlyRevenue(lineitem)
+    pivotMonthlyCore(lineitem)
       .unpivot(
         Array(col("l_returnflag")),
         (1 to 12).map(i => col(s"m$i")).toArray,

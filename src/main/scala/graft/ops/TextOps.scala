@@ -95,6 +95,25 @@ object TextOps {
       .select(col("doc_id"), doc_fingerprint_poly(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher/C4-style repetition stats: the fraction of duplicated word
+    * n-grams per document (`1 − distinct/total`) for 2- and 3-grams — the
+    * repetition filter a quality pipeline applies after [[qualityScore]].
+    * Zero-shuffle per-row column math; the ratios are exact IEEE divisions
+    * of two ints, identical in any engine. */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def dupRatio(n: Int): Column = {
+      val g = shingles(toks, n)
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+    }
+    documents
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        size(shingles(toks, 2)).as("n_2grams"),
+        dupRatio(2).as("dup_2gram_ratio"),
+        dupRatio(3).as("dup_3gram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Lateral position-explode (`posexplode`): one row per (doc, token
     * position) over a bounded doc slice — the order-preserving flatten a
     * sequence-labeling pipeline starts from. */

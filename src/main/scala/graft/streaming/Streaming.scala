@@ -76,6 +76,30 @@ object Streaming {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left")
 
+  /** Stream-stream inner join with event-time bounds: each purchase joins
+    * the same user's views from the preceding `horizon`. BOTH sides carry
+    * watermarks and the join predicate bounds `v_ts` to a window around
+    * `p_ts` — the two conditions together let the engine evict buffered
+    * rows once the watermark passes their horizon; an unbounded-time
+    * stream-stream join would buffer both streams forever. */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      horizon: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", watermark)
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("p_event"), col("v_event"),
+        col("p_ts"), col("v_ts"))
+  }
+
   /** Per-user running stats emitted on every update. */
   case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
 

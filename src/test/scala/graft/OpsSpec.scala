@@ -259,6 +259,36 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.aboveAvgActivity(even.toDF("event_id", "user_id")).count() == 0)
   }
 
+  test("corpus packing: concat-and-chunk offsets, boundary docs spill forward") {
+    val docs = Seq(
+      (0L, "s", (1 to 1500).map(_ => "w").mkString(" ")),  // 1500 toks
+      (1L, "s", (1 to 1000).map(_ => "w").mkString(" ")),  // straddles 2048
+      (2L, "s", (1 to 100).map(_ => "w").mkString(" ")),
+      (3L, "t", (1 to 50).map(_ => "w").mkString(" ")))    // other source: own stream
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.packSequences(docs, budget = 2048).collect()
+      .map(r => r.getLong(1) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(got(0L) == (0, 0))       // offset 0
+    assert(got(1L) == (0, 1500))    // starts in pack 0 at 1500, spills past 2048
+    assert(got(2L) == (1, 452))     // offset 2500 → pack 1, 2500-2048
+    assert(got(3L) == (0, 0))       // source t packs independently
+  }
+
+  test("corpus decontamination: planted benchmark 5-gram overlap is found") {
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, bench),                                      // benchmark doc
+      (10L, s"noise before alpha beta gamma delta epsilon and after"), // 1 hit
+      (11L, "completely unrelated text with no overlap at all"),
+      (12L, bench))                                     // full copy: many hits
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminate(docs, benchMaxDocId = 5, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) == 1L)          // exactly one shared 5-gram
+    assert(got(12L) == 2L)          // both 5-grams of the 6-token benchmark
+    assert(!got.contains(11L))      // clean doc absent from the report
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
       .toDF("doc_id", "text", "source")

@@ -148,6 +148,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches views in the horizon, evictable state") {
+    val pSrc = MemoryStream[Ev](spark)
+    val vSrc = MemoryStream[Ev](spark)
+    val q = Streaming.purchaseViewJoin(pSrc.toDF(), vSrc.toDF(),
+        horizon = "1 hour", watermark = "1 hour")
+      .select("p_event", "v_event")
+      .writeStream.format("memory").queryName("stream_ss_join")
+      .outputMode("append").start()
+    try {
+      vSrc.addData(
+        Ev(10, ts("2024-01-01 09:30:00"), 1, "view"),   // 40 min before -> match
+        Ev(11, ts("2024-01-01 07:00:00"), 1, "view"),   // 3 h before -> outside horizon
+        Ev(12, ts("2024-01-01 09:45:00"), 2, "view"))   // other user -> no match
+      pSrc.addData(Ev(1, ts("2024-01-01 10:10:00"), 1, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("stream_ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
