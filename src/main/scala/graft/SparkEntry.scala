@@ -108,6 +108,10 @@ object SparkEntry {
     "agg_weighted_discount" -> ((s, d) => Relational.weightedDiscount(Tables.lineitem(s, d))),
     "agg_approx_quantiles" -> ((s, d) =>
       Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
+    "agg_price_stats" -> ((s, d) => Relational.priceStats(Tables.lineitem(s, d))),
+    "json_explode_props" -> ((s, d) => Relational.explodeProps(Tables.events(s, d))),
+    "win_range_90d_spend" -> ((s, d) =>
+      Relational.trailing90dSpend(Tables.orders(s, d))),
     "agg_approx_distinct_users" -> ((s, d) =>
       Relational.approxDistinctUsers(Tables.events(s, d))),
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
@@ -542,6 +546,28 @@ object SparkEntry {
     "json_extract_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "agg_price_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "json_explode_props" ->
+      """WITH x AS (SELECT event_id, props,
+        |             unnest(json_keys(props::JSON)) AS key FROM events)
+        |SELECT event_id, key,
+        |  CAST(json_extract_string(props, '$.' || key) AS INT) AS value
+        |FROM x ORDER BY event_id, key""".stripMargin,
+    "win_range_90d_spend" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INT) AS d,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT o_custkey, o_orderkey, d,
+        |  CAST(CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
+        |    AS trailing_90d
+        |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
     "dedup_first_event" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,

@@ -49,7 +49,16 @@ object Corpus {
     val grams = array_distinct(shingles(tokens(col("text")), n))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
-    documents.where(col("doc_id") >= benchMaxDocId)
+    val corpus = documents.where(col("doc_id") >= benchMaxDocId)
+    // the shingle explode is CPU-bound: if the scan yields fewer partitions
+    // than cores (single small file locally — a parquet row group cannot be
+    // split), spread the rows first; at real scale the scan already has
+    // thousands of splits and this branch never fires
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores)
+      else corpus
+    spread
       .select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(bench), "gram")
       .groupBy("doc_id")

@@ -340,6 +340,51 @@ object Relational {
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Statistical aggregate surface: sample stddev/variance, correlation and
+    * covariance per group. One-pass (Welford-style) in both engines; rounded
+    * to 4 decimals because the merge order of partial moments legitimately
+    * differs across engines/partitionings. */
+  def priceStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** Map-typed column surface: parse the props JSON into `map<string,int>`
+    * and lateral-explode to (event_id, key, value) rows — `from_json` +
+    * map explode, the dynamic-schema path next to the static
+    * `get_json_object` extraction in [[jsonExtract]]. */
+  def explodeProps(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"),
+        explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType))))
+      .toDF("event_id", "key", "value")
+      .orderBy("event_id", "key")
+
+  /** Value-range window frame (`rangeBetween`, not rows): per customer, the
+    * running sum of order prices within the trailing 90 days of each order —
+    * the frame is bounded by the ORDER BY *value* (epoch days), so ties and
+    * gaps behave identically in any engine. */
+  def trailing90dSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-90, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_date(to_date(col("o_orderdate"))).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("trailing_90d",
+        sum(col("price")).over(w).cast("decimal(18,2)").cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("d"),
+        col("trailing_90d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Exact distinct users per event type — DuckDB-oracled. */
   def distinctUsers(events: DataFrame): DataFrame =
     events.groupBy("event_type")

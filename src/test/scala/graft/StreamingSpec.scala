@@ -169,6 +169,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: restarted query resumes state, no recount") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val srcDir = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val schema = Seq.empty[Ev].toDS().schema
+    def start(tbl: String) =
+      Streaming.tumblingCounts(
+          spark.readStream.schema(schema).parquet(srcDir), "1 hour", "2 hours")
+        .writeStream.format("memory").queryName(tbl)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    def addFile(n: Int, evs: Ev*): Unit = {
+      // the file source lists *files* under the path — write to a scratch
+      // dir and move the part file in as a single flat file
+      val tmp = s"$dir/tmp$n"
+      evs.toDS().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/batch$n.parquet"))
+    }
+    val q1 = start("ckpt_a")
+    try {
+      addFile(1, Ev(1, ts("2024-01-01 10:05:00"), 1, "click"),
+        Ev(2, ts("2024-01-01 10:10:00"), 2, "click"))
+      q1.processAllAvailable()
+      assert(spark.table("ckpt_a").collect().map(_.getLong(3)).sum == 2)
+    } finally q1.stop()
+    // restart from the checkpoint into a FRESH sink table: batch-1 rows must
+    // come back from recovered state (not re-read), batch-2 rows add to them
+    val q2 = start("ckpt_b")
+    try {
+      addFile(2, Ev(3, ts("2024-01-01 10:30:00"), 3, "click"))
+      q2.processAllAvailable()
+      val got = spark.table("ckpt_b").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2)) -> r.getLong(3)).toMap
+      assert(got(("2024-01-01 10:00:00.0", "click")) == 3L)
+    } finally q2.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
