@@ -274,20 +274,23 @@ object Relational {
   }
 
   /** Distribution windows: quartile (`ntile`), `percent_rank`, `cume_dist`
-    * per order within its priority class. The partition key bounds each
-    * window's row count (≈ |orders| / 5 here); the fraction outputs are exact
-    * IEEE divisions of two ints, so the oracle matches them raw. */
+    * per order within its priority class. A priority class is 20 % of the
+    * data at ANY scale, so `Window.partitionBy(priority)` would funnel it
+    * through one task — instead the ranks come from [[Rank.groupRanks]]
+    * (range-partition, rank bounded slices, broadcast offsets) and the three
+    * distribution stats are exact arithmetic over (rank, n), bit-identical
+    * to the window functions under the total (price, orderkey) order. */
   def priorityPriceRanks(orders: DataFrame): DataFrame = {
     // ordering on the double-cast price is order-equivalent to the decimal:
     // decimal(12,2) fits double exactly, so the cast is monotone + injective
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("price"), col("o_orderkey"))
-    orders
-      .select(col("o_orderkey"), col("o_orderpriority"),
-        col("o_totalprice").cast("double").as("price"))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
+    val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice").cast("double").as("price"))
+    Rank.groupRanks(base, Seq("o_orderpriority"),
+        Seq(col("price"), col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("price"),
+        Rank.ntileOf(col("rank"), col("n"), 4).as("quartile"),
+        Rank.percentRankOf(col("rank"), col("n")).as("pct_rank"),
+        Rank.cumeDistOf(col("rank"), col("n")).as("cume"))
       .orderBy("o_orderpriority", "price", "o_orderkey")
   }
 

@@ -100,6 +100,25 @@ object Streaming {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Streaming JDBC append sink via `foreachBatch` — the reference's
+    * `LoadStarDB` ETL re-expressed as an incremental stream: each
+    * micro-batch's rows are appended to the warehouse table, stamped with
+    * the micro-batch id (the key a production sink uses for exactly-once
+    * dedup on retry — a replayed batch re-appends under the SAME id and is
+    * idempotent to an id-aware reader). Returns the writer so callers pick
+    * trigger/checkpoint. */
+  def jdbcAppendSink(stream: DataFrame, url: String, table: String,
+      user: String, password: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val props = new java.util.Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("append").jdbc(url, table, props)
+    }
+  }
+
   /** Per-user running stats emitted on every update. */
   case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
 

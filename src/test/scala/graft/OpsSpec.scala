@@ -259,6 +259,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.aboveAvgActivity(even.toDF("event_id", "user_id")).count() == 0)
   }
 
+  test("distributed groupRanks == single-window ranks; no group-wide window partition") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"))
+    val distributed = Rank.groupRanks(orders, Seq("o_orderpriority"),
+        Seq(col("price"), col("o_orderkey")))
+      .select("o_orderkey", "rank", "n")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("price"), col("o_orderkey"))
+    val single = orders
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("o_orderpriority")).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(distributed == single)
+    // the plan must not contain a window partitioned by the group alone —
+    // every window's keys include the bounded _pid slice
+    val plan = Rank.groupRanks(orders, Seq("o_orderpriority"),
+      Seq(col("price"), col("o_orderkey"))).queryExecution.executedPlan.toString
+    val mainWindows = plan.linesIterator.filter(l =>
+      l.contains("Window [") && l.contains("row_number")).toSeq
+    assert(mainWindows.nonEmpty && mainWindows.forall(_.contains("_pid")), plan)
+    // ntile arithmetic matches the window function across bucket remainders
+    for (total <- Seq(7L, 8L, 9L, 12L); k <- Seq(4)) {
+      val rows = (1L to total).map(r => (r, total))
+      val got = rows.toDF("rank", "n")
+        .select(Rank.ntileOf(col("rank"), col("n"), k).as("b"))
+        .collect().map(_.getInt(0)).toSeq
+      val want = (1L to total).toDF("x")
+        .select(ntile(k).over(Window.orderBy("x")).as("b"))
+        .collect().map(_.getInt(0)).toSeq
+      assert(got == want, s"total=$total")
+    }
+  }
+
   test("corpus packing: concat-and-chunk offsets, boundary docs spill forward") {
     val docs = Seq(
       (0L, "s", (1 to 1500).map(_ => "w").mkString(" ")),  // 1500 toks

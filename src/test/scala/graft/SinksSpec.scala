@@ -50,6 +50,41 @@ class SinksSpec extends AnyFunSuite {
     assert(readBack("dim_category").count() == 2)
   }
 
+  test("streaming foreachBatch JDBC append: batches accumulate with batch ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = "jdbc:derby:memory:graftstream;create=true"
+    val props = new java.util.Properties()
+    val src = MemoryStream[(Long, String)](spark)
+    val q = graft.streaming.Streaming.jdbcAppendSink(
+        src.toDF().toDF("event_id", "event_type"),
+        url, "fact_stream", "app", "app")
+      .start()
+    try {
+      src.addData((1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      src.addData((3L, "click"))
+      q.processAllAvailable()
+      val got = spark.read.jdbc(url, "fact_stream", props).collect()
+        .map(r => (r.getLong(r.fieldIndex("event_id")),
+          r.getLong(r.fieldIndex("batch_id")))).toSet
+      assert(got == Set((1L, 0L), (2L, 0L), (3L, 1L)))
+    } finally q.stop()
+  }
+
+  test("partitioned parquet write prunes partitions at read (scan-level skipping)") {
+    val d = TestSpark.sf0001
+    val out = "/tmp/graft_sinks_spec_partitioned"
+    Sinks.writeParquet(Tables.events(spark, d), out, partitionBy = Seq("event_type"))
+    val read = spark.read.parquet(out).where(col("event_type") === "click")
+    // the filter must become a PartitionFilter (directory-level skip), not a
+    // post-scan predicate over all rows
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
+    val all = Tables.events(spark, d)
+    assert(read.count() == all.where(col("event_type") === "click").count())
+  }
+
   test("co-bucketed tables join without a shuffle exchange") {
     val d = TestSpark.sf0001
     Sinks.writeBucketed(Tables.orders(spark, d), "b_orders", "o_orderkey", 8,
