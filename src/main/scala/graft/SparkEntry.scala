@@ -204,6 +204,8 @@ object SparkEntry {
       Corpus.packSequences(Tables.documents(s, d))),
     "corpus_decontaminate" -> ((s, d) =>
       Corpus.decontaminate(Tables.documents(s, d))),
+    "corpus_assign_ids" -> ((s, d) =>
+      Corpus.assignIds(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
@@ -756,6 +758,10 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "corpus_assign_ids" ->
+      """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS new_id,
+        |  doc_id, lang
+        |FROM documents ORDER BY new_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

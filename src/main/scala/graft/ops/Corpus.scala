@@ -38,6 +38,18 @@ object Corpus {
       .orderBy("source", "doc_id")
   }
 
+  /** Stable contiguous id assignment over the corpus: global `row_number`
+    * by (lang, doc_id) via [[Rank.groupRanks]] with no group — the
+    * scale-safe form of "re-id a 100 TB corpus" (a plain global window puts
+    * every row through one reducer; `monotonically_increasing_id` is
+    * neither contiguous nor order-stable). */
+  def assignIds(documents: DataFrame): DataFrame =
+    Rank.groupRanks(
+        documents.select(col("doc_id"), col("lang")),
+        Seq.empty, Seq(col("lang"), col("doc_id")))
+      .select(col("rank").as("new_id"), col("doc_id"), col("lang"))
+      .orderBy("new_id")
+
   /** Benchmark decontamination: training docs sharing at least one `n`-gram
     * shingle with the benchmark set, with the overlap count — the contains-
     * check run before a corpus ships. The benchmark's distinct shingles are

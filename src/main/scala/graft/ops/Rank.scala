@@ -32,7 +32,13 @@ object Rank {
     * Row-identical to
     * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCols))`
     * plus `count(*) over (partition by groupCols)`, with no unbounded
-    * window partition anywhere in the plan. */
+    * window partition anywhere in the plan.
+    *
+    * `groupCols` may be EMPTY: then this is a scalable global contiguous
+    * index (`row_number` over the whole dataset — the ordered, gap-free id
+    * assignment `monotonically_increasing_id` does not give and a global
+    * window computes on one reducer), and the offset metadata is exactly P
+    * rows. */
   def groupRanks(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
