@@ -41,25 +41,41 @@ object Rank {
     * rows. */
   def groupRanks(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val sortCols = groupCols.map(col) ++ orderCols
-    val sliced = df
+    val sorted = df
       .repartitionByRange(p, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-    // local rank: window keyed by (partition id, group) — slice size is
-    // bounded by the range partitioner's ≈ n/P, regardless of group size
-    val localW = Window.partitionBy(("_pid" +: groupCols).map(col): _*)
-      .orderBy(orderCols: _*)
-    val local = sliced.withColumn("_lrank", row_number().over(localW))
+      .sortWithinPartitions(sortCols: _*)
+    // local rank: ONE stateful scan per already-sorted partition — no second
+    // full-data exchange (a Window keyed by (pid, group) would hash-shuffle
+    // everything again just to regroup what the range partitioner already
+    // co-located). AQE's contiguous partition coalescing preserves the
+    // pid-order == value-order invariant the offsets below rely on.
+    val groupIdx = groupCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("_pid", IntegerType, nullable = false) :+
+      StructField("_lrank", LongType, nullable = false))
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var prevKey: Seq[Any] = null
+      var r = 0L
+      it.map { row =>
+        val key = groupIdx.map(row.get)
+        if (prevKey == null || key != prevKey) { r = 0L; prevKey = key }
+        r += 1
+        Row.fromSeq(row.toSeq :+ pid :+ r)
+      }
+    }(Encoders.row(outSchema))
     // offsets: counts per (pid, group) — P × |groups| rows, tiny — cumulated
-    // in pid order (range partitioning makes pid order == value order).
-    // Derived from the pre-window slice so the rank window itself is not
-    // recomputed on the metadata branch (the range exchange is shared via
-    // ReuseExchange).
+    // in pid order (range partitioning makes pid order == value order). The
+    // metadata branch re-traverses the sorted input (AQE reuses the range
+    // exchange); callers ranking an expensive upstream should persist it.
     val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
     val nW = Window.partitionBy(groupCols.map(col): _*)
-    val offsets = sliced.groupBy(("_pid" +: groupCols).map(col): _*)
+    val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
       .withColumn("n", sum(col("_cnt")).over(nW))

@@ -275,13 +275,12 @@ class OpsSpec extends AnyFunSuite {
         Window.partitionBy("o_orderpriority")).cast("long"))
       .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
     assert(distributed == single)
-    // the plan must not contain a window partitioned by the group alone —
-    // every window's keys include the bounded _pid slice
+    // the local rank is a per-partition scan, NOT a window: the plan must
+    // contain no row_number window anywhere (a group-partitioned one would
+    // funnel whole groups through single reducers)
     val plan = Rank.groupRanks(orders, Seq("o_orderpriority"),
       Seq(col("price"), col("o_orderkey"))).queryExecution.executedPlan.toString
-    val mainWindows = plan.linesIterator.filter(l =>
-      l.contains("Window [") && l.contains("row_number")).toSeq
-    assert(mainWindows.nonEmpty && mainWindows.forall(_.contains("_pid")), plan)
+    assert(!plan.contains("row_number("), plan)
     // ntile arithmetic matches the window function across bucket remainders
     for (total <- Seq(7L, 8L, 9L, 12L); k <- Seq(4)) {
       val rows = (1L to total).map(r => (r, total))

@@ -72,6 +72,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: distributed groupRanks == window ranks on random skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => cnt, lit, row_number}
+    // heavy value ties and skewed groups — the tiebreaker column makes the
+    // order total, which is groupRanks' contract
+    val genRows = Gen.listOfN(400, for {
+      g <- Gen.oneOf("a", "a", "a", "b", "c") // skew: 60 % in one group
+      v <- Gen.choose(0, 5)                   // many order-value ties
+    } yield (g, v))
+    forAll(genRows, runs = 3) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), id) => (g, v, id.toLong) }
+        .toDF("g", "v", "id")
+      val got = ops.Rank.groupRanks(df, Seq("g"), Seq(col("v"), col("id")))
+        .select("id", "rank", "n").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      val want = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n", cnt(lit(1)).over(Window.partitionBy("g")).cast("long"))
+        .select("id", "rank", "n").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want)
+    }
+  }
+
   test("property: minhash slot-agreement approximates jaccard") {
     // near-dup pairs with known overlap: agreement rate must track J within
     // wide statistical bounds (k = 64 slots)
