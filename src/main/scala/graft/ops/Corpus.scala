@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -17,20 +16,20 @@ object Corpus {
     * `offset_in_pack + n_tokens` may exceed `budget` — the tail spills
     * forward).
     *
-    * Scale design: packing is per-source (PARTITION BY source), so the
-    * running sum parallelizes across sources instead of collapsing to one
-    * global cumulative window; stream order within a source is doc_id — any
-    * deterministic order works, and a shuffled order would just be a
-    * different (equally valid) pack assignment. Output is pure integer
-    * arithmetic over the window sum, so the oracle reproduces it exactly. */
+    * Scale design: the running token sum comes from
+    * [[Rank.groupRunningSums]] — the distributed prefix sum — so even a
+    * source holding most of the corpus never funnels through one reducer
+    * (a `Window.partitionBy(source)` running frame would). Stream order
+    * within a source is doc_id — any deterministic order works, and a
+    * shuffled order would just be a different (equally valid) pack
+    * assignment. Output is pure integer arithmetic over the prefix sum, so
+    * the oracle reproduces it exactly. */
   def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents
+    val counted = documents
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("offset",
-        (sum(col("n_tokens").cast("long")).over(w) - col("n_tokens")))
+    Rank.groupRunningSums(counted, Seq("source"), Seq(col("doc_id")), "n_tokens")
+      .withColumn("offset", col("running") - col("n_tokens"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         // floor(long / int): the double division is exact (offsets < 2^53)
         floor(col("offset") / budget).cast("int").as("pack_id"),

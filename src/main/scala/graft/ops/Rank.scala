@@ -86,6 +86,51 @@ object Rank {
       .drop("_pid", "_lrank", "_offset")
   }
 
+  /** Distributed within-group PREFIX SUM over a long column — same two-pass
+    * shape as [[groupRanks]]: local running sums per sorted partition, plus
+    * broadcast per-(partition, group) totals cumulated in partition order.
+    * Adds `running` (inclusive prefix sum of `valueCol` in `orderCols`
+    * order within each group). `Window.partitionBy(group)` + running-frame
+    * `sum` computes the same thing through ONE reducer per group; this never
+    * holds more than a partition in one task. `groupCols` may be empty
+    * (global scan order). */
+  def groupRunningSums(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val sortCols = groupCols.map(col) ++ orderCols
+    val sorted = df
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val groupIdx = groupCols.map(df.schema.fieldIndex)
+    val valueIdx = df.schema.fieldIndex(valueCol)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("_pid", IntegerType, nullable = false) :+
+      StructField("_lsum", LongType, nullable = false))
+    val local = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var prevKey: Seq[Any] = null
+      var s = 0L
+      it.map { row =>
+        val key = groupIdx.map(row.get)
+        if (prevKey == null || key != prevKey) { s = 0L; prevKey = key }
+        s += row.getAs[Number](valueIdx).longValue()
+        Row.fromSeq(row.toSeq :+ pid :+ s)
+      }
+    }(Encoders.row(outSchema))
+    val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
+    val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("_psum"))
+      .withColumn("_offset", sum(col("_psum")).over(cntW) - col("_psum"))
+      .select(("_pid" +: groupCols).map(col) :+ col("_offset"): _*)
+    local
+      .join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn("running", (col("_offset") + col("_lsum")).cast("long"))
+      .drop("_pid", "_lsum", "_offset")
+  }
+
   /** Spark's `ntile(k)` from (rank, n): the first `n mod k` buckets take
     * `ceil(n/k)` rows, the rest `floor(n/k)` — bit-identical to the window
     * function under a total order. */

@@ -312,17 +312,20 @@ object Relational {
   /** TPC-H Q18-shaped: orders whose total quantity exceeds a threshold —
     * aggregate-then-join-back (the HAVING-into-join pattern). The big-order
     * key set is tiny after the HAVING, so it broadcasts into the join with
-    * orders; customer is a broadcast dim. */
+    * orders — and the RESULT of that join stays tiny, so it is what
+    * broadcasts into customer (broadcasting the customer table itself would
+    * ship a fact-sized dimension at TPC-H scale). */
   def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       minQty: Int = 250): DataFrame = {
     val big = lineitem
       .groupBy("l_orderkey")
       .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("total_qty"))
       .where(col("total_qty") > minQty)
-    orders
+    val bigOrders = orders
       .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(customer.select("c_custkey", "c_name")),
-        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+    customer.select("c_custkey", "c_name")
+      .join(broadcast(bigOrders), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"),
         col("total_qty").cast("decimal(18,2)").cast("double").as("total_qty"),
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
