@@ -128,6 +128,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
+    "dedup_shared_grams" -> ((s, d) =>
+      Dedup.sharedGramPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
+    "dedup_cluster_components" -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.sharedGramPairs(Tables.documents(s, d)))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
@@ -608,6 +612,41 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS n_union
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+    // shared-shingle pair graph: stop-shingle df cap and min-shared filter
+    // mirrored exactly; the clustering oracle closes it transitively with a
+    // recursive CTE (min reachable id == min-label fixpoint)
+    "dedup_shared_grams" ->
+      s"""WITH g0 AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END)) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |f AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+         |x AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cluster_components" ->
+      s"""WITH RECURSIVE g0 AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END)) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |f AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+         |x AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |v AS (SELECT DISTINCT s AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM v
+         |  UNION
+         |  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos

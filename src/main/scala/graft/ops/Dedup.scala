@@ -117,6 +117,65 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Shared-shingle near-dup pair graph: docs sharing ≥ `minShared` distinct
+    * word `n`-grams. Bucket-first like the other variants (gram = bucket
+    * key, [[bucketPairs]] streams in-bucket pairs); grams appearing in more
+    * than `maxGramDf` docs are stop-shingles — boilerplate that would pair
+    * everything with everything — and are dropped, the same skew guard as
+    * `MaxBucket`. */
+  def sharedGramPairs(documents: DataFrame, n: Int = 4, minShared: Int = 2,
+      maxGramDf: Int = 100): DataFrame = {
+    val grams = documents.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+    val buckets = grams.groupBy("gram")
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")).between(2, maxGramDf))
+    bucketPairs(buckets, "ids")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b", "n_shared")
+  }
+
+  /** Connected components over a near-dup pair graph — the clustering step
+    * that turns pairwise candidates into keep/drop decisions (one survivor
+    * per component). Iterative min-label propagation: every vertex starts as
+    * its own label and repeatedly takes the minimum label in its closed
+    * neighborhood until a fixpoint — O(component diameter) rounds, each a
+    * join + aggregate (shuffles on vertex id); near-dup graphs are
+    * shallow, so the loop is short. The driver checks convergence with a
+    * count per round (an aggregate, not a data collect).
+    *
+    * Output: (doc_id, cluster_id = min doc_id in the component) for every
+    * vertex that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // min label among self and neighbors
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("id").agg(min("label").as("label"))
+      next.cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over a deterministic pair set (adjacent doc_ids) —
     * the SQL-expressible ground truth the LSH variants approximate, and the
     * DuckDB-oracle anchor for the similarity math. */

@@ -309,6 +309,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == (0, 0))       // source t packs independently
   }
 
+  test("connected components: min-label propagation over planted clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("corpus decontamination: planted benchmark 5-gram overlap is found") {
     val bench = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
