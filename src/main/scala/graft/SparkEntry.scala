@@ -117,6 +117,9 @@ object SparkEntry {
     "json_extract_props" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
     "dedup_first_event" -> ((s, d) =>
       Relational.firstEventPerUserType(Tables.events(s, d))),
+    "agg_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
+    "cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
+    "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
     // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
     "win_sliding_6h" -> ((s, d) => Relational.slidingCounts(Tables.events(s, d))),
@@ -574,6 +577,29 @@ object SparkEntry {
         |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE)
         |    AS trailing_90d
         |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "agg_user_journeys" ->
+      """SELECT user_id, CAST(count(*) AS INT) AS n_events,
+        |  string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cohort_retention" ->
+      """WITH fs AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE)
+        |              AS cohort_week FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+        |        AS active_week FROM events)
+        |SELECT fs.cohort_week, a.active_week,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin,
+    "win_first_last" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey,
+        |             CAST(o_totalprice AS DOUBLE) AS price FROM orders)
+        |SELECT o_custkey, o_orderkey, price,
+        |  first_value(price) OVER w AS cheapest,
+        |  last_value(price) OVER w AS priciest,
+        |  nth_value(price, 2) OVER w AS second_cheapest
+        |FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY price, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "dedup_first_event" ->
       """SELECT user_id, event_type, event_id FROM (
         |  SELECT user_id, event_type, event_id,

@@ -155,6 +155,7 @@ object Dedup {
       .distinct()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    var cached: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -168,6 +169,10 @@ object Dedup {
       next.cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).limit(1).count()
+      // next is materialized (the count above) — the previous round's cache
+      // can go; without this the loop pins one copy of the labels per round
+      cached.foreach(_.unpersist())
+      cached = Some(next)
       labels = next
       converged = changed == 0
       i += 1

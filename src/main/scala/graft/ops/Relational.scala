@@ -428,6 +428,59 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Per-user event journey: the ordered event-type path as one string —
+    * the funnel/sessionization representation downstream sequence models
+    * consume. `collect_list` into a per-user struct array, sorted by
+    * (ts, event_id) INSIDE the array (deterministic under the unique id —
+    * shuffle arrival order never shows), then projected and joined. */
+  def userJourneys(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(collect_list(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).as("n_events"),
+        array_join(
+          transform(array_sort(col("evs")), e => e.getField("event_type")),
+          "->").as("path"))
+      .orderBy("user_id")
+
+  /** Weekly cohort retention: users grouped by the week of their FIRST
+    * event; for each (cohort week, activity week) the distinct active
+    * users — the retention-matrix query every analytics stack runs. Two
+    * aggregations: per-user first-event week (groupBy user), then distinct
+    * users per cohort × week cell. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("active_week"))
+      .distinct()
+      .join(firstSeen, "user_id")
+      .groupBy("cohort_week", "active_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  /** `first_value`/`last_value`/`nth_value` window surface: each order next
+    * to its customer's cheapest and priciest order over the full-partition
+    * frame (explicit unbounded frame — last_value's default frame ends at
+    * CURRENT ROW, a classic silent-wrong-answer). */
+  def firstLastOrder(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("price"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      .withColumn("cheapest", first(col("price")).over(w))
+      .withColumn("priciest", last(col("price")).over(w))
+      .withColumn("second_cheapest", nth_value(col("price"), 2).over(w))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Tumbling window counts (batch form of the streaming §2.6 operator):
     * 1-day windows per event type via `window()`. */
   def tumblingDailyCounts(events: DataFrame): DataFrame =
