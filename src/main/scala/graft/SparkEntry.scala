@@ -120,6 +120,8 @@ object SparkEntry {
     "agg_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
     "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
+    "ts_gap_fill_hourly" -> ((s, d) => Relational.gapFillHourly(Tables.events(s, d))),
+    "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
     // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
     "win_sliding_6h" -> ((s, d) => Relational.slidingCounts(Tables.events(s, d))),
@@ -609,6 +611,26 @@ object SparkEntry {
     "win_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "ts_gap_fill_hourly" ->
+      """WITH r AS (SELECT date_trunc('hour', min(ts)) AS t0,
+        |             date_trunc('hour', max(ts)) AS t1 FROM events),
+        |h AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM r),
+        |t AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+        |s AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT h.hour, t.event_type, coalesce(s.n, 0) AS n
+        |FROM h CROSS JOIN t
+        |LEFT JOIN s ON s.hour = h.hour AND s.event_type = t.event_type
+        |ORDER BY h.hour, t.event_type""".stripMargin,
+    "text_normalize" ->
+      raw"""SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+        |  substring(text, 1, 20) AS head20,
+        |  CAST(length(text) AS INT) AS raw_len,
+        |  CAST(length(translate(regexp_replace(trim(text), '\s+', ' ', 'g'),
+        |    ',.;:!?', '      ')) AS INT) AS norm_len,
+        |  CAST(levenshtein(substring(text, 1, 40),
+        |    reverse(substring(text, 1, 40))) AS INT) AS palindrome_dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "win_sliding_6h" ->
       """WITH b AS (SELECT event_type,
         |  make_timestamp((epoch_us(ts) // 10800000000) * 10800000000) AS w1 FROM events),

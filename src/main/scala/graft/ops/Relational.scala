@@ -481,6 +481,31 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Time-series gap fill: the dense (hour × event_type) grid over the
+    * events table's full time range, ZERO where nothing happened — the
+    * reference's pre-zeroed 16-bucket vectors (A2) generalized to arbitrary
+    * ranges (hourly grain so the grid genuinely has empty cells to fill).
+    * The calendar spine explodes from a one-row min/max aggregate and
+    * cross-joins the distinct types — both sides bounded (hours × types),
+    * so the cross join is metadata-sized; the sparse counts then left-join
+    * in. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val range = events.agg(
+      date_trunc("hour", min(col("ts"))).as("t0"),
+      date_trunc("hour", max(col("ts"))).as("t1"))
+    val hours = range.select(
+      explode(sequence(col("t0"), col("t1"), expr("interval 1 hour"))).as("hour"))
+    val types = events.select(col("event_type"))
+      .where(col("event_type").isNotNull).distinct()
+    val sparse = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(sparse, Seq("hour", "event_type"), "left")
+      .na.fill(0, Seq("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Tumbling window counts (batch form of the streaming §2.6 operator):
     * 1-day windows per event type via `window()`. */
   def tumblingDailyCounts(events: DataFrame): DataFrame =

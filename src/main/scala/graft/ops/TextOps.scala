@@ -95,6 +95,24 @@ object TextOps {
       .select(col("doc_id"), doc_fingerprint_poly(tokens(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Scalar string-function breadth (SURVEY §2.5): canonical normalization
+    * (trim + whitespace squeeze + punctuation translate + padding) and the
+    * edit distance between raw and normalized text — each a codegen'd
+    * built-in, no UDFs. */
+  def normalize(documents: DataFrame): DataFrame = {
+    val squeezed = regexp_replace(trim(col("text")), "\\s+", " ")
+    val normed = translate(squeezed, ",.;:!?", "      ")
+    documents
+      .select(col("doc_id"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("padded_id"),
+        substring(col("text"), 1, 20).as("head20"),
+        length(col("text")).as("raw_len"),
+        length(normed).as("norm_len"),
+        levenshtein(substring(col("text"), 1, 40),
+          reverse(substring(col("text"), 1, 40))).as("palindrome_dist"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher/C4-style repetition stats: the fraction of duplicated word
     * n-grams per document (`1 − distinct/total`) for 2- and 3-grams — the
     * repetition filter a quality pipeline applies after [[qualityScore]].
