@@ -90,10 +90,16 @@ object TextOps {
     * — plain integer arithmetic a DuckDB oracle recomputes exactly, unlike
     * the engine-native xxhash64 fold (`doc_fingerprint`, spec-covered),
     * whose values are engine-specific. */
-  def fingerprint(documents: DataFrame): DataFrame =
+  def fingerprint(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     documents
-      .select(col("doc_id"), doc_fingerprint_poly(tokens(col("text"))).as("fp"))
+      // native fused fold (graft.plans.PolyFingerprint) — bit-identical to
+      // the HOF composition doc_fingerprint_poly, without its per-char
+      // UTF8String array
+      .select(col("doc_id"),
+        call_function("poly_fp", concat_ws(" ", tokens(col("text")))).as("fp"))
       .orderBy("doc_id")
+  }
 
   /** Scalar string-function breadth (SURVEY §2.5): canonical normalization
     * (trim + whitespace squeeze + punctuation translate + padding) and the

@@ -62,7 +62,11 @@ object GraftExtensions {
         "minhash_sig(tokens, shingleSize, k) - fused shingle+MinHash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
         intLiteral("minhash_sig", "shingleSize", args(1)),
-        intLiteral("minhash_sig", "k", args(2)))))
+        intLiteral("minhash_sig", "k", args(2)))),
+    (FunctionIdentifier("poly_fp"),
+      info("PolyFingerprint",
+        "poly_fp(string) - dual-residue polynomial rolling fingerprint"),
+      (args: Seq[Expression]) => PolyFingerprint(args.head)))
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public

@@ -52,6 +52,36 @@ object ExprUtil {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Dual-residue polynomial rolling fingerprint over a string's code
+    * points, same arithmetic as GraftFunctions.doc_fingerprint_poly (h1/h2
+    * mod-prime folds packed as h1·2^31 + h2). The HOF form splits the
+    * string into a per-char array of UTF8Strings first; this is one pass
+    * over the bytes (ASCII fast path) or chars. */
+  def polyFingerprint(s: UTF8String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    val nBytes = s.numBytes()
+    if (s.numChars() == nBytes) { // pure ASCII: bytes ARE the code points
+      var i = 0
+      while (i < nBytes) {
+        val c = s.getByte(i) & 0xff
+        h1 = (h1 * 31 + c) % 2147483647L
+        h2 = (h2 * 131 + c) % 2147483629L
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i).toInt
+        h1 = (h1 * 31 + c) % 2147483647L
+        h2 = (h2 * 131 + c) % 2147483629L
+        i += 1
+      }
+    }
+    h1 * 2147483648L + h2
+  }
+
   /** 64-bit SimHash over a token array, same semantics as
     * GraftFunctions.simhash64 (xxhash64 seed 42 per token, +1/-1 bit votes,
     * bit set iff vote sum positive). */
@@ -252,5 +282,28 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.plans.ExprUtil$$.MODULE$$.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `poly_fp(string)`: dual-residue polynomial rolling fingerprint — the
+  * fused form of GraftFunctions.doc_fingerprint_poly's char fold (which
+  * splits into a per-char array first). Bit-identical values; the DuckDB
+  * oracle re-derives them from `ord()` folds. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"poly_fp needs STRING, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ExprUtil.polyFingerprint(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.ExprUtil$$.MODULE$$.polyFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
     copy(child = newChild)
 }

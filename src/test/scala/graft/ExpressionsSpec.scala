@@ -87,4 +87,19 @@ class ExpressionsSpec extends AnyFunSuite {
       .count()
     assert(diffs == 0)
   }
+
+  test("poly_fp native == HOF composition (incl. empty + non-ASCII path)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("text"))
+      .unionByName(Seq("", "  ", "naïve café — ünïcode", "a b c")
+        .toDF("text"))
+    val toks = GraftFunctions.tokens(col("text"))
+    val diffs = corpus.select(
+        GraftFunctions.doc_fingerprint_poly(toks).as("hof"),
+        call_function("poly_fp", concat_ws(" ", toks)).as("native"))
+      .where(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+  }
 }
