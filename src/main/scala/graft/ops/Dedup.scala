@@ -150,29 +150,49 @@ object Dedup {
     * vertex that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Iterative loops need two disciplines or they die at scale (both
+    // observed at sf0.1):
+    //   1. EAGER lineage truncation (localCheckpoint) per round — the
+    //      pointer-halving self-join references each round's plan twice, so
+    //      without truncation the logical tree doubles per round and merely
+    //      RENDERING the plan OOMs the driver by round ~20. cache() stores
+    //      data but does NOT cut the plan; checkpointing does both, and it
+    //      also stops the loop re-executing the (expensive) pair pipeline
+    //      every round.
+    //   2. No Union inside the loop — min-over-neighborhood includes SELF
+    //      via explicit self-loop edges instead of unioning the label table
+    //      back in each round.
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
+    val selfLoops = directed.select(col("src")).distinct()
+      .select(col("src"), col("src").as("dst"))
+    val edges = directed.unionByName(selfLoops).distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    var cached: Option[DataFrame] = None
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // min label among self and neighbors
-      val viaEdges = edges
+      // min label over the closed neighborhood (self-loops carry own label)
+      val l1 = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("id").agg(min("label").as("label"))
-      next.cache()
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("label"))
+      // then pointer-halve: label := label(label). Every label IS a vertex
+      // id (it is a min over ids), so the self-join is total. With the
+      // halving, a diameter-d chain converges in O(log d) rounds, not
+      // O(d) — the difference between 5 and 50 full passes on chain-shaped
+      // near-dup runs.
+      val next = l1.as("a")
+        .join(l1.select(col("id").as("lid"), col("label").as("label2")),
+          col("a.label") === col("lid"))
+        .select(col("a.id").as("id"),
+          least(col("a.label"), col("label2")).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).limit(1).count()
-      // next is materialized (the count above) — the previous round's cache
-      // can go; without this the loop pins one copy of the labels per round
-      cached.foreach(_.unpersist())
-      cached = Some(next)
       labels = next
       converged = changed == 0
       i += 1
