@@ -125,7 +125,15 @@ object Dedup {
     * `MaxBucket`. */
   def sharedGramPairs(documents: DataFrame, n: Int = 4, minShared: Int = 2,
       maxGramDf: Int = 100): DataFrame = {
-    val grams = documents.select(col("doc_id"),
+    // the shingle explode is CPU-bound: spread the rows first if the scan
+    // yields fewer partitions than cores (single small file locally — a
+    // parquet row group cannot be split); never fires on a real many-split
+    // scan
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
+      else documents
+    val grams = spread.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
     val buckets = grams.groupBy("gram")
       .agg(collect_list("doc_id").as("ids"))
