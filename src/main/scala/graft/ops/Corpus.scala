@@ -62,7 +62,10 @@ object Corpus {
     val g2 = shingles(toks, 2)
     val dup2 = lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)
     val nNonalpha = length(regexp_replace(col("text"), "[a-z ]", ""))
-    val alphaRatio = lit(1.0) - nNonalpha.cast("double") / length(col("text"))
+    // NULL on empty text — ANSI mode turns /0 into a job-killing exception
+    // (the reject bit then fires via the otherwise-branch, as it should)
+    val alphaRatio = when(length(col("text")) === 0, lit(null))
+      .otherwise(lit(1.0) - nNonalpha.cast("double") / length(col("text")))
     val nStop = size(filter(toks, t => array_contains(stop, t)))
     val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
       "len" -> size(toks).between(10, 1000),

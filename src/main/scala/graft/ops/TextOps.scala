@@ -26,11 +26,19 @@ object TextOps {
           .as("n_subword_tokens"),
         length(col("text")).as("n_chars"))
       // exact double division (not rounded): IEEE division of two ints is
-      // bit-identical in any engine, so the oracle can compare it raw
-      .withColumn("ttr",
-        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      // bit-identical in any engine, so the oracle can compare it raw.
+      // Zero-token docs yield NULL — under ANSI mode an unguarded /0 THROWS
+      // and one empty doc would kill a 100 TB job (caught by the
+      // null-robustness spec).
+      .withColumn("ttr", safeRatio(col("n_distinct_tokens"), col("n_tokens")))
       .orderBy("doc_id")
   }
+
+  /** a/b as double, NULL when b = 0 — ANSI mode turns integer-backed /0
+    * into a job-killing exception, and IEEE inf would hash-mismatch any
+    * oracle anyway. */
+  private def safeRatio(a: Column, b: Column): Column =
+    when(b === 0, lit(null)).otherwise(a.cast("double") / b)
 
   /** Heuristic quality score in [0,1]: blends length fit, stopword ratio and
     * alphabetic purity — the shape of a C4/Gopher-style quality filter,
@@ -43,11 +51,11 @@ object TextOps {
         size(array_intersect_dup(toks, stop)).as("n_stop"),
         length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"),
         length(col("text")).as("n_chars"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", safeRatio(col("n_stop"), col("n_tokens")))
       .withColumn("len_ok",
         (col("n_tokens") >= 10 && col("n_tokens") <= 1000).cast("int"))
       .withColumn("alpha_ratio",
-        lit(1.0) - col("n_nonalpha").cast("double") / col("n_chars"))
+        lit(1.0) - safeRatio(col("n_nonalpha"), col("n_chars")))
       .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "len_ok", "alpha_ratio")
       .orderBy("doc_id")
   }

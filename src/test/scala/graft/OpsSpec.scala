@@ -333,6 +333,43 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(11L))      // clean doc absent from the report
   }
 
+  test("SQL surface: the same query through spark.sql over temp views + graft functions") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    Tables.orders(spark, TestSpark.sf0001).createOrReplaceTempView("orders_v")
+    // the A2-style bucket histogram in pure SQL, using the registered
+    // native week_of_month — the path a SQL-only user of the engine takes
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority,
+        |  CAST((month(o_orderdate) - 1) * 5
+        |    + week_of_month(CAST(o_orderdate AS DATE)) AS INT) AS bucket,
+        |  count(*) AS n
+        |FROM orders_v GROUP BY 1, 2 ORDER BY o_orderpriority, bucket""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaDf = Parity.weeklyHistogramLong(
+        Tables.orders(spark, TestSpark.sf0001)
+          .select(col("o_orderpriority"), col("o_orderdate").as("ts")),
+        col("o_orderpriority"), "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaSql == viaDf)
+  }
+
+  test("null robustness: text operators pass null/empty text through, no crash") {
+    val docs = Seq((0L, "normal text here ok fine", "s", "en"),
+      (1L, null, "s", "en"), (2L, "", "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    // each op must evaluate without throwing under ANSI mode; null text
+    // yields null-valued metrics, never a crash or a dropped doc_id
+    val stats = TextOps.tokenStats(docs).collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(stats(1).isNullAt(1)) // n_tokens of null text
+    val fp = TextOps.fingerprint(docs).collect()
+    assert(fp.length == 3 && fp(2).getLong(1) == 0L) // empty text → fp 0
+    val rep = TextOps.repetitionStats(docs).collect()
+    assert(rep.length == 3)
+    val qf = Corpus.qualityFilter(docs).collect()
+    assert(qf.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
       .toDF("doc_id", "text", "source")
