@@ -370,6 +370,22 @@ class OpsSpec extends AnyFunSuite {
     assert(qf.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("empty-input robustness: operators return empty results, not errors") {
+    val noDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "source", "lang")
+    val noEvents = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(noPairs).count() == 0)
+    assert(Dedup.sharedGramPairs(noDocs).count() == 0)
+    assert(TextOps.fingerprint(noDocs).count() == 0)
+    assert(Corpus.packSequences(noDocs).count() == 0)
+    assert(Corpus.qualityFilter(noDocs).count() == 0)
+    assert(Relational.gapFillHourly(noEvents).count() == 0) // null spine → no rows
+    assert(Relational.aboveAvgActivity(noEvents).count() == 0)
+    assert(Relational.userJourneys(noEvents).count() == 0)
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
       .toDF("doc_id", "text", "source")
