@@ -119,6 +119,7 @@ object SparkEntry {
       Relational.firstEventPerUserType(Tables.events(s, d))),
     "agg_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
+    "funnel_3step" -> ((s, d) => Relational.funnelSteps(Tables.events(s, d))),
     "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
     "ts_gap_fill_hourly" -> ((s, d) => Relational.gapFillHourly(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
@@ -594,6 +595,30 @@ object SparkEntry {
         |  count(DISTINCT a.user_id) AS n_users
         |FROM a JOIN fs USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin,
+    // greedy earliest subsequence match == chained min-seq-after-previous:
+    // the fold's state machine and this CTE chain provably pick the same
+    // positions
+    "funnel_3step" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(seq) AS q FROM o
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT o.user_id, min(o.seq) AS q FROM o
+        |       JOIN s1 ON o.user_id = s1.user_id AND o.seq > s1.q
+        |       WHERE o.event_type = 'click' GROUP BY o.user_id),
+        |s3 AS (SELECT o.user_id, min(o.seq) AS q FROM o
+        |       JOIN s2 ON o.user_id = s2.user_id AND o.seq > s2.q
+        |       WHERE o.event_type = 'purchase' GROUP BY o.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.q IS NOT NULL THEN 3
+        |            WHEN s2.q IS NOT NULL THEN 2
+        |            WHEN s1.q IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS steps_completed
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "win_first_last" ->
       """WITH b AS (SELECT o_custkey, o_orderkey,
         |             CAST(o_totalprice AS DOUBLE) AS price FROM orders)

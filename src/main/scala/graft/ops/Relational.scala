@@ -445,6 +445,27 @@ object Relational {
           "->").as("path"))
       .orderBy("user_id")
 
+  /** Funnel / sequential-pattern match: how many of the ordered `steps` each
+    * user completed as a subsequence of their event stream (greedy earliest
+    * match — optimal for subsequence containment). One shuffle to group per
+    * user; the match itself is a fold over the user's in-array-sorted
+    * events, so per-user work is linear and arrival order never shows. */
+  def funnelSteps(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val stepsArr = array(steps.map(lit): _*)
+    events
+      .groupBy("user_id")
+      .agg(array_sort(
+        collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"), lit(0), (acc, e) =>
+          when(acc < steps.length &&
+              e.getField("event_type") === element_at(stepsArr, acc + 1),
+            acc + 1).otherwise(acc)).as("steps_completed"))
+      .orderBy("user_id")
+  }
+
   /** Weekly cohort retention: users grouped by the week of their FIRST
     * event; for each (cohort week, activity week) the distinct active
     * users — the retention-matrix query every analytics stack runs. Two

@@ -370,6 +370,26 @@ class OpsSpec extends AnyFunSuite {
     assert(qf.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("funnel: greedy subsequence match counts ordered steps only") {
+    val ev = Seq(
+      // user 1 completes view→click→purchase in order (with noise)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "other"),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "click"),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "purchase"),
+      // user 2: purchase BEFORE view/click — order matters, only 2 steps
+      (5L, ts("2024-01-01 09:00:00"), 2L, "purchase"),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (7L, ts("2024-01-01 11:00:00"), 2L, "click"),
+      // user 3: never clicks
+      (8L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (9L, ts("2024-01-01 11:00:00"), 3L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Relational.funnelSteps(ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
   test("empty-input robustness: operators return empty results, not errors") {
     val noDocs = Seq.empty[(Long, String, String, String)]
       .toDF("doc_id", "text", "source", "lang")
