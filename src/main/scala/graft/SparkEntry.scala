@@ -120,6 +120,8 @@ object SparkEntry {
     "agg_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "cohort_retention" -> ((s, d) => Relational.cohortRetention(Tables.events(s, d))),
     "funnel_3step" -> ((s, d) => Relational.funnelSteps(Tables.events(s, d))),
+    "agg_top_user_per_type" -> ((s, d) =>
+      Relational.topUserPerType(Tables.events(s, d))),
     "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
     "ts_gap_fill_hourly" -> ((s, d) => Relational.gapFillHourly(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
@@ -546,6 +548,13 @@ object SparkEntry {
     "agg_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_top_user_per_type" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  arg_max(user_id, n * 1000000 - user_id) AS top_user,
+        |  max(n) AS top_n
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_weighted_discount" ->
       """SELECT l_returnflag,
         |  round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)

@@ -445,6 +445,22 @@ object Relational {
           "->").as("path"))
       .orderBy("user_id")
 
+  /** Arg-max aggregate (`max_by`): each event type's most active user — the
+    * one-aggregation form of "rank-1 per group" that needs NO window (a
+    * window partitioned by the 5 event types would funnel |users| rows per
+    * type through single reducers). The ordering key folds the tiebreak in
+    * arithmetically (`n·10^6 − user_id`: more events wins, then the SMALLER
+    * user id — unique, so both engines pick the same row). */
+  def topUserPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(
+        expr("max_by(user_id, n * 1000000 - user_id)").as("top_user"),
+        max(col("n")).as("top_n"))
+      .orderBy("event_type")
+
   /** Funnel / sequential-pattern match: how many of the ordered `steps` each
     * user completed as a subsequence of their event stream (greedy earliest
     * match — optimal for subsequence containment). One shuffle to group per
