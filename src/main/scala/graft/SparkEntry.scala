@@ -122,6 +122,10 @@ object SparkEntry {
     "funnel_3step" -> ((s, d) => Relational.funnelSteps(Tables.events(s, d))),
     "agg_top_user_per_type" -> ((s, d) =>
       Relational.topUserPerType(Tables.events(s, d))),
+    "agg_revenue_share" -> ((s, d) =>
+      Relational.revenueShare(Tables.lineitem(s, d))),
+    "win_moving_avg_3" -> ((s, d) =>
+      Relational.movingAvgPrice(Tables.orders(s, d))),
     "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
     "ts_gap_fill_hourly" -> ((s, d) => Relational.gapFillHourly(Tables.events(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
@@ -555,6 +559,23 @@ object SparkEntry {
         |  arg_max(user_id, n * 1000000 - user_id) AS top_user,
         |  max(n) AS top_n
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_revenue_share" ->
+      s"""WITH r AS (SELECT l_returnflag, $revSql AS rev FROM lineitem),
+         |pf AS (SELECT l_returnflag,
+         |         CAST(sum(rev) AS DECIMAL(18,4)) AS flag_rev FROM r GROUP BY 1),
+         |t AS (SELECT CAST(sum(rev) AS DECIMAL(18,4)) AS total_rev FROM r)
+         |SELECT l_returnflag, CAST(flag_rev AS DOUBLE) AS revenue,
+         |  round(CAST(flag_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) AS share
+         |FROM pf CROSS JOIN t ORDER BY l_returnflag""".stripMargin,
+    "win_moving_avg_3" ->
+      """WITH b AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(price AS DOUBLE) AS price,
+        |  CAST(CAST(sum(price) OVER w AS DECIMAL(18,2)) AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg
+        |FROM b WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "agg_weighted_discount" ->
       """SELECT l_returnflag,
         |  round(sum(l_discount * l_extendedprice) / sum(l_extendedprice), 6)

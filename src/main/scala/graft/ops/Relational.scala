@@ -445,6 +445,48 @@ object Relational {
           "->").as("path"))
       .orderBy("user_id")
 
+  /** Ratio-to-report: each return flag's share of total revenue. The naive
+    * form is `sum(rev) OVER ()` — an empty-partition window that funnels
+    * EVERYTHING through one reducer; here the total is a one-row aggregate
+    * broadcast onto the per-group sums (same shape as [[aboveAvgActivity]]).
+    * Both sums are exact decimals; the share is one double division, rounded
+    * to 6 (the two engines' decimal→double conversions agree, division
+    * order is fixed). */
+  def revenueShare(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem.select(col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(12,2)")
+        * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+          .cast("decimal(5,2)")).as("rev"))
+    val perFlag = rev.groupBy("l_returnflag")
+      .agg(sum("rev").cast("decimal(18,4)").as("flag_rev"))
+    val total = rev.agg(sum("rev").cast("decimal(18,4)").as("total_rev"))
+    perFlag.crossJoin(broadcast(total))
+      .select(col("l_returnflag"),
+        col("flag_rev").cast("double").as("revenue"),
+        round(col("flag_rev").cast("double") / col("total_rev").cast("double"), 6)
+          .as("share"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bounded sliding frame (`rowsBetween`): 3-order moving average of each
+    * customer's prices in date order — sum and count over the frame divided
+    * explicitly (engines disagree on decimal-avg internals; an exact decimal
+    * frame sum over an int count divides identically everywhere). */
+  def movingAvgPrice(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .withColumn("mov_avg",
+        (sum(col("price")).over(w).cast("decimal(18,2)").cast("double")
+          / count(lit(1)).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("price").cast("double").as("price"), col("mov_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Arg-max aggregate (`max_by`): each event type's most active user — the
     * one-aggregation form of "rank-1 per group" that needs NO window (a
     * window partitioned by the 5 event types would funnel |users| rows per
