@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -82,23 +81,37 @@ object Parity {
 
   /** A6 (`DataFile.extractKeys` + `LoadStarDB.setup`): distinct values of a
     * column, sorted, with 1-based dense ids = sorted rank. The reference
-    * assigns dictionary ids by sorted insertion order; `row_number` over a
-    * global sort reproduces that deterministically.
+    * assigns dictionary ids by sorted insertion order; a sorted single-pass
+    * index reproduces that deterministically.
     *
-    * Scale note: the window is single-partition by design — valid only for
+    * Scale note: the id pass is single-partition by design — valid only for
     * dimension-cardinality inputs (10-40 values here; the distinct() shuffle
-    * reduces to that before the window sees it). A 100 TB-scale dictionary
-    * over a high-cardinality key should switch to hash ids or
-    * zipWithIndex-style assignment instead; this operator intentionally
-    * matches the reference's sorted-rank contract.
+    * reduces to that before the index pass sees it). It was previously a
+    * global `row_number` window, which computes the same thing but logs
+    * Spark's single-partition-window performance warning on every run; the
+    * explicit sort + stateful scan is the same one-task work without
+    * pretending to be a general window. A 100 TB-scale dictionary over a
+    * high-cardinality key should switch to hash ids or [[Rank.groupRanks]]
+    * instead; this operator intentionally matches the reference's
+    * sorted-rank contract.
     */
-  def dictionary(df: DataFrame, column: String, idName: String, nameName: String): DataFrame =
-    df.select(col(column).as(nameName))
+  def dictionary(df: DataFrame, column: String, idName: String, nameName: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val distinctVals = df.select(col(column).as(nameName))
       .where(col(nameName).isNotNull)
       .distinct()
-      .withColumn(idName, row_number().over(Window.orderBy(col(nameName))).cast("int"))
-      .select(col(idName), col(nameName))
+    val outSchema = StructType(
+      StructField(idName, IntegerType, nullable = false) +: distinctVals.schema.fields)
+    distinctVals
+      .repartition(1)
+      .sortWithinPartitions(col(nameName))
+      .mapPartitions { it =>
+        var i = 0
+        it.map { row => i += 1; Row.fromSeq(i +: row.toSeq) }
+      }(Encoders.row(outSchema))
       .orderBy(col(idName))
+  }
 
   /** P5 (`MapReduceJobBase.getKeyDate`/`formatKey`): normalize a timestamp to
     * the reference's `yyyy/MM/dd` sort-stable string key. */
@@ -115,10 +128,14 @@ object Parity {
     */
   def dailyCubeIndexed(events: DataFrame): DataFrame = {
     val cube = dailyCube(events)
-    val catDict = dictionary(events, "event_type", "category_id", "event_type")
-    val distDict = dictionary(
-      events.select(districtOf(col("user_id")).as("district")), "district",
-      "district_id", "district")
+    // dictionaries from the AGGREGATE's distinct values, not the raw events:
+    // the cube already holds every (event_type, district) that occurs, so the
+    // dictionary distinct() runs over ~1.5k cube rows instead of re-scanning
+    // the full events table twice — identical id assignment, two fewer
+    // full-table scans (the difference between metadata work and 2 extra
+    // corpus passes at 100 TB)
+    val catDict = dictionary(cube, "event_type", "category_id", "event_type")
+    val distDict = dictionary(cube, "district", "district_id", "district")
     cube
       .join(broadcast(catDict), "event_type")
       .join(broadcast(distDict), "district")

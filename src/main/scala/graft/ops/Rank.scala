@@ -73,8 +73,12 @@ object Rank {
     // in pid order (range partitioning makes pid order == value order). The
     // metadata branch re-traverses the sorted input (AQE reuses the range
     // exchange); callers ranking an expensive upstream should persist it.
-    val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
-    val nW = Window.partitionBy(groupCols.map(col): _*)
+    // empty groupCols: partition the (P-row) offsets window by a constant —
+    // same single partition, but declared, so Spark doesn't log its
+    // single-partition-window warning for what is bounded metadata by design
+    val partCols = if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
+    val cntW = Window.partitionBy(partCols: _*).orderBy(col("_pid"))
+    val nW = Window.partitionBy(partCols: _*)
     val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
       .agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
@@ -120,7 +124,8 @@ object Rank {
         Row.fromSeq(row.toSeq :+ pid :+ s)
       }
     }(Encoders.row(outSchema))
-    val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
+    val partCols = if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
+    val cntW = Window.partitionBy(partCols: _*).orderBy(col("_pid"))
     val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
       .agg(sum(col(valueCol).cast("long")).as("_psum"))
       .withColumn("_offset", sum(col("_psum")).over(cntW) - col("_psum"))

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions._
 
@@ -49,11 +48,8 @@ object Star {
     // to the column formula in ExpressionsSpec, and this keeps the custom
     // expression on the oracle-gated path
     graft.plans.GraftExtensions.ensureRegistered(orders.sparkSession)
-    orders
-      .select(to_date(col("o_orderdate")).as("d"))
-      .where(col("d").isNotNull)
-      .distinct()
-      .withColumn("time_id", row_number().over(Window.orderBy(col("d"))).cast("int"))
+    Parity.dictionary(
+        orders.select(to_date(col("o_orderdate")).as("d")), "d", "time_id", "d")
       .select(
         col("time_id"), col("d"),
         year(col("d")).as("year"),
@@ -68,21 +64,45 @@ object Star {
     * Aggregates FIRST (shrinking to cube cardinality), then broadcast-joins
     * ids onto the aggregate — the fact-source scan shuffles exactly once.
     */
-  def fact(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+  def fact(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    factParts(orders, customer, nation)._1
+      .select("crimes", "district_id", "category_id", "time_id")
+      .orderBy("time_id", "category_id", "district_id")
+
+  /** The fact aggregate with surrogate ids resolved, plus the three dims —
+    * shared by [[fact]] and the [[sumByCategory]]/[[sumByDistrict]] reports
+    * so the report's name join reuses the SAME dim plan instead of
+    * re-deriving it from another scan of the source.
+    *
+    * The category and time dictionaries are computed from the AGGREGATE's
+    * distinct values, not by re-scanning `orders`: TESTDATA (and any star
+    * ETL with intact foreign keys) has every order matched by a customer, so
+    * the post-join aggregate holds exactly the distinct (category, date)
+    * sets of the source and the id assignment is identical — while the
+    * distinct() now runs over cube-cardinality rows, and Spark's
+    * ReuseExchange evaluates the aggregate's shuffle ONCE across the fact
+    * branch and both dictionary branches. The previous form re-scanned the
+    * fact source twice more for the dictionaries alone — 2 extra corpus
+    * passes at 100 TB. */
+  private[ops] def factParts(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val src = ordersWithDistrict(orders, customer, nation)
       .select(
         to_date(col("o_orderdate")).as("d"),
         col("o_orderpriority").as("category"),
         col("n_name").as("district"))
     val agg = src.groupBy("d", "category", "district").agg(count(lit(1)).as("crimes"))
-    agg
-      .join(broadcast(dimCategory(orders)), agg("category") === col("name"))
+    val catDict = Parity.dictionary(agg, "category", "category_id", "name")
+    val distDict = dimDistrict(nation)
+    val timeDict = Parity.dictionary(agg, "d", "time_id", "td")
+    val withIds = agg
+      .join(broadcast(catDict), agg("category") === col("name"))
       .drop("name")
-      .join(broadcast(dimDistrict(nation)), agg("district") === col("name"))
+      .join(broadcast(distDict), agg("district") === col("name"))
       .drop("name")
-      .join(broadcast(dimTime(orders).select("time_id", "d")), Seq("d"))
-      .select("crimes", "district_id", "category_id", "time_id")
-      .orderBy("time_id", "category_id", "district_id")
+      .join(broadcast(timeDict), agg("d") === col("td"))
+      .drop("td")
+    (withIds, catDict, distDict, timeDict)
   }
 
   /** A5 / bycategory.mdx: sum of the measure by category for one year slice,
@@ -98,8 +118,9 @@ object Star {
   def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
-    fact(ordersY, customer, nation)
-      .join(broadcast(dimCategory(ordersY)), "category_id")
+    val (withIds, catDict, _, _) = factParts(ordersY, customer, nation)
+    withIds.select("crimes", "category_id")
+      .join(broadcast(catDict), "category_id")
       .groupBy("name")
       .agg(sum("crimes").as("crimes"))
       .orderBy("name")
@@ -109,8 +130,9 @@ object Star {
   def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
-    fact(ordersY, customer, nation)
-      .join(broadcast(dimDistrict(nation)), "district_id")
+    val (withIds, _, distDict, _) = factParts(ordersY, customer, nation)
+    withIds.select("crimes", "district_id")
+      .join(broadcast(distDict), "district_id")
       .groupBy("name")
       .agg(sum("crimes").as("crimes"))
       .orderBy("name")
