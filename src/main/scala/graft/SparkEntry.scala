@@ -552,6 +552,21 @@ object SparkEntry {
     "agg_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the HLL estimate itself is engine-specific; the oracle recomputes the
+    // exact count and expects the engine's within-2.5σ contract flag to hold
+    "agg_approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        |  1 AS hll_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same contract-check pattern for the GK quantile sketch: exact quartiles
+    // value-compared, the rank-error-bound flags expected true
+    "agg_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_exact,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_exact,
+        |  1 AS p25_in_bound, 1 AS p50_in_bound, 1 AS p75_in_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_top_user_per_type" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS n
         |           FROM events GROUP BY 1, 2)
