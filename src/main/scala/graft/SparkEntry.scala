@@ -8,10 +8,12 @@ import graft.ops._
   *
   * Every operator from SURVEY.md §2 (reference parity + LLM-pipeline
   * extensions) is exposed as a named query over the TESTDATA tables, with a
-  * DuckDB-dialect oracle in [[oracleSql]] wherever the semantics are
-  * ANSI-expressible. Queries whose values are engine-specific (xxhash64-based
-  * signatures, HLL sketches, the stubbed media decoder) carry no oracle and
-  * get the driver's rows-only check.
+  * DuckDB-dialect oracle in [[oracleSql]] for EVERY query: hash/signature
+  * pipelines use cross-engine-reproducible polynomial arithmetic (residue
+  * folds with literal coefficients embedded in the generated SQL), and the
+  * inherently engine-specific sketch VALUES (HLL, GK quantiles) are oracled
+  * through their published error contracts (exact aggregate value-compared,
+  * bound flags expected true).
   *
   * Oracle-matching rules applied throughout (SURVEY.md §7.5):
   *   - identical column NAMES on both sides (the driver sorts columns by name
@@ -721,6 +723,76 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    // the full MinHash+LSH path — polynomial shingle hash, seeded universal
+    // slot family (coefficients embedded as literals), band fold, bucket
+    // pairing with the size cap, exact token-set intersect/union on the
+    // candidates — re-derived end-to-end in DuckDB SQL
+    "dedup_minhash_lsh" -> {
+      val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
+      val sigCols = (0 until 32)
+        .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
+        .mkString(",\n  ")
+      val bandSelects = (0 until 8).map { j =>
+        val fold = (0 until 4).map(r => s"s${j * 4 + r}")
+          .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
+            s"(($acc * 1000003 + $s) % 2147483647)")
+        s"SELECT doc_id, $j AS band_idx, $fold AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
+         |       FROM t),
+         |hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         [ord(s[i:i]) for i in range(1, length(s)+1)]),
+         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM hb GROUP BY doc_id),
+         |band AS (
+         |  $bandSelects),
+         |bkt AS (SELECT band_idx, bh FROM band GROUP BY band_idx, bh
+         |        HAVING count(*) BETWEEN 2 AND 1024),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM band x JOIN bkt USING (band_idx, bh)
+         |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
+         |                         AND y.doc_id > x.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_distinct(list_intersect(ta.toks, tb.toks))) AS INT) AS n_common,
+         |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS INT) AS n_union
+         |FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
+         |            JOIN t tb ON tb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // SimHash: dual-residue polynomial token hash, 64-slot bit votes,
+    // 16-bit chunk pigeonhole buckets, hamming verify — all integer
+    // arithmetic, re-derived in DuckDB
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |th AS (SELECT doc_id,
+         |         list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+         |       + list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629) AS h
+         |       FROM (SELECT doc_id, list_prepend(CAST(0 AS BIGINT),
+         |               [ord(tk[i:i]) for i in range(1, length(tk)+1)]) AS cs FROM tok)),
+         |v AS (SELECT doc_id, bits.j,
+         |        sum(CASE WHEN ((h >> bits.j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+         |      FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+         |      GROUP BY doc_id, bits.j),
+         |fp AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+         |       FROM v GROUP BY doc_id),
+         |ch AS (SELECT doc_id, fp, ci, (fp >> (ci * 16)) & 65535 AS chunk
+         |       FROM (SELECT doc_id, fp, unnest(range(4)) AS ci FROM fp)),
+         |bkt AS (SELECT ci, chunk FROM ch GROUP BY ci, chunk
+         |        HAVING count(*) BETWEEN 2 AND 1024),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            a.fp AS fa, b.fp AS fb
+         |          FROM ch a JOIN bkt USING (ci, chunk)
+         |               JOIN ch b ON b.ci = a.ci AND b.chunk = a.chunk
+         |                        AND b.doc_id > a.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+         |FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id,

@@ -80,13 +80,38 @@ object GraftFunctions {
   /** Mersenne prime 2^31-1: the modulus for the universal-hash MinHash
     * slots. All slot arithmetic stays below 2^62, so no Long overflow under
     * ANSI mode. */
-  private val MinhashP = 2147483647L
+  val MinhashP = 2147483647L
 
-  /** ONE xxhash64 per shingle, reduced mod p — materialize this with
-    * `withColumn` and feed it to [[minhash_slots]], so the k slots reuse the
-    * hashes instead of rehashing every shingle per slot. */
+  /** Seeded universal-hash coefficients (a_i, b_i) shared by the HOF slots,
+    * the fused native MinHashSignature expression, AND the generated DuckDB
+    * oracle SQL (which embeds them as literals) — one stream, three
+    * consumers, so the signature is cross-engine reproducible. */
+  def minhashCoeffs(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(0x5EED)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    (0 until k).foreach { i =>
+      a(i) = 1L + rnd.nextLong(MinhashP - 1); b(i) = rnd.nextLong(MinhashP)
+    }
+    (a, b)
+  }
+
+  /** Single-residue polynomial hash of a string column:
+    * foldLeft(0)((acc, c) => (acc * mult + code(c)) mod p) over its chars —
+    * plain integer arithmetic any engine reproduces exactly (the
+    * cross-engine requirement that rules out xxhash64 here). */
+  private[functions] def polyResidue(s: Column, mult: Long, p: Long): Column = {
+    val chars = filter(split(s, ""), c => length(c) > 0)
+    aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
+  }
+
+  /** ONE polynomial base hash per shingle (mult 31, mod 2^31-1) —
+    * materialize this with `withColumn` and feed it to [[minhash_slots]], so
+    * the k slots reuse the hashes instead of rehashing every shingle per
+    * slot. Previously xxhash64 mod p; the polynomial residue makes the whole
+    * MinHash pipeline DuckDB-oracle-reproducible, and the universal family
+    * below supplies the spread a single weak base hash lacks. */
   def shingle_hashes(sh: Column): Column =
-    transform(sh, s => pmod(xxhash64(s), lit(MinhashP)))
+    transform(sh, s => polyResidue(s, 31L, MinhashP))
 
   /** MinHash signature over precomputed shingle hashes: slot i =
     * min over shingles of (a_i * h + b_i) mod p — the standard universal
@@ -95,11 +120,9 @@ object GraftFunctions {
     * shingle with small halves win every slot (measured 0/32 near-dup slot
     * agreement vs the expected ≈ Jaccard × 32). */
   def minhash_slots(hs: Column, k: Int): Column = {
-    val rnd = new scala.util.Random(0x5EED)
-    array((0 until k).map { _ =>
-      val a = 1L + rnd.nextLong(MinhashP - 1)
-      val b = rnd.nextLong(MinhashP)
-      array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
+    val (as, bs) = minhashCoeffs(k)
+    array((0 until k).map { i =>
+      array_min(transform(hs, h => pmod(lit(as(i)) * h + lit(bs(i)), lit(MinhashP))))
     }: _*)
   }
 
@@ -109,24 +132,32 @@ object GraftFunctions {
     minhash_slots(shingle_hashes(sh), k)
 
   /** Group a MinHash signature into `bands` band-hashes for LSH bucketing:
-    * band j = xxhash64 over its `rowsPerBand` signature slots. Two docs land
-    * in the same (band index, band hash) bucket iff a band matches exactly.
-    */
+    * band j = polynomial fold over its `rowsPerBand` signature slots
+    * (acc·1000003 + slot, mod 2^31-1 — every intermediate < 2^52,
+    * ANSI-safe). Two docs land in the same (band index, band hash) bucket
+    * iff a band matches exactly; the band index is part of the bucket key,
+    * so the fold needs no per-band seed. Previously xxhash64 over the slots
+    * — the fold is the cross-engine-reproducible form. */
   def minhash_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { j =>
-      val slots = (0 until rowsPerBand)
+      (0 until rowsPerBand)
         .map(r => element_at(sig, j * rowsPerBand + r + 1))
-      xxhash64(lit(j) +: slots: _*)
+        .foldLeft(lit(0L): Column)((acc, s) =>
+          (acc * lit(1000003L) + s) % lit(MinhashP))
     }: _*)
 
-  /** 64-bit SimHash over a token array: per token, xxhash64 bits vote +1/-1
-    * per bit position; final bit j is set iff the vote sum is positive.
-    * Composed entirely from higher-order functions — per-row, shuffle-free.
-    */
+  /** 64-bit SimHash over a token array: per token, the dual-residue
+    * polynomial hash's bits (62 effective — bits 62/63 are always 0, so
+    * they never set) vote +1/-1 per bit position; final bit j is set iff
+    * the vote sum is positive. Composed entirely from higher-order
+    * functions — per-row, shuffle-free. Previously xxhash64 per token; the
+    * polynomial hash makes the fingerprints DuckDB-oracle-reproducible. */
   def simhash64(toks: Column): Column = {
     // hash each token ONCE up front; the per-bit vote lambda then only does
     // shift/mask on the precomputed long (64× fewer hash evaluations)
-    val hashes = transform(toks, t => xxhash64(t))
+    val hashes = transform(toks, t =>
+      polyResidue(t, 31L, 2147483647L) * lit(2147483648L)
+        + polyResidue(t, 131L, 2147483629L))
     val votes = aggregate(
       hashes,
       array_repeat(lit(0), 64),

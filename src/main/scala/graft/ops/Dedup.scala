@@ -86,8 +86,12 @@ object Dedup {
     cand
       .join(toksDf.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), "doc_a")
       .join(toksDf.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), "doc_b")
+      // integer intersect/union counts, not the float ratio: exact in every
+      // engine (the jaccard value is n_common/n_union when a consumer wants
+      // it), which keeps the oracle compare free of float-rounding edges
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("toks_a"), col("toks_b")), 4).as("jaccard"))
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_common"),
+        size(array_union(col("toks_a"), col("toks_b"))).as("n_union"))
       .orderBy("doc_a", "doc_b")
   }
 

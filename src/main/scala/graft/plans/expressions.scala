@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
-  UnaryExpression, XXH64}
+  UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -82,19 +82,41 @@ object ExprUtil {
     h1 * 2147483648L + h2
   }
 
+  /** h1 residue alone (mult 31, mod 2^31-1) — the MinHash base hash, one
+    * pass over the bytes/chars like [[polyFingerprint]]. */
+  def polyH1(s: UTF8String): Long = {
+    var h1 = 0L
+    val nBytes = s.numBytes()
+    if (s.numChars() == nBytes) {
+      var i = 0
+      while (i < nBytes) {
+        h1 = (h1 * 31 + (s.getByte(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var i = 0
+      while (i < str.length) {
+        h1 = (h1 * 31 + str.charAt(i).toInt) % 2147483647L
+        i += 1
+      }
+    }
+    h1
+  }
+
   /** 64-bit SimHash over a token array, same semantics as
-    * GraftFunctions.simhash64 (xxhash64 seed 42 per token, +1/-1 bit votes,
-    * bit set iff vote sum positive). */
+    * GraftFunctions.simhash64 (dual-residue polynomial hash per token —
+    * 62 effective bits, DuckDB-reproducible — +1/-1 bit votes, bit set iff
+    * vote sum positive). */
   def simhash(toks: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      // null token: Spark's xxhash64 leaves the seed unchanged for null
-      // input, so the HOF formulation scores it as hash==42 — match that
-      // instead of NPEing on getUTF8String
+      // null token: the HOF formulation's char fold yields NULL, whose bit
+      // tests all vote -1 — identical to hashing as 0 here
       val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
-      val h = if (t == null) 42L else XXH64.hashUTF8String(t, 42L)
+      val h = if (t == null) 0L else polyFingerprint(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -164,8 +186,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * form (shingles via concat_ws-over-slices + per-slot transform) allocates
   * a shingle array plus k hash arrays per row through interpreted lambdas —
   * measured ~8 s of the sf0.1 bench on its own. Value-identical to
-  * GraftFunctions.shingle_hashes + minhash_slots (same xxhash64 seed, same
-  * seeded universal-hash coefficients — asserted in ExpressionsSpec). */
+  * GraftFunctions.shingle_hashes + minhash_slots (same polynomial base
+  * hash, same seeded universal-hash coefficients — asserted in
+  * ExpressionsSpec). */
 case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -176,13 +199,9 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
   override def prettyName: String = "minhash_sig"
 
   private val p = 2147483647L
-  // same coefficient stream as GraftFunctions.minhash_slots
-  private lazy val (coeffA, coeffB) = {
-    val rnd = new scala.util.Random(0x5EED)
-    val a = new Array[Long](k); val b = new Array[Long](k)
-    (0 until k).foreach { i => a(i) = 1L + rnd.nextLong(p - 1); b(i) = rnd.nextLong(p) }
-    (a, b)
-  }
+  // same coefficient stream as GraftFunctions.minhash_slots and the
+  // generated DuckDB oracle literals
+  private lazy val (coeffA, coeffB) = graft.functions.GraftFunctions.minhashCoeffs(k)
   private lazy val space = UTF8String.fromString(" ")
 
   /** Called from both interpreted eval and generated code. */
@@ -195,8 +214,10 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
     while (s < nShingles) {
       var j = 0
       while (j < window.length) { window(j) = toks.getUTF8String(s + j); j += 1 }
-      val h = XXH64.hashUTF8String(UTF8String.concatWs(space, window: _*), 42L)
-      val base = java.lang.Math.floorMod(h, p)
+      // polynomial base hash (not xxhash64): cross-engine-reproducible, so
+      // the whole LSH path is DuckDB-oracled; the (a,b) family below
+      // supplies slot decorrelation
+      val base = ExprUtil.polyH1(UTF8String.concatWs(space, window: _*))
       var i = 0
       while (i < k) {
         val v = (coeffA(i) * base + coeffB(i)) % p
