@@ -103,6 +103,22 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       Relational.largeOrders(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d))),
+    "q4_priority_exists" -> ((s, d) =>
+      Relational.priorityExistsCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q12_linestatus_priority" -> ((s, d) =>
+      Relational.linestatusPriorityCounts(Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q16_part_supplier_counts" -> ((s, d) =>
+      Relational.partSupplierCounts(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q19_disjunctive_revenue" -> ((s, d) =>
+      Relational.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "agg_price_moments" -> ((s, d) =>
+      Relational.priceMoments(Tables.lineitem(s, d))),
+    "hist_price_bins" -> ((s, d) =>
+      Relational.priceHistogram(Tables.orders(s, d))),
+    "corpus_decontaminate_bloom" -> ((s, d) =>
+      Corpus.decontaminateBloom(Tables.documents(s, d))),
+    "layout_zorder_key" -> ((s, d) =>
+      Layout.zorderOrders(Tables.orders(s, d))),
     "text_token_positions" -> ((s, d) =>
       TextOps.tokenPositions(Tables.documents(s, d))),
     "agg_distinct_users" -> ((s, d) => Relational.distinctUsers(Tables.events(s, d))),
@@ -536,6 +552,63 @@ object SparkEntry {
         |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
         |              JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_orderkey""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE year(o_orderdate) = 1996
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q12_linestatus_priority" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE year(l.l_shipdate) = 1996
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1'
+        |GROUP BY 1, 2 ORDER BY p_brand, p_size""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 15)
+         |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25)
+         |   OR (p.p_size >= 40 AND l.l_quantity >= 30)
+         |ORDER BY revenue""".stripMargin,
+    // Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins
+    // bias-correct, so the oracle recomputes from explicit central moments
+    "agg_price_moments" ->
+      """WITH mu AS (SELECT l_returnflag, avg(l_extendedprice) AS mu
+        |            FROM lineitem GROUP BY 1),
+        |s AS (SELECT l.l_returnflag,
+        |        avg(pow(l.l_extendedprice - mu.mu, 2)) AS m2,
+        |        avg(pow(l.l_extendedprice - mu.mu, 3)) AS m3,
+        |        avg(pow(l.l_extendedprice - mu.mu, 4)) AS m4
+        |      FROM lineitem l JOIN mu ON l.l_returnflag = mu.l_returnflag
+        |      GROUP BY 1)
+        |SELECT l_returnflag, round(m3 / pow(m2, 1.5), 4) AS skew_price,
+        |  round(m4 / (m2 * m2) - 3, 4) AS kurt_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "hist_price_bins" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin, count(*) AS n,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "layout_zorder_key" -> {
+      val zTerms = (0 until 10).flatMap(i => Seq(
+        s"((x >> $i) & 1) * ${1L << (2 * i)}",
+        s"((y >> $i) & 1) * ${1L << (2 * i + 1)}")).mkString(" + ")
+      s"""WITH b AS (SELECT o_orderkey, o_custkey % 1024 AS x,
+         |             least(CAST(floor(o_totalprice / 500) AS BIGINT), 1023) AS y
+         |           FROM orders WHERE o_orderkey < 1000)
+         |SELECT o_orderkey, x, y, $zTerms AS z
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    },
     "text_token_positions" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents WHERE doc_id < 50)
          |SELECT doc_id, CAST(pos AS INT) AS pos, token FROM (
@@ -979,6 +1052,19 @@ object SparkEntry {
          |  CAST(off % 2048 AS INT) AS offset_in_pack
          |FROM o ORDER BY source, doc_id""".stripMargin,
     "corpus_decontaminate" ->
+      s"""WITH g AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END) AS grams
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 5),
+         |tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 5)
+         |SELECT tr.doc_id, count(*) AS n_hits
+         |FROM tr JOIN bench USING (gram)
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // the bloom prefilter only PRUNES before the exact confirm join, so the
+    // result is identical to corpus_decontaminate — same oracle SQL
+    "corpus_decontaminate_bloom" ->
       s"""WITH g AS (SELECT doc_id, list_distinct(
          |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
          |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]

@@ -108,4 +108,37 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB form. A
+    * Bloom filter over the benchmark's grams is a few hundred KB where the
+    * exact gram set is GBs, so it ships to every task for free and drops
+    * ~(1-fpp) of non-matching corpus grams BEFORE they reach the join; the
+    * exact broadcast join then runs only on survivors and removes the false
+    * positives, so the result is IDENTICAL to [[decontaminate]] (the oracle
+    * runs the same SQL for both). This is the pattern Spark's own runtime
+    * bloom-filter join rule automates; built explicitly here because the
+    * benchmark set is known up front. The filter itself is built
+    * distributed (`stat.bloomFilter` aggregates per-partition filters) and
+    * probed via a lambda-free closure — the one deliberate non-codegen hop,
+    * confined to the already-exploded gram stream. */
+  def decontaminateBloom(documents: DataFrame, benchMaxDocId: Long = 5,
+      n: Int = 4, fpp: Double = 0.03): DataFrame = {
+    val grams = array_distinct(shingles(tokens(col("text")), n))
+    val bench = documents.where(col("doc_id") < benchMaxDocId)
+      .select(explode(grams).as("gram")).distinct()
+    val bf = bench.stat.bloomFilter("gram", 1 << 16, fpp)
+    val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+    val corpus = documents.where(col("doc_id") >= benchMaxDocId)
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores)
+      else corpus
+    spread
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .where(mightContain(col("gram")))
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
 }

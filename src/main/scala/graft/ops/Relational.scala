@@ -50,26 +50,47 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-shaped: 3-way join (broadcast dim, shuffled fact-fact), group,
-    * top-10 by revenue. Ties broken by key so the limit is deterministic. */
-  def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+  /** TPC-H Q3-shaped: top-10 orders by revenue among BUILDING-segment
+    * customers. Shaped as a runtime row-level filter + aggregate-then-join:
+    *
+    *   1. the qualifying order-key set (orders ⋈ broadcast filtered
+    *      customers) SEMI-joins into lineitem — a pure filter, no row
+    *      expansion, and a semi join always builds its right side, so the
+    *      planner can never decide to broadcast the fact table (the naive
+    *      inner-join form measurably did exactly that at bench scale:
+    *      lineitem's pruned projection slipped under the auto-broadcast
+    *      threshold);
+    *   2. revenue aggregates per order key over the surviving ~20 % of
+    *      lineitem — partial agg map-side, so the only full-width exchange
+    *      carries aggregated keys;
+    *   3. the aggregate joins back to the SAME qualifying-orders sub-plan
+    *      for the date (identical projection → ReuseExchange ships one
+    *      broadcast), and TakeOrdered picks the 10.
+    *
+    * This is the shape Spark's own runtime bloom filters synthesize for
+    * dim-filtered fact scans at cluster scale; expressing it directly keeps
+    * the plan stable with or without that rule firing. Ties broken by key
+    * so the limit is deterministic. */
+  def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bld = orders
+      .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")), orders("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
     lineitem
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
             .cast("decimal(5,2)"))
           .as("rev"))
-      .join(
-        orders
-          .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")
-            .select("c_custkey")), orders("o_custkey") === col("c_custkey"))
-          .select("o_orderkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey")
-      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"),
-        first(to_date(col("o_orderdate"))).as("o_orderdate"))
+      .join(bld, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_orderkey")
+      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"))
+      .join(bld, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
+  }
 
   /** TPC-H Q5-shaped: 6-way star join — revenue from "local" suppliers
     * (customer and supplier in the same nation) per nation, one region and
@@ -344,6 +365,107 @@ object Relational {
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
       .orderBy("o_orderkey")
   }
+
+  /** TPC-H Q4-shaped EXISTS: orders of one year slice having at least one
+    * high-quantity lineitem, counted per priority. The EXISTS is a left-semi
+    * join against the filtered lineitem keys — a pure filter (no row
+    * expansion, no lineitem columns past the join), and the quantity
+    * predicate pushes into the lineitem scan so only qualifying keys ever
+    * leave it. */
+  def priorityExistsCounts(orders: DataFrame, lineitem: DataFrame,
+      yearSlice: Int = 1996, minQty: Int = 45): DataFrame =
+    orders.where(year(col("o_orderdate")) === yearSlice)
+      .join(lineitem.where(col("l_quantity") >= minQty).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q12-shaped conditional aggregation: per line status, how many
+    * shipped lines belong to high- vs low-priority orders — CASE sums over
+    * a fact-fact join. Both sides project to (key + 1 column) before the
+    * join, so the shuffle carries the minimum; at cluster scale this is the
+    * join both tables would be bucketed on. */
+  def linestatusPriorityCounts(lineitem: DataFrame, orders: DataFrame,
+      yearSlice: Int = 1996): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem.where(year(col("l_shipdate")) === yearSlice)
+      .select("l_orderkey", "l_linestatus")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_count"),
+        sum(when(high, 0).otherwise(1)).as("low_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q16-shaped: distinct supplier count per (brand, size) over the
+    * parts actually traded, excluding one brand (the NOT-IN side). The
+    * (partkey, suppkey) pairs dedupe BEFORE the join — map-side-combined
+    * distinct, the cheapest place to drop duplicates — and part is a
+    * broadcast dim. */
+  def partSupplierCounts(lineitem: DataFrame, part: DataFrame,
+      excludeBrand: String = "Brand#1"): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(part.where(col("p_brand") =!= excludeBrand)
+        .select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy("p_brand", "p_size")
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: an OR of per-branch
+    * AND conjunctions spanning both tables. The predicate cannot split
+    * across the join (each branch mixes lineitem and part columns), so it
+    * evaluates right above a broadcast join — one pass, no shuffle, and the
+    * single-row aggregate is exact decimal cast to double at the boundary. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(12,2)")
+          * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
+            .cast("decimal(5,2)")).as("rev"))
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25)) ||
+        (col("p_size") >= 40 && col("l_quantity") >= 30))
+      .agg(
+        sum("rev").cast("decimal(18,4)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Higher-moment aggregate surface: per-group skewness and excess
+    * kurtosis (population moments, Spark's definition). The oracle
+    * recomputes them from explicit central moments — DuckDB's built-ins
+    * apply sample bias correction, a DIFFERENT statistic — rounded to 4
+    * because one-pass moment merging is partition-order-sensitive in the
+    * last ulps. */
+  def priceMoments(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(skewness(col("l_extendedprice")), 4).as("skew_price"),
+        round(kurtosis(col("l_extendedprice")), 4).as("kurt_price"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-width histogram: order-price counts and mass per 50k bin — the
+    * binned-aggregation shape behind every distribution dashboard. Pure
+    * per-row bin math (no windows, no joins); one aggregate shuffle over
+    * ≤ 12 bins. */
+  def priceHistogram(orders: DataFrame, binWidth: Int = 50000): DataFrame =
+    orders
+      .select(floor(col("o_totalprice") / binWidth).cast("int").as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("double").as("total_price"))
+      .orderBy("bin")
 
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
     * large side derives a deterministic salt from its full row hash, the

@@ -406,6 +406,35 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.userJourneys(noEvents).count() == 0)
   }
 
+  test("layout: zorderKey interleaves bits exactly (reference impl)") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L), (513L, 212L),
+      (7L, 1000L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y, 10),
+      s"zorder($x, $y)") }
+    // quadrant ordering: all-of-lower-left sorts before upper-right
+    assert(ref(511, 511, 10) < ref(512, 512, 10))
+  }
+
+  test("corpus: bloom-prefiltered decontaminate equals the exact form") {
+    val docs = (0L until 20L).map { i =>
+      val text =
+        if (i < 5) s"benchmark question number $i about topic ${i % 3} end"
+        else if (i % 4 == 0) s"training doc leaking benchmark question number ${i % 5} about topic ${i % 3} end"
+        else s"clean training document $i with entirely original content here"
+      (i, text, "s", "en")
+    }.toDF("doc_id", "text", "source", "lang")
+    val exact = Corpus.decontaminate(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Corpus.decontaminateBloom(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val docs = Seq((0L, "payload one", "s"), (1L, "payload two", "s"))
       .toDF("doc_id", "text", "source")
