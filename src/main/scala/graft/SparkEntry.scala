@@ -162,6 +162,13 @@ object SparkEntry {
       Dedup.sharedGramPairs(Tables.documents(s, d)).orderBy("doc_a", "doc_b")),
     "dedup_cluster_components" -> ((s, d) =>
       Dedup.connectedComponents(Dedup.sharedGramPairs(Tables.documents(s, d)))),
+    "dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.survivors(docs, Dedup.sharedGramPairs(docs))
+    }),
+    "text_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
+    "join_salted_skew" -> ((s, d) =>
+      Relational.saltedFlagRollup(s, Tables.lineitem(s, d))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
@@ -912,6 +919,47 @@ object SparkEntry {
          |  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    // survivors = docs minus every clustered non-representative; the
+    // cluster labels come from the same recursive-CTE fixpoint as
+    // dedup_cluster_components
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE g0 AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END)) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |f AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+         |x AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |v AS (SELECT DISTINCT s AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM v
+         |  UNION
+         |  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "text_token_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |        sum(n * ln(n)) AS s FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  round(ln(n_tokens) - s / n_tokens, 6) AS entropy
+         |FROM a ORDER BY doc_id""".stripMargin,
+    // the salt only spreads reducers; the aggregate equals the plain join
+    "join_salted_skew" ->
+      """WITH dim(l_returnflag, label) AS (VALUES
+        |  ('A', 'returned'), ('N', 'normal'), ('R', 'refused'))
+        |SELECT l.l_returnflag, d.label, count(*) AS n,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos

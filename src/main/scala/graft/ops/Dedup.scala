@@ -213,6 +213,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The end of the dedup pipeline: the KEPT corpus. Near-dup pairs →
+    * connected components → drop every clustered doc except its
+    * representative (the component's min id, which IS `cluster_id`);
+    * unclustered docs survive untouched. One left-anti join against the
+    * (tiny relative to the corpus) drop set — the decision step that turns
+    * pairwise similarity into an actual deduplicated 100 TB corpus. */
+  def survivors(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val drops = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    documents.select("doc_id", "source")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over a deterministic pair set (adjacent doc_ids) —
     * the SQL-expressible ground truth the LSH variants approximate, and the
     * DuckDB-oracle anchor for the similarity math. */

@@ -481,6 +481,26 @@ object Relational {
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** [[saltedJoin]] exercised end-to-end as a query: the return flag is the
+    * worst-case skewed key (THREE distinct values — a plain key-partitioned
+    * join would run on 3 reducers at any scale), the label table the
+    * replicated small side. The salt spreads each hot key over 8 reducers;
+    * the aggregate over the salted join is row-identical to the plain join,
+    * which is exactly what the oracle runs. */
+  def saltedFlagRollup(spark: org.apache.spark.sql.SparkSession,
+      lineitem: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("A", "returned"), ("N", "normal"), ("R", "refused"))
+      .toDF("l_returnflag", "label")
+    saltedJoin(lineitem.select(col("l_returnflag"), col("l_quantity")),
+        dim, "l_returnflag", 8)
+      .groupBy("l_returnflag", "label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)"))
+          .cast("decimal(18,2)").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Statistical aggregate surface: sample stddev/variance, correlation and
     * covariance per group. One-pass (Welford-style) in both engines; rounded
     * to 4 decimals because the merge order of partial moments legitimately

@@ -226,4 +226,24 @@ object TextOps {
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
       .orderBy("token")
+
+  /** Per-doc Shannon entropy over the token distribution — the
+    * perplexity-proxy signal quality pipelines threshold on (low-entropy ≈
+    * repetitive/templated text). Algebraic form `ln N − Σ n·ln n / N` over
+    * integer counts, so the only float work is a fixed-shape expression
+    * both engines evaluate identically (rounded to 6 for summation-order
+    * noise). Explode + two integer aggregations — partial agg keeps the
+    * (doc, token) shuffle at distinct-token volume. */
+  def tokenEntropy(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"),
+        sum(col("n").cast("double") * log(col("n").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_tokens").cast("double"))
+          - col("s") / col("n_tokens").cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
 }
