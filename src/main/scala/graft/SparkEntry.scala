@@ -171,6 +171,9 @@ object SparkEntry {
       Relational.saltedFlagRollup(s, Tables.lineitem(s, d))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
+    "sim_quantized_cosine" -> ((s, d) =>
+      SimSearch.quantizedCosineAdjacent(Tables.embeddings(s, d))),
+    "corpus_checksum" -> ((s, d) => Corpus.checksum(Tables.documents(s, d))),
     "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     // ---- text analysis (SURVEY §2.6)
@@ -966,6 +969,46 @@ object SparkEntry {
          |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
          |WHERE ${cosSql("a.emb", "b.emb")} >= 0.3
          |ORDER BY vec_a""".stripMargin,
+    // int8 quantization: the scales cancel out of the cosine, so cos_q8 is
+    // pure integer-derived arithmetic — reproduced exactly from the same
+    // half-up-rounded quantized vectors
+    "sim_quantized_cosine" -> {
+      def idot(x: String, y: String) =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(range(1, 65), i -> $x[i] * $y[i])), (a, b) -> a + b)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |sc AS (SELECT vec_id, emb,
+         |         list_max(list_transform(emb, x -> abs(x))) / 127 AS s FROM e),
+         |q AS (SELECT vec_id, emb,
+         |        CASE WHEN s = 0 THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+         |             ELSE list_transform(emb, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+         |        END AS qv FROM sc),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        a.emb AS ea, b.emb AS eb, a.qv AS qa, b.qv AS qb
+         |      FROM q a JOIN q b ON b.vec_id = a.vec_id + 1)
+         |SELECT vec_a, vec_b,
+         |  ${cosSql("ea", "eb")} AS cos_exact,
+         |  round(CASE WHEN sqrt(${idot("qa", "qa")}) * sqrt(${idot("qb", "qb")}) = 0
+         |        THEN 0.0
+         |        ELSE ${idot("qa", "qb")} /
+         |          (sqrt(${idot("qa", "qa")}) * sqrt(${idot("qb", "qb")})) END, 6)
+         |    AS cos_q8
+         |FROM p ORDER BY vec_a""".stripMargin
+    },
+    // commutative fingerprint sum: order/partitioning-free, so both engines
+    // agree without any ordering assumption inside the aggregate
+    "corpus_checksum" ->
+      """WITH c AS (SELECT source, list_prepend(CAST(0 AS BIGINT),
+        |        [ord(text[i:i]) for i in range(1, length(text)+1)]) AS cs
+        |      FROM documents),
+        |h AS (SELECT source,
+        |        (list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+        |         + list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629))
+        |          % 2147483647 AS hr
+        |      FROM c)
+        |SELECT source, count(*) AS n_docs, CAST(sum(hr) AS BIGINT) AS checksum,
+        |  min(hr) AS h_min, max(hr) AS h_max
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),

@@ -109,6 +109,26 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Order-independent per-source corpus checksum: the integrity check run
+    * after every 100 TB copy/migration — a commutative reduction (sum of
+    * per-doc polynomial fingerprints mod 2^31-1) is partition- and
+    * arrival-order-free, so any two runs over the same rows agree no matter
+    * the partitioning, and a single flipped byte changes the sum. Min/max
+    * fingerprints come along as cheap spot-check anchors. The residue keeps
+    * the sum below 2^44 at any realistic doc count — ANSI-overflow-safe. */
+  def checksum(documents: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    val h = call_function("poly_fp", col("text"))
+    documents
+      .select(col("source"), (h % 2147483647L).as("hr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("hr")).as("checksum"),
+        min(col("hr")).as("h_min"),
+        max(col("hr")).as("h_max"))
+      .orderBy("source")
+  }
+
   /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB form. A
     * Bloom filter over the benchmark's grams is a few hundred KB where the
     * exact gram set is GBs, so it ships to every task for free and drops

@@ -181,4 +181,47 @@ object SimSearch {
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Symmetric per-vector int8 quantization of `emb` (double elements):
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5) — half-up, the
+    * rounding both engines reproduce exactly. Zero vectors quantize to
+    * zeros. */
+  private def quantize8(emb: Column): Column = {
+    val scale = array_max(transform(emb, x => abs(x))) / 127d
+    when(scale === 0d, transform(emb, _ => lit(0L)))
+      .otherwise(transform(emb, x => floor(x / scale + 0.5d).cast("long")))
+  }
+
+  /** Int8-quantized cosine vs the exact cosine over a deterministic pair
+    * set (adjacent vec_ids) — the memory-bandwidth lever for ANN at scale:
+    * int8 vectors are 4× smaller than float32, and the scales cancel out of
+    * the cosine entirely (q·q' / (‖q‖‖q'‖)), so the quantized score is pure
+    * integer-derived arithmetic any engine reproduces bit-for-bit. Emitting
+    * both scores makes the oracle verify the quantization path itself AND
+    * exposes the quantization error for threshold tuning. */
+  def quantizedCosineAdjacent(embeddings: DataFrame): DataFrame = {
+    GraftExtensions.ensureRegistered(embeddings.sparkSession)
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      quantize8(asDouble).as("q"))
+    val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("q").as("q_a"))
+    val b = base.select((col("vec_id") - 1).as("vec_a"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("q").as("q_b"))
+    def idot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+    a.join(b, "vec_a")
+      .select(col("vec_a"), col("vec_b"),
+        round(call_function("cosine_sim", col("emb_a"), col("emb_b")), 6)
+          .as("cos_exact"),
+        {
+          val denom = sqrt(idot(col("q_a"), col("q_a")).cast("double")) *
+            sqrt(idot(col("q_b"), col("q_b")).cast("double"))
+          // zero-vector guard mirrors cosine_sim's 0.0-not-NaN contract
+          round(when(denom === 0d, lit(0d))
+            .otherwise(idot(col("q_a"), col("q_b")).cast("double") / denom), 6)
+            .as("cos_q8")
+        })
+      .orderBy("vec_a")
+  }
 }
