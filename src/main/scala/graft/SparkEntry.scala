@@ -113,6 +113,8 @@ object SparkEntry {
       Relational.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "agg_price_moments" -> ((s, d) =>
       Relational.priceMoments(Tables.lineitem(s, d))),
+    "anomaly_zscore" -> ((s, d) =>
+      Relational.valueOutliers(Tables.events(s, d))),
     "hist_price_bins" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
     "corpus_decontaminate_bloom" -> ((s, d) =>
@@ -604,6 +606,16 @@ object SparkEntry {
         |SELECT l_returnflag, round(m3 / pow(m2, 1.5), 4) AS skew_price,
         |  round(m4 / (m2 * m2) - 3, 4) AS kurt_price
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // z rounded to 6 BEFORE the threshold on both sides: the keep/drop
+    // decision then never depends on last-ulp variance differences
+    "anomaly_zscore" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |              stddev_samp(value) AS sd FROM events GROUP BY 1)
+        |SELECT e.event_type, e.event_id, round(e.value, 6) AS value,
+        |  round((e.value - st.mu) / st.sd, 6) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(round((e.value - st.mu) / st.sd, 6)) > 3.0
+        |ORDER BY event_type, event_id""".stripMargin,
     "hist_price_bins" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin, count(*) AS n,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -436,6 +436,25 @@ object Relational {
         sum("rev").cast("decimal(18,4)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** Per-group z-score outlier detection: events whose value deviates more
+    * than `threshold` standard deviations from their type's mean — the
+    * data-quality screen every ingest runs. Group stats are a tiny
+    * aggregate broadcast back onto the stream (two scans, zero wide
+    * shuffles); the z-score is rounded to 6 BEFORE thresholding so the
+    * keep/drop decision is identical in any engine (raw one-pass variance
+    * differs in the last ulps between implementations). */
+  def valueOutliers(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
+      .where(abs(col("z")) > threshold)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("z"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Higher-moment aggregate surface: per-group skewness and excess
     * kurtosis (population moments, Spark's definition). The oracle
     * recomputes them from explicit central moments — DuckDB's built-ins
