@@ -46,11 +46,14 @@ object SparkEntry {
     "a3_daily_cube_indexed" -> ((s, d) => Parity.dailyCubeIndexed(Tables.events(s, d))),
     "a4_category_totals" -> ((s, d) => Parity.categoryTotals(Tables.events(s, d))),
     "a6_dict_event_type" -> ((s, d) =>
-      Parity.dictionary(Tables.events(s, d), "event_type", "id", "name")),
+      Parity.dictionary(Tables.events(s, d), "event_type", "id", "name")
+        .orderBy("id")),
     "p5_date_normalize" -> ((s, d) => Parity.dateNormalize(Tables.events(s, d))),
     // ---- star-schema ETL + OLAP (LoadStarDB / Mondrian, SURVEY §2.3-A5 §3.3)
-    "star_dim_category" -> ((s, d) => Star.dimCategory(Tables.orders(s, d))),
-    "star_dim_district" -> ((s, d) => Star.dimDistrict(Tables.nation(s, d))),
+    "star_dim_category" -> ((s, d) =>
+      Star.dimCategory(Tables.orders(s, d)).orderBy("category_id")),
+    "star_dim_district" -> ((s, d) =>
+      Star.dimDistrict(Tables.nation(s, d)).orderBy("district_id")),
     "star_dim_time" -> ((s, d) => Star.dimTime(Tables.orders(s, d))),
     "star_fact" -> ((s, d) =>
       Star.fact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),

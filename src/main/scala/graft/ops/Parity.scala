@@ -103,14 +103,21 @@ object Parity {
       .distinct()
     val outSchema = StructType(
       StructField(idName, IntegerType, nullable = false) +: distinctVals.schema.fields)
+    // coalesce, not repartition: a narrow merge of the distinct's output
+    // partitions into the one id-assignment task — no extra exchange round
+    // (measured ~0.2 s per dictionary in stage overhead). No trailing
+    // orderBy either: the single output partition is emitted already
+    // sorted; query-boundary callers that EXPOSE a dictionary add their own
+    // explicit sort (driver rule: total ORDER BY at the output boundary),
+    // while plan-internal callers (broadcast dim joins) would pay a range
+    // exchange for nothing.
     distinctVals
-      .repartition(1)
+      .coalesce(1)
       .sortWithinPartitions(col(nameName))
       .mapPartitions { it =>
         var i = 0
         it.map { row => i += 1; Row.fromSeq(i +: row.toSeq) }
       }(Encoders.row(outSchema))
-      .orderBy(col(idName))
   }
 
   /** P5 (`MapReduceJobBase.getKeyDate`/`formatKey`): normalize a timestamp to
