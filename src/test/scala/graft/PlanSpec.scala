@@ -28,6 +28,44 @@ class PlanSpec extends AnyFunSuite {
       Tables.lineitem(spark, TestSpark.sf0001)))
     assert(p.contains("BroadcastHashJoin"))
     assert(p.contains("TakeOrderedAndProject"))
+    // the fact table must never be a broadcast build side: the semi-filter
+    // shape guarantees it (a LeftSemi builds RIGHT), and no join in the
+    // plan may build a lineitem-derived side. BuildLeft appears only for
+    // the post-aggregate (≤ |orders|) revenue table join.
+    assert(p.contains("LeftSemi"), s"semi runtime-filter lost:\n$p")
+    assert(!"BroadcastExchange[\\s\\S]{0,400}?l_extendedprice".r
+      .findFirstIn(p).isDefined || !p.contains("LeftSemi, BuildLeft"),
+      s"lineitem projection must not broadcast:\n$p")
+  }
+
+  test("zorder layout: repartitionByRange(z) clusters both dimensions") {
+    // after a range-repartition by the Morton key, each partition's (x, y)
+    // bounding box must be tighter than the global box — the min/max
+    // file-skipping property the layout exists for. Uniform 128×128 grid
+    // covering both 10-bit domains (sf0.001's custkey range is too narrow
+    // to exercise the x dimension).
+    val z = spark.range(128L * 128L)
+      .select(((col("id") % 128) * 8).as("x"),
+        ((col("id") / 128).cast("long") * 8).as("y"))
+      .withColumn("z", Layout.zorderKey(col("x"), col("y"), 10))
+    val parts = z.repartitionByRange(8, col("z"))
+      .select(col("x"), col("y"))
+      .mapPartitions { it =>
+        val xs = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (xs.isEmpty) Iterator.empty
+        else Iterator((xs.map(_._1).min, xs.map(_._1).max,
+          xs.map(_._2).min, xs.map(_._2).max, xs.size))
+      }(org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Int)])
+      .collect()
+    assert(parts.map(_._5).sum == z.count())
+    // average per-partition span strictly below the global span on BOTH
+    // interleaved dimensions (a single-column sort only achieves one)
+    val gx = parts.map(_._2).max - parts.map(_._1).min
+    val gy = parts.map(_._4).max - parts.map(_._3).min
+    val ax = parts.map(p => p._2 - p._1).sum.toDouble / parts.length
+    val ay = parts.map(p => p._4 - p._3).sum.toDouble / parts.length
+    assert(ax < gx * 0.8, s"x not clustered: avg span $ax vs global $gx")
+    assert(ay < gy * 0.8, s"y not clustered: avg span $ay vs global $gy")
   }
 
   test("star fact: dims broadcast, exactly one hash-partition shuffle for the cube") {
