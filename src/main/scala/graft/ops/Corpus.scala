@@ -146,6 +146,12 @@ object Corpus {
     val grams = array_distinct(shingles(tokens(col("text")), n))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
+    // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
+    // buffer); an empty benchmark means nothing can be contaminated
+    if (bench.isEmpty) {
+      return documents.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("n_hits")).limit(0)
+    }
     val bf = bench.stat.bloomFilter("gram", 1 << 16, fpp)
     val mightContain = udf((s: String) => s != null && bf.mightContain(s))
     val corpus = documents.where(col("doc_id") >= benchMaxDocId)

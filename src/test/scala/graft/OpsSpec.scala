@@ -404,6 +404,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.gapFillHourly(noEvents).count() == 0) // null spine → no rows
     assert(Relational.aboveAvgActivity(noEvents).count() == 0)
     assert(Relational.userJourneys(noEvents).count() == 0)
+    // round-3 operators
+    val noEventsV = noEvents.withColumn("value", lit(1.0))
+    val noOrders = Seq.empty[(Long, Long, Double, Timestamp, String)]
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+    assert(Dedup.survivors(noDocs, noPairs).count() == 0)
+    assert(TextOps.tokenEntropy(noDocs).count() == 0)
+    assert(Corpus.checksum(noDocs).count() == 0)
+    assert(Corpus.decontaminateBloom(noDocs).count() == 0)
+    assert(Relational.valueOutliers(noEventsV).count() == 0)
+    assert(Relational.priceHistogram(noOrders).count() == 0)
+    assert(Layout.zorderOrders(noOrders).count() == 0)
   }
 
   test("layout: zorderKey interleaves bits exactly (reference impl)") {
