@@ -151,6 +151,9 @@ object SparkEntry {
       Relational.movingAvgPrice(Tables.orders(s, d))),
     "win_first_last" -> ((s, d) => Relational.firstLastOrder(Tables.orders(s, d))),
     "ts_gap_fill_hourly" -> ((s, d) => Relational.gapFillHourly(Tables.events(s, d))),
+    "ts_rolling_7d_users" -> ((s, d) =>
+      Relational.rollingDistinctUsers(Tables.events(s, d))),
+    "ts_ewma_price" -> ((s, d) => Relational.ewmaPrice(Tables.orders(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
     // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
@@ -794,6 +797,22 @@ object SparkEntry {
         |FROM h CROSS JOIN t
         |LEFT JOIN s ON s.hour = h.hour AND s.event_type = t.event_type
         |ORDER BY h.hour, t.event_type""".stripMargin,
+    "ts_rolling_7d_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day AS asof_day, count(DISTINCT du.user_id) AS users_7d
+        |FROM d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1 ORDER BY asof_day""".stripMargin,
+    // list_reduce with no seed folds from the first element — exactly the
+    // engine's null-seeded fold (s1 = x1); identical left-fold order, so
+    // the doubles agree bit-for-bit
+    "ts_ewma_price" ->
+      """WITH xs AS (SELECT o_custkey,
+        |    list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey) AS v
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(len(v) AS INT) AS n_orders,
+        |  round(list_reduce(v, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma_price
+        |FROM xs ORDER BY o_custkey""".stripMargin,
     "text_normalize" ->
       raw"""SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
         |  substring(text, 1, 20) AS head20,

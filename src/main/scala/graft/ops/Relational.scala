@@ -768,6 +768,44 @@ object Relational {
       .orderBy("hour", "event_type")
   }
 
+  /** Rolling 7-day distinct users per day — the windowed COUNT DISTINCT no
+    * window function computes (distinct doesn't decompose over frames).
+    * Shape: dedup to (day, user) FIRST (map-side-combined distinct at
+    * day × user cardinality), then each pair expands to the ≤7 as-of days
+    * it contributes to and a second exact-distinct aggregate counts — total
+    * shuffle volume bounded by 7 × |distinct (day, user)|, never 7 × events.
+    */
+  def rollingDistinctUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dayList = du.select(col("day").as("asof_day")).distinct()
+    du.select(
+        explode(sequence(col("day"), date_add(col("day"), days - 1))).as("asof_day"),
+        col("user_id"))
+      .join(dayList, "asof_day") // only days that exist in the data
+      .groupBy("asof_day")
+      .agg(countDistinct(col("user_id")).as("users_7d"))
+      .orderBy("asof_day")
+  }
+
+  /** Per-customer EWMA of order prices (s₁ = x₁, sₙ = αxₙ + (1-α)sₙ₋₁) —
+    * the sequential smoothing statistic that does NOT decompose into any
+    * window aggregate. Computed as an in-array fold over the customer's
+    * date-sorted orders (groups are bounded per key), the same left-fold
+    * `list_reduce` runs in DuckDB — identical operation order, so the
+    * doubles agree bit-for-bit before the rounding. */
+  def ewmaPrice(orders: DataFrame, alpha: Double = 0.25): DataFrame =
+    orders
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("p")))).as("xs"))
+      .select(col("o_custkey"), size(col("xs")).as("n_orders"),
+        round(
+          aggregate(col("xs"), lit(null).cast("double"), (acc, e) =>
+            when(acc.isNull, e.getField("p"))
+              .otherwise(lit(alpha) * e.getField("p") + lit(1 - alpha) * acc)),
+          6).as("ewma_price"))
+      .orderBy("o_custkey")
+
   /** Tumbling window counts (batch form of the streaming §2.6 operator):
     * 1-day windows per event type via `window()`. */
   def tumblingDailyCounts(events: DataFrame): DataFrame =
