@@ -100,6 +100,26 @@ object Streaming {
         col("p_ts"), col("v_ts"))
   }
 
+  /** Streaming dedup against a STATIC historical corpus: incoming documents
+    * whose content fingerprint already exists in the corpus are dropped —
+    * the incremental-ingest form of exact dedup (new crawl data vs a 100 TB
+    * frozen corpus). Stream-static left-anti joins are stateless (the
+    * static side re-plans per micro-batch and its fingerprint projection
+    * broadcasts like any dim), so no watermark state is needed; fused with
+    * [[dedupWithinWatermark]]-style in-stream dedup upstream it covers
+    * within-stream AND against-history duplicates. Fingerprints are the
+    * cross-engine polynomial `poly_fp` (one long per doc — the only column
+    * of the corpus that ships). */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val corpusFps = corpus
+      .select(call_function("poly_fp", col("text")).as("fp")).distinct()
+    docs
+      .withColumn("fp", call_function("poly_fp", col("text")))
+      .join(broadcast(corpusFps), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Streaming JDBC append sink via `foreachBatch` — the reference's
     * `LoadStarDB` ETL re-expressed as an incremental stream: each
     * micro-batch's rows are appended to the warehouse table, stamped with

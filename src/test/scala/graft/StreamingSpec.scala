@@ -52,6 +52,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against a static corpus drops known fingerprints") {
+    case class Doc(doc_id: Long, text: String)
+    val corpus = Seq((100L, "known document alpha"), (101L, "known document beta"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[(Long, String)](spark)
+    val q = Streaming.dedupAgainstCorpus(
+        src.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("stream_corpus_dedup")
+      .outputMode("append").start()
+    try {
+      src.addData(
+        (1L, "known document alpha"),   // exact dup of corpus -> dropped
+        (2L, "fresh document one"),
+        (3L, "known document beta"),    // dropped
+        (4L, "fresh document two"))
+      q.processAllAvailable()
+      val kept = spark.table("stream_corpus_dedup").collect()
+        .map(_.getLong(0)).sorted
+      assert(kept.sameElements(Array(2L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming sliding windows place one event in size/slide windows") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.slidingCounts(src.toDF(), "6 hours", "3 hours", "1 day")
