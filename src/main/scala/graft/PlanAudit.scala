@@ -17,7 +17,8 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      if (sys.env.get("SPARK_GRAFT_AUDIT_EXEC").contains("1")) "WARN" else "ERROR")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val filter = args.headOption
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -25,7 +26,25 @@ object PlanAudit {
     for (name <- names) {
       try {
         val df = SparkEntry.queries(name)(spark, d)
-        val plan = df.queryExecution.executedPlan.toString
+        // SPARK_GRAFT_AUDIT_EXEC=1: actually run each query (sequentially)
+        // so runtime-only warnings (e.g. single-partition WindowExec) are
+        // attributable to the query that printed just before them
+        if (sys.env.get("SPARK_GRAFT_AUDIT_EXEC").contains("1")) {
+          println(s">>> exec $name"); Console.flush()
+          df.count()
+        }
+        val executed = df.queryExecution.executedPlan
+        val plan = executed.toString
+        // single-partition windows (empty partitionSpec, or a constant —
+        // both serialize the whole input through one task): the one shape
+        // that silently stops scaling. Constant-partition windows over
+        // bounded metadata (Rank offsets) declare themselves via lit(0).
+        var globalWin = 0
+        executed.foreach {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => globalWin += 1
+          case _ =>
+        }
         if (filter.isDefined) println(s"=== $name ===\n$plan\n")
         else {
           def c(m: String) = plan.linesIterator.count(_.contains(m))
@@ -37,6 +56,7 @@ object PlanAudit {
             "smj=" + c("SortMergeJoin"),
             "cart=" + c("CartesianProduct"),
             "win=" + c("Window ["),
+            "globalWin=" + globalWin,
             "topk=" + c("TopKPerKey"))
           println(f"$name%-34s ${flags.mkString(" ")}")
         }

@@ -73,17 +73,31 @@ object Rank {
     // in pid order (range partitioning makes pid order == value order). The
     // metadata branch re-traverses the sorted input (AQE reuses the range
     // exchange); callers ranking an expensive upstream should persist it.
-    // empty groupCols: partition the (P-row) offsets window by a constant —
-    // same single partition, but declared, so Spark doesn't log its
-    // single-partition-window warning for what is bounded metadata by design
-    val partCols = if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
-    val cntW = Window.partitionBy(partCols: _*).orderBy(col("_pid"))
-    val nW = Window.partitionBy(partCols: _*)
-    val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
-      .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
-      .withColumn("n", sum(col("_cnt")).over(nW))
-      .select(("_pid" +: groupCols).map(col) :+ col("_offset") :+ col("n"): _*)
+    // empty groupCols (global rank): the offsets table is exactly P rows of
+    // per-partition counts — cumulate them on the DRIVER (the zipWithIndex
+    // pattern; Spark's own RangePartitioner collects the same magnitude of
+    // metadata) instead of through a declared-single-partition window, which
+    // Spark 4's EliminateWindowPartitions strips back to an empty partition
+    // spec (constant keys, foldable or not, are removed) and then warns on.
+    val offsets = if (groupCols.isEmpty) {
+      val cnts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val total = cnts.map(_._2).sum
+      var acc = 0L
+      val rows = cnts.map { case (pid, cnt) =>
+        val off = acc; acc += cnt; (pid, off, total)
+      }
+      spark.createDataFrame(rows.toIndexedSeq)
+        .toDF("_pid", "_offset", "n")
+    } else {
+      val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
+      val nW = Window.partitionBy(groupCols.map(col): _*)
+      local.groupBy(("_pid" +: groupCols).map(col): _*)
+        .agg(count(lit(1)).as("_cnt"))
+        .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
+        .withColumn("n", sum(col("_cnt")).over(nW))
+        .select(("_pid" +: groupCols).map(col) :+ col("_offset") :+ col("n"): _*)
+    }
     local
       .join(broadcast(offsets), "_pid" +: groupCols)
       .withColumn("rank", (col("_offset") + col("_lrank")).cast("long"))
@@ -124,12 +138,21 @@ object Rank {
         Row.fromSeq(row.toSeq :+ pid :+ s)
       }
     }(Encoders.row(outSchema))
-    val partCols = if (groupCols.isEmpty) Seq(lit(0)) else groupCols.map(col)
-    val cntW = Window.partitionBy(partCols: _*).orderBy(col("_pid"))
-    val offsets = local.groupBy(("_pid" +: groupCols).map(col): _*)
-      .agg(sum(col(valueCol).cast("long")).as("_psum"))
-      .withColumn("_offset", sum(col("_psum")).over(cntW) - col("_psum"))
-      .select(("_pid" +: groupCols).map(col) :+ col("_offset"): _*)
+    // empty groupCols: P-row metadata cumulated on the driver — see groupRanks
+    val offsets = if (groupCols.isEmpty) {
+      val sums = local.groupBy(col("_pid"))
+        .agg(sum(col(valueCol).cast("long")).as("_psum"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val rows = sums.map { case (pid, s) => val off = acc; acc += s; (pid, off) }
+      spark.createDataFrame(rows.toIndexedSeq).toDF("_pid", "_offset")
+    } else {
+      val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
+      local.groupBy(("_pid" +: groupCols).map(col): _*)
+        .agg(sum(col(valueCol).cast("long")).as("_psum"))
+        .withColumn("_offset", sum(col("_psum")).over(cntW) - col("_psum"))
+        .select(("_pid" +: groupCols).map(col) :+ col("_offset"): _*)
+    }
     local
       .join(broadcast(offsets), "_pid" +: groupCols)
       .withColumn("running", (col("_offset") + col("_lsum")).cast("long"))
