@@ -160,8 +160,17 @@ object Dedup {
     *
     * Output: (doc_id, cluster_id = min doc_id in the component) for every
     * vertex that appears in `pairs`. */
+  /** Edge count at or below which the whole component solve runs as ONE
+    * union-find task instead of the iterative join loop. The candidate-pair
+    * graph is orders of magnitude smaller than the corpus that produced it
+    * (pairs survive banding + df-caps + verify), so even a 100 TB corpus
+    * commonly lands under this; 2M edges is ~50 MB of hash maps in the one
+    * task, far below executor memory. */
+  val SmallGraphEdges = 2000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIters: Int = 20): DataFrame = {
+      bCol: String = "doc_b", maxIters: Int = 20,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     // Iterative loops need two disciplines or they die at scale (both
     // observed at sf0.1):
     //   1. EAGER lineage truncation (localCheckpoint) per round — the
@@ -180,18 +189,27 @@ object Dedup {
       .select(col("src"), col("src").as("dst"))
     val edges = directed.unionByName(selfLoops).distinct()
       .localCheckpoint(true)
+    // metadata-driven algorithm choice (the checkpoint makes the count
+    // free): small graphs solve exactly in one union-find task — zero loop
+    // rounds, zero extra shuffles; big graphs take the O(log diameter)
+    // label-propagation loop below. Same (doc_id, min-id cluster) output.
+    if (edges.count() <= smallGraphEdges) return unionFindOneTask(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // min label over the closed neighborhood (self-loops carry own label)
+      // min label over the closed neighborhood; the self-loop row (dst ==
+      // src) carries the vertex's own label, so the same aggregate also
+      // yields the PREVIOUS label — the convergence flag comes out of this
+      // one job instead of a separate join-with-old-labels pass per round
       val l1 = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
-        .agg(min("label").as("label"))
+        .agg(min("label").as("label"),
+          min(when(col("dst") === col("src"), col("label"))).as("old"))
       // then pointer-halve: label := label(label). Every label IS a vertex
       // id (it is a min over ids), so the self-join is total. With the
       // halving, a diameter-d chain converges in O(log d) rounds, not
@@ -201,16 +219,63 @@ object Dedup {
         .join(l1.select(col("id").as("lid"), col("label").as("label2")),
           col("a.label") === col("lid"))
         .select(col("a.id").as("id"),
-          least(col("a.label"), col("label2")).as("label"))
+          least(col("a.label"), col("label2")).as("label"),
+          col("a.old").as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.where(col("label") =!= col("old")).limit(1).count()
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
+  }
+
+  /** Exact connected components in a single task: union-find with
+    * union-by-min + path compression over the (already materialized,
+    * deduplicated) edge list. Produces the identical (vertex, min id in
+    * component) labeling the iterative loop converges to. Runs as ONE
+    * executor task over a coalesced partition — not a driver collect. */
+  private def unionFindOneTask(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema("src").dataType
+    val outSchema = StructType(Seq(
+      StructField("doc_id", idType, nullable = false),
+      StructField("cluster_id", idType, nullable = false)))
+    val labeled = edges.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      it.foreach { row =>
+        val a = row.getAs[Number](0).longValue()
+        val b = row.getAs[Number](1).longValue()
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id: the root IS the component's cluster_id
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+      ids.iterator.map { id =>
+        val v: Any = idType match {
+          case org.apache.spark.sql.types.LongType => Long.box(id)
+          case org.apache.spark.sql.types.IntegerType => Int.box(id.toInt)
+          case _ => Long.box(id)
+        }
+        val r: Any = idType match {
+          case org.apache.spark.sql.types.IntegerType => Int.box(find(id).toInt)
+          case _ => Long.box(find(id))
+        }
+        Row(v, r)
+      }
+    }(Encoders.row(outSchema))
+    labeled.orderBy("doc_id")
   }
 
   /** The end of the dedup pipeline: the KEPT corpus. Near-dup pairs →

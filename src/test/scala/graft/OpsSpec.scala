@@ -312,10 +312,16 @@ class OpsSpec extends AnyFunSuite {
   test("connected components: min-label propagation over planted clusters") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
       (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // both algorithm paths must agree: single-task union-find (the
+    // small-graph dispatch) and the iterative label-propagation loop
+    // (forced by a zero threshold)
+    for (threshold <- Seq(Dedup.SmallGraphEdges, 0L)) {
+      val got = Dedup.connectedComponents(pairs, smallGraphEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"threshold=$threshold")
+    }
   }
 
   test("corpus decontamination: planted benchmark 5-gram overlap is found") {
