@@ -260,8 +260,22 @@ object SparkEntry {
       Corpus.assignIds(Tables.documents(s, d))),
     "corpus_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d))),
+    "corpus_shuffle_epoch" -> ((s, d) =>
+      Corpus.shuffleEpoch(Tables.documents(s, d), epoch = 1)),
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionStats(Tables.documents(s, d))),
+    "text_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables.documents(s, d), vocabSize = 10)),
+    // ---- warehouse ETL beyond LoadStarDB: SCD2 intervals, CDC merge
+    "etl_scd2_user_state" -> ((s, d) =>
+      Star.scd2(Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
+    "etl_merge_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-03-01").cast("timestamp")
+      Star.mergeUpsert(
+        ev.where(col("ts") < cutoff), ev.where(col("ts") >= cutoff),
+        "user_id", "ts", "event_id", Seq("event_type", "value"))
+    }),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s_json_roundtrip" -> ((s, d) => {
       // JSON-lines source format: write the events slice as json, read it
@@ -1224,6 +1238,53 @@ object SparkEntry {
          |SELECT doc_id, CAST(reject_reasons AS INT) AS reject_reasons,
          |  CAST(reject_reasons = 0 AS INT) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // same multiplicative-hash permutation key as samp_hash_10pct — pure
+    // integer arithmetic, so both engines rank the identical order
+    "corpus_shuffle_epoch" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY ((doc_id + 1) % 2147483647) * 1103515245 % 2147483647,
+        |             doc_id) AS BIGINT) AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+    "text_vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |v AS (SELECT tok FROM tok GROUP BY tok
+         |      ORDER BY count(*) DESC, tok LIMIT 10),
+         |cov AS (SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END) AS n_in_vocab
+         |  FROM tok GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
+         |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "etl_scd2_user_state" ->
+      """WITH o AS (SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, state, ts, event_id FROM o
+        |       WHERE prev IS NULL OR prev <> state),
+        |iv AS (SELECT user_id, state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, state, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+    "etl_merge_upsert" ->
+      """WITH b AS (SELECT user_id, event_type, value, ts FROM events
+        |           WHERE ts < TIMESTAMP '2024-03-01'
+        |           QUALIFY row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ts DESC, event_id DESC) = 1),
+        |c AS (SELECT user_id, event_type, value, ts FROM events
+        |      WHERE ts >= TIMESTAMP '2024-03-01'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |  coalesce(c.event_type, b.event_type) AS event_type,
+        |  coalesce(c.value, b.value) AS value,
+        |  coalesce(c.ts, b.ts) AS ts,
+        |  CASE WHEN b.user_id IS NULL THEN 'insert'
+        |       WHEN c.user_id IS NULL THEN 'keep' ELSE 'update' END AS op
+        |FROM b FULL OUTER JOIN c ON b.user_id = c.user_id
+        |ORDER BY user_id""".stripMargin,
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,

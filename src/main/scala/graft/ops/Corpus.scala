@@ -167,4 +167,21 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic epoch shuffle: a reproducible global permutation of the
+    * corpus — position = rank in (multiplicative-hash(doc_id + epoch),
+    * doc_id) order. Each epoch number yields a different permutation;
+    * reruns and other engines yield the same one (no RNG, no partition
+    * order in the result). The rank comes from [[Rank.groupRanks]] with no
+    * group — the distributed global row_number, so a 100 TB corpus is
+    * range-partitioned by the hash and never funnels through one reducer.
+    * Same mod-P-first arithmetic as [[Sampling.hashBucket]] (ANSI-safe). */
+  def shuffleEpoch(documents: DataFrame, epoch: Int = 1): DataFrame = {
+    val h = (col("doc_id") + lit(epoch.toLong)) % Sampling.P * Sampling.A % Sampling.P
+    Rank.groupRanks(
+        documents.select(col("doc_id"), h.as("_h")),
+        Seq.empty, Seq(col("_h"), col("doc_id")))
+      .select(col("rank").as("pos"), col("doc_id"))
+      .orderBy("pos")
+  }
 }

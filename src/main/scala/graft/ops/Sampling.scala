@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Mersenne prime 2^31−1 and the classic LCG multiplier. */
-  private val P = 2147483647L
-  private val A = 1103515245L
+  /** Mersenne prime 2^31−1 and the classic LCG multiplier (shared with
+    * Corpus.shuffleEpoch's permutation key). */
+  private[ops] val P = 2147483647L
+  private[ops] val A = 1103515245L
 
   /** Percent bucket in [0,100) of a non-negative integer key:
     * (((key mod P) · A) mod P) mod 100. The product is bounded by

@@ -195,4 +195,58 @@ object Star {
         grouping_id().as("gid"))
     agg.orderBy(agg("gid"), agg("category"), agg("district"))
   }
+
+  /** SCD2 (type-2 slowly-changing dimension) build — the warehouse-ETL step
+    * the reference's star schema implies but its LoadStarDB never grew:
+    * turn an event stream of per-key attribute observations into validity
+    * intervals. Consecutive equal states are run-length compressed (a
+    * re-observation of the same state extends the interval, it does not
+    * split it); `valid_to` is the next change's timestamp, NULL marks the
+    * current row.
+    *
+    * Scale: both window passes partition by the key (bounded by one entity's
+    * history, never a constant fraction of the corpus), and the second pass
+    * reuses the first's shuffle — one exchange total. */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+      attrCol: String, tiebreakCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .select(col(keyCol), col(attrCol).as("state"), col(tsCol), col(tiebreakCol))
+      .withColumn("_prev", lag("state", 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col("state"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("state"), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(keyCol, "valid_from")
+  }
+
+  /** CDC merge / upsert (SCD1, latest-wins) without a table format: fold a
+    * change set into a base snapshot, reporting per key whether the merge
+    * inserted, updated, or kept the row — MERGE INTO semantics as a pure
+    * DataFrame operator.
+    *
+    * Both sides reduce to one row per key FIRST (partial-aggregated
+    * `max_by` over a (ts, tiebreak) struct — deterministic under ties), so
+    * the full-outer join moves snapshots, not histories. At 100 TB the join
+    * shuffles on the key, which is exactly what MERGE on a key demands. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, tiebreakCol: String, attrCols: Seq[String]): DataFrame = {
+    def latest(df: DataFrame) = df
+      .groupBy(keyCol)
+      .agg(expr(s"max_by(struct(${(attrCols :+ tsCol).mkString(", ")}), " +
+        s"struct($tsCol, $tiebreakCol))").as("_r"))
+      .select(col(keyCol) +: (attrCols :+ tsCol).map(c => col(s"_r.$c")): _*)
+    val b = latest(base).as("b")
+    val c = latest(changes).as("c")
+    b.join(c, Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol) +:
+          (attrCols :+ tsCol).map(a =>
+            coalesce(col(s"c.$a"), col(s"b.$a")).as(a)) :+
+          when(col(s"b.$tsCol").isNull, "insert")
+            .when(col(s"c.$tsCol").isNull, "keep")
+            .otherwise("update").as("op"): _*)
+      .orderBy(keyCol)
+  }
 }

@@ -246,4 +246,30 @@ object TextOps {
         round(log(col("n_tokens").cast("double"))
           - col("s") / col("n_tokens").cast("double"), 6).as("entropy"))
       .orderBy("doc_id")
+
+  /** Vocabulary build + per-document OOV coverage — the tokenizer-prep
+    * step of a training pipeline: the top-`vocabSize` tokens by corpus
+    * frequency (ties broken by token, so the vocabulary is deterministic)
+    * become the vocabulary; each document reports how many of its tokens
+    * the vocabulary covers.
+    *
+    * Scale: pass 1 is a partial-aggregated token count whose top-V is a
+    * TakeOrdered (V rows, never a global sort); pass 2 ships the vocabulary
+    * to every row as ONE broadcast array and scores each document with
+    * per-row array math — the corpus is never exploded or shuffled for
+    * scoring. Zero-token docs report (0, 0) rather than disappearing. */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 10): DataFrame = {
+    val toks = tokens(col("text"))
+    val vocab = documents
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .agg(collect_list("tok").as("_vocab"))
+    documents
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => array_contains(col("_vocab"), t))).as("n_in_vocab"))
+      .orderBy("doc_id")
+  }
 }

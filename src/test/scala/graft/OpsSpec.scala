@@ -324,6 +324,75 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SCD2: runs compress, intervals chain, last row is current") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (2L, ts("2024-01-02 00:00:00"), 1L, "A"),   // re-observation: no split
+      (3L, ts("2024-01-03 00:00:00"), 1L, "B"),
+      (4L, ts("2024-01-04 00:00:00"), 1L, "A"),   // A again: NEW interval
+      (5L, ts("2024-01-01 00:00:00"), 2L, "X")
+    ).toDF("event_id", "ts", "user_id", "state")
+    val got = Star.scd2(ev, "user_id", "ts", "state", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false),
+      (1L, "A", ts("2024-01-04 00:00:00"), None, true),
+      (2L, "X", ts("2024-01-01 00:00:00"), None, true)))
+  }
+
+  test("merge upsert: latest-wins per key with insert/update/keep ops") {
+    val base = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "old", 1.0),
+      (2L, ts("2024-01-02 00:00:00"), 2L, "keepme", 2.0),
+      (3L, ts("2024-01-01 00:00:00"), 2L, "stale", 9.0)  // older than event 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val changes = Seq(
+      (10L, ts("2024-02-01 00:00:00"), 1L, "new", 1.5),
+      (11L, ts("2024-02-01 00:00:00"), 3L, "fresh", 3.0),
+      (12L, ts("2024-02-02 00:00:00"), 3L, "fresher", 3.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Star.mergeUpsert(base, changes, "user_id", "ts", "event_id",
+        Seq("event_type", "value")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(4)))
+      .toMap
+    assert(got(1L) == (("new", 1.5, "update")))
+    assert(got(2L) == (("keepme", 2.0, "keep")))   // latest base row won
+    assert(got(3L) == (("fresher", 3.5, "insert"))) // latest change row won
+  }
+
+  test("vocab coverage: top-V by (count desc, token) scores each doc") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // freq: a=3(+2 below)=5? counts are corpus-wide
+      (2L, "a a b z"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    // corpus counts: a=5, b=3, c=1, z=1 → V(2) = {a, b}
+    val got = TextOps.vocabCoverage(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((6, 5)))  // a a a b b in vocab, c not
+    assert(got(2L) == ((4, 3)))  // a a b in vocab, z not
+    assert(got(3L) == ((0, 0)))  // empty doc stays, scores zero
+  }
+
+  test("epoch shuffle: a deterministic permutation, different per epoch") {
+    val docs = (0L until 97L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val e1 = Corpus.shuffleEpoch(docs, epoch = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    // positions are exactly 1..n (a permutation, no gaps/dupes)
+    assert(e1.values.toSeq.sorted == (1L to 97L))
+    // deterministic: rerun identical
+    val e1again = Corpus.shuffleEpoch(docs, epoch = 1).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(e1 == e1again)
+    // a different epoch is a different permutation
+    val e2 = Corpus.shuffleEpoch(docs, epoch = 2).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(e2.values.toSeq.sorted == (1L to 97L))
+    assert(e1 != e2)
+  }
+
   test("corpus decontamination: planted benchmark 5-gram overlap is found") {
     val bench = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
