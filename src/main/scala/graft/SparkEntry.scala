@@ -266,6 +266,11 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(Tables.documents(s, d), vocabSize = 10)),
+    "profile_events" -> ((s, d) =>
+      Profile.profile(Tables.events(s, d),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
+    "join_interval_overlap" -> ((s, d) =>
+      Intervals.sessionIncidentOverlap(Tables.events(s, d))),
     // ---- warehouse ETL beyond LoadStarDB: SCD2 intervals, CDC merge
     "etl_scd2_user_state" -> ((s, d) =>
       Star.scd2(Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
@@ -1256,6 +1261,38 @@ object SparkEntry {
          |  CAST(coalesce(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
          |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "profile_events" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  1 AS hll_within_5pct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM events""".stripMargin
+      Seq("event_id", "user_id", "event_type", "value", "props")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+    // sessions replicated with the win_session_30m gaps-and-islands CTE;
+    // the overlap join itself is the plain inequality join (the engine's
+    // bucket-first plan must produce exactly its result)
+    "join_interval_overlap" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g),
+        |sess AS (SELECT user_id, min(ts) AS s_start,
+        |           max(ts) + INTERVAL 30 MINUTE AS s_end
+        |         FROM s GROUP BY user_id, sid),
+        |inc AS (SELECT event_id AS incident_id, ts AS i_start,
+        |          ts + INTERVAL 1 HOUR AS i_end
+        |        FROM events WHERE event_type = 'error')
+        |SELECT sess.user_id, sess.s_start, inc.incident_id,
+        |  epoch_us(least(s_end, i_end)) - epoch_us(greatest(s_start, i_start)) AS overlap_us
+        |FROM sess JOIN inc ON s_start < i_end AND i_start < s_end
+        |ORDER BY user_id, s_start, incident_id""".stripMargin,
     "etl_scd2_user_state" ->
       """WITH o AS (SELECT user_id, event_type AS state, ts, event_id,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality census a pipeline runs before
+  * trusting a new 100 TB drop: per column, null count, distinct count,
+  * min/max, in ONE pass over the table (schema-driven: the aggregate list is
+  * built from the column names, not hand-written per table).
+  *
+  * Scale note: the exact `countDistinct` over N columns plans as an Expand
+  * (the scan is replicated per distinct column through one shuffle) — right
+  * for a correctness gate, N× too expensive for a 100 TB census. The HLL
+  * column is the at-scale path (one pass, mergeable sketches, no expand);
+  * the `hll_within_5pct` contract flag — checked against the exact count —
+  * is what lets the oracle verify the sketch without replaying it. */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"__and_$c"),
+        // min/max on the NATIVE type, cast at the boundary — min of the
+        // string rendering would order "10" < "9"
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        (abs(col(s"__and_$c") - col(s"__nd_$c"))
+          <= greatest(lit(1.0), col(s"__nd_$c") * 0.05))
+          .cast("int").as("hll_within_5pct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+      .orderBy("column")
+  }
+}

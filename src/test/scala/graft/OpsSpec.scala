@@ -393,6 +393,35 @@ class OpsSpec extends AnyFunSuite {
     assert(e1 != e2)
   }
 
+  test("interval overlap join: bucket-first equals the inequality predicate") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 23:30:00"), ts("2024-01-02 00:30:00")), // crosses buckets
+      (3L, ts("2024-01-05 10:00:00"), ts("2024-01-05 11:00:00"))
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00")), // inside 1
+      (11L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // TOUCHES 1: no overlap (half-open)
+      (12L, ts("2024-01-02 00:00:00"), ts("2024-01-02 00:10:00")), // overlaps 2 across midnight
+      (13L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))  // far away
+    ).toDF("rid", "rs", "re")
+    val got = Intervals.overlapJoin(left, "ls", "le", right, "rs", "re")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 12L)))
+  }
+
+  test("profile: nulls, distincts, min/max per column in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), None), (None, Some("b")), (Some(2), Some("b"))
+    ).toDF("x", "s")
+    val got = Profile.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("x") == ((1L, 2L, 1, "1", "2")))
+    assert(got("s") == ((1L, 2L, 1, "a", "b")))
+  }
+
   test("corpus decontamination: planted benchmark 5-gram overlap is found") {
     val bench = "alpha beta gamma delta epsilon zeta"
     val docs = Seq(
