@@ -519,6 +519,16 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.valueOutliers(noEventsV).count() == 0)
     assert(Relational.priceHistogram(noOrders).count() == 0)
     assert(Layout.zorderOrders(noOrders).count() == 0)
+    // round-3 additions
+    assert(Star.scd2(noEvents, "user_id", "ts", "event_type", "event_id").count() == 0)
+    assert(Star.mergeUpsert(noEventsV, noEventsV, "user_id", "ts", "event_id",
+      Seq("event_type", "value")).count() == 0)
+    assert(TextOps.vocabCoverage(noDocs).count() == 0)
+    assert(Corpus.shuffleEpoch(noDocs).count() == 0)
+    assert(Intervals.sessionIncidentOverlap(noEvents).count() == 0)
+    // profiling an EMPTY table is defined: one row per column, zero counts
+    val prof = Profile.profile(noEvents, Seq("event_id", "event_type")).collect()
+    assert(prof.length == 2 && prof.forall(r => r.getLong(2) == 0L))
   }
 
   test("layout: zorderKey interleaves bits exactly (reference impl)") {

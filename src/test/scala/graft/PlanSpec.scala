@@ -87,6 +87,49 @@ class PlanSpec extends AnyFunSuite {
       || "HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("interval overlap join plans as a bucket equi-join, not a nested loop") {
+    val p = plan(Intervals.sessionIncidentOverlap(
+      Tables.events(spark, TestSpark.sf0001)))
+    assert(!p.contains("CartesianProduct"), s"cross product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("Join") || p.contains("Hash"), s"no join found:\n$p")
+  }
+
+  test("vocab coverage: top-V is a TakeOrdered; scoring never shuffles the corpus") {
+    val p = plan(TextOps.vocabCoverage(Tables.documents(spark, TestSpark.sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-V became a global sort:\n$p")
+    // exactly one hash exchange: the token-count groupBy of the vocab pass.
+    // The per-doc scoring pass is per-row math over a broadcast array.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"scoring pass gained a shuffle:\n$p")
+  }
+
+  test("scd2: both window passes share one exchange on the key") {
+    val p = plan(Star.scd2(Tables.events(spark, TestSpark.sf0001),
+      "user_id", "ts", "event_type", "event_id"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"second window re-shuffled:\n$p")
+  }
+
+  test("merge upsert: snapshots via aggregation, no windows") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val cutoff = lit("2024-03-01").cast("timestamp")
+    val p = plan(Star.mergeUpsert(
+      ev.where(col("ts") < cutoff), ev.where(col("ts") >= cutoff),
+      "user_id", "ts", "event_id", Seq("event_type", "value")))
+    assert(!p.contains("Window"), s"snapshot used a window instead of max_by:\n$p")
+  }
+
+  test("epoch shuffle: no window operator anywhere (offsets precomputed)") {
+    val df = Corpus.shuffleEpoch(Tables.documents(spark, TestSpark.sf0001))
+    var wins = 0
+    df.queryExecution.executedPlan.foreach {
+      case _: org.apache.spark.sql.execution.window.WindowExec => wins += 1
+      case _ =>
+    }
+    assert(wins == 0)
+  }
+
   test("partitioned parquet write enables partition pruning on read") {
     val out = "/tmp/graft_partitioned_events"
     val ev = Tables.events(spark, TestSpark.sf0001)
