@@ -271,6 +271,8 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type", "value", "props"))),
     "join_interval_overlap" -> ((s, d) =>
       Intervals.sessionIncidentOverlap(Tables.events(s, d))),
+    "diag_hot_keys" -> ((s, d) =>
+      Profile.hotKeys(Tables.events(s, d), "user_id", k = 5)),
     // ---- warehouse ETL beyond LoadStarDB: SCD2 intervals, CDC merge
     "etl_scd2_user_state" -> ((s, d) =>
       Star.scd2(Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
@@ -1273,6 +1275,11 @@ object SparkEntry {
       Seq("event_id", "user_id", "event_type", "value", "props")
         .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
+    "diag_hot_keys" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
     // sessions replicated with the win_session_30m gaps-and-islands CTE;
     // the overlap join itself is the plain inequality join (the engine's
     // bucket-first plan must produce exactly its result)

@@ -43,4 +43,20 @@ object Profile {
       .select("p.*")
       .orderBy("column")
   }
+
+  /** Hot-key skew report: the `k` heaviest keys and their share of the
+    * table — the diagnostic run BEFORE a join/groupBy on that key decides
+    * whether it needs the salted path (`Relational.saltedJoin`). One
+    * partial-aggregated count pass; the total rides along as a broadcast
+    * 1-row aggregate (no second scan, no collect); top-k is a TakeOrdered
+    * with a deterministic tiebreak. */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        round(col("n").cast("double") / col("_total"), 6).as("share"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
 }
