@@ -112,6 +112,10 @@ object SparkEntry {
       Relational.linestatusPriorityCounts(Tables.lineitem(s, d), Tables.orders(s, d))),
     "q16_part_supplier_counts" -> ((s, d) =>
       Relational.partSupplierCounts(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q17_small_quantity_revenue" -> ((s, d) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q21_last_shipper" -> ((s, d) =>
+      Relational.lastShipperCounts(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q19_disjunctive_revenue" -> ((s, d) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "agg_price_moments" -> ((s, d) =>
@@ -611,6 +615,31 @@ object SparkEntry {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p.p_brand <> 'Brand#1'
         |GROUP BY 1, 2 ORDER BY p_brand, p_size""".stripMargin,
+    // exact-arithmetic threshold (5*qty*n < sum_qty), never 0.2*avg floats
+    "q17_small_quantity_revenue" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |       CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+        |     FROM lineitem JOIN part ON l_partkey = p_partkey
+        |     WHERE p_brand = 'Brand#3'),
+        |st AS (SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS n
+        |       FROM li GROUP BY 1)
+        |SELECT CAST(CAST(sum(price) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE qty * n * 5 < sum_qty""".stripMargin,
+    "q21_last_shipper" ->
+      """WITH ns AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp
+        |            FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_orderkey, l_suppkey,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_shipdate DESC, l_suppkey DESC) AS rn
+        |      FROM lineitem),
+        |c AS (SELECT w.l_suppkey AS suppkey, count(*) AS n_orders
+        |      FROM w JOIN ns USING (l_orderkey)
+        |      WHERE w.rn = 1 AND ns.nsupp >= 2 GROUP BY 1)
+        |SELECT s.s_name, c.n_orders
+        |FROM c JOIN supplier s ON c.suppkey = s.s_suppkey
+        |ORDER BY n_orders DESC, s_name LIMIT 10""".stripMargin,
     "q19_disjunctive_revenue" ->
       s"""SELECT CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
          |  count(*) AS n_lines

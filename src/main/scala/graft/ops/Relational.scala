@@ -428,6 +428,51 @@ object Relational {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy("p_brand", "p_size")
 
+  /** TPC-H Q17-shaped correlated scalar subquery: revenue from lineitems
+    * whose quantity is below 20 % of their part's average, one brand slice.
+    * The correlated `avg` is an aggregate-then-join-back (per-part stats are
+    * dim-sized, so the join-back broadcasts); the threshold compare is kept
+    * in EXACT arithmetic — `5·qty·n < sum_qty` instead of
+    * `qty < 0.2·avg` — so no float division can disagree between engines
+    * (or between retries of the same 100 TB job). */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+      brand: String = "Brand#3"): DataFrame = {
+    val brandParts = part.where(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+    val stats = li.groupBy("l_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n"))
+    li.join(broadcast(stats), "l_partkey")
+      .where(col("qty") * col("n") * 5 < col("sum_qty"))
+      .agg(sum("price").cast("decimal(18,2)").cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-shaped "who shipped last in multi-supplier orders" —
+    * re-planned aggregate-first. The textbook plan is a triple self-join
+    * (lineitem ⋈ EXISTS(other supplier) ⋈ NOT EXISTS(later shipper)); one
+    * aggregate per order computes both predicates at once: the strict-max
+    * (shipdate, suppkey) struct IS the last shipper (deterministic ties),
+    * and the distinct-supplier count IS the EXISTS. The fact table is
+    * scanned once and shuffled once, on the order key. */
+  def lastShipperCounts(lineitem: DataFrame, supplier: DataFrame,
+      topK: Int = 10): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(max(struct(col("l_shipdate"), col("l_suppkey"))).as("last"),
+        countDistinct(col("l_suppkey")).as("nsupp"))
+      .where(col("nsupp") >= 2)
+      .groupBy(col("last.l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_name"))
+      .limit(topK)
+
   /** TPC-H Q19-shaped disjunctive-predicate revenue: an OR of per-branch
     * AND conjunctions spanning both tables. The predicate cannot split
     * across the join (each branch mixes lineitem and part columns), so it
