@@ -139,6 +139,45 @@ object Streaming {
     }
   }
 
+  /** One closed validity interval emitted by [[scd2Intervals]]. */
+  case class ClosedInterval(user_id: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD2 — the incremental form of [[graft.ops.Star.scd2]]:
+    * per-key state holds the OPEN interval (current attribute value +
+    * valid_from); each arriving change closes it, emits the closed row, and
+    * opens the next. Batch rows are sorted by (ts, tiebreak) before folding
+    * (micro-batch iterators carry no order guarantee); consecutive equal
+    * states extend the open interval exactly like the batch operator.
+    * State is one small tuple per key. Emitted rows match the batch
+    * operator's non-current rows on the same prefix of the stream
+    * (spec-asserted); events arriving out of event-time order ACROSS
+    * micro-batches are the standard SCD2 correction problem — handle with
+    * watermarked sources or periodic batch rebuilds. */
+  def scd2Intervals(spark: SparkSession, events: DataFrame): Dataset[ClosedInterval] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, java.sql.Timestamp), ClosedInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(String, java.sql.Timestamp)]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._4))
+          var cur = state.getOption
+          val out = Seq.newBuilder[ClosedInterval]
+          for ((_, ts, st, _) <- sorted) cur match {
+            case Some((s0, from)) if s0 != st =>
+              out += ClosedInterval(user, s0, from, ts)
+              cur = Some((st, ts))
+            case None => cur = Some((st, ts))
+            case _ => // same state re-observed: interval extends, no emit
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Per-user running stats emitted on every update. */
   case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
 

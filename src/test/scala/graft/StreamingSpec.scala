@@ -232,6 +232,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming SCD2 emits the batch operator's closed intervals") {
+    val src = MemoryStream[Ev](spark)
+    val q = Streaming.scd2Intervals(spark, src.toDF())
+      .writeStream.format("memory").queryName("stream_scd2")
+      .outputMode("append").start()
+    val all = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 1, "A"),
+      Ev(2, ts("2024-01-02 00:00:00"), 1, "A"),   // re-observation: extends
+      Ev(3, ts("2024-01-03 00:00:00"), 1, "B"),   // closes A
+      Ev(4, ts("2024-01-04 00:00:00"), 1, "A"),   // closes B (next batch)
+      Ev(5, ts("2024-01-01 00:00:00"), 2, "X"))   // stays open: never emitted
+    try {
+      src.addData(all.take(3): _*)
+      q.processAllAvailable()
+      src.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stream_scd2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))
+        .toSet
+      // batch SCD2 over the same events: its CLOSED rows must equal the stream
+      val batchClosed = ops.Star.scd2(all.toDF(), "user_id", "ts", "event_type", "event_id")
+        .where(org.apache.spark.sql.functions.col("valid_to").isNotNull)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))
+        .toSet
+      assert(streamed == batchClosed && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
