@@ -97,6 +97,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: union-find path == iterative label propagation on random graphs") {
+    // small vertex domain forces heavy merging; chain-ish and clustered
+    // shapes both appear across seeds
+    val genEdges = Gen.listOfN(60, for {
+      a <- Gen.choose(0L, 24L)
+      b <- Gen.choose(0L, 24L)
+    } yield (math.min(a, b), math.max(a, b)))
+    forAll(genEdges, runs = 4) { edges =>
+      val pairs = edges.toDF("doc_a", "doc_b")
+      def run(threshold: Long) =
+        ops.Dedup.connectedComponents(pairs, smallGraphEdges = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = run(Long.MaxValue)
+      val loop = run(0L)
+      assert(fast == loop, s"paths disagree on $edges")
+      // labeling invariant: every label is the min id of its own class
+      val byLabel = fast.groupBy(_._2).view.mapValues(_.keys.min)
+      byLabel.foreach { case (label, minId) => assert(label == minId) }
+    }
+  }
+
   test("property: minhash slot-agreement approximates jaccard") {
     // near-dup pairs with known overlap: agreement rate must track J within
     // wide statistical bounds (k = 64 slots)
