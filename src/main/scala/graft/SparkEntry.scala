@@ -856,12 +856,15 @@ object SparkEntry {
     // list_reduce with no seed folds from the first element — exactly the
     // engine's null-seeded fold (s1 = x1); identical left-fold order, so
     // the doubles agree bit-for-bit
+    // floor-truncation, not round(): engines disagree on round() at
+    // half-way points even on bit-identical doubles (see Relational.ewmaPrice)
     "ts_ewma_price" ->
       """WITH xs AS (SELECT o_custkey,
         |    list(CAST(o_totalprice AS DOUBLE) ORDER BY o_orderdate, o_orderkey) AS v
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, CAST(len(v) AS INT) AS n_orders,
-        |  round(list_reduce(v, (acc, x) -> 0.25 * x + 0.75 * acc), 6) AS ewma_price
+        |  floor(list_reduce(v, (acc, x) -> 0.25 * x + 0.75 * acc) * 1000000) / 1000000
+        |    AS ewma_price
         |FROM xs ORDER BY o_custkey""".stripMargin,
     "text_normalize" ->
       raw"""SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,

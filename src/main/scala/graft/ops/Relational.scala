@@ -850,19 +850,22 @@ object Relational {
     * window aggregate. Computed as an in-array fold over the customer's
     * date-sorted orders (groups are bounded per key), the same left-fold
     * `list_reduce` runs in DuckDB — identical operation order, so the
-    * doubles agree bit-for-bit before the rounding. */
-  def ewmaPrice(orders: DataFrame, alpha: Double = 0.25): DataFrame =
+    * doubles agree bit-for-bit. The output truncates via floor(x·10⁶)/10⁶,
+    * NOT round(x, 6): engines disagree on round() near half-way points
+    * (observed at sf0.1: DuckDB rounds ...56249998 up, Spark down), while
+    * floor of identical bits is identical everywhere. */
+  def ewmaPrice(orders: DataFrame, alpha: Double = 0.25): DataFrame = {
+    val raw = aggregate(col("xs"), lit(null).cast("double"), (acc, e) =>
+      when(acc.isNull, e.getField("p"))
+        .otherwise(lit(alpha) * e.getField("p") + lit(1 - alpha) * acc))
     orders
       .groupBy("o_custkey")
       .agg(array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
         col("o_totalprice").cast("double").as("p")))).as("xs"))
       .select(col("o_custkey"), size(col("xs")).as("n_orders"),
-        round(
-          aggregate(col("xs"), lit(null).cast("double"), (acc, e) =>
-            when(acc.isNull, e.getField("p"))
-              .otherwise(lit(alpha) * e.getField("p") + lit(1 - alpha) * acc)),
-          6).as("ewma_price"))
+        (floor(raw * 1000000d) / 1000000d).as("ewma_price"))
       .orderBy("o_custkey")
+  }
 
   /** Tumbling window counts (batch form of the streaming §2.6 operator):
     * 1-day windows per event type via `window()`. */
