@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => WindowTopKRewrite)
+    ext.injectOptimizerRule(_ => OverlapJoinRewrite)
   }
 }
 
@@ -86,5 +87,8 @@ object GraftExtensions {
     if (!experimental.extraOptimizations.contains(WindowTopKRewrite))
       experimental.extraOptimizations =
         experimental.extraOptimizations :+ WindowTopKRewrite
+    if (!experimental.extraOptimizations.contains(OverlapJoinRewrite))
+      experimental.extraOptimizations =
+        experimental.extraOptimizations :+ OverlapJoinRewrite
   }
 }
