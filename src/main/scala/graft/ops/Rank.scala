@@ -58,7 +58,7 @@ object Rank {
     val outSchema = StructType(df.schema.fields :+
       StructField("_pid", IntegerType, nullable = false) :+
       StructField("_lrank", LongType, nullable = false))
-    val local = sorted.mapPartitions { it =>
+    val localPlan = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var prevKey: Seq[Any] = null
       var r = 0L
@@ -69,16 +69,22 @@ object Rank {
         Row.fromSeq(row.toSeq :+ pid :+ r)
       }
     }(Encoders.row(outSchema))
+    // empty groupCols (global rank): the offsets collect and the final join
+    // are SEPARATE executions — and RangePartitioner's sample seed includes
+    // the (per-execution) rdd id, so two runs of the range exchange may cut
+    // different bounds and shift rows across pids, corrupting the offset
+    // join. Materialize ONCE (eager localCheckpoint — the zipWithIndex
+    // discipline: both jobs must read the same physical partitions). The
+    // grouped path keeps one lazy plan: its offsets ride the SAME query, and
+    // ReuseExchange makes the twice-referenced range exchange one exchange.
+    val local =
+      if (groupCols.isEmpty) localPlan.localCheckpoint(true) else localPlan
     // offsets: counts per (pid, group) — P × |groups| rows, tiny — cumulated
-    // in pid order (range partitioning makes pid order == value order). The
-    // metadata branch re-traverses the sorted input (AQE reuses the range
-    // exchange); callers ranking an expensive upstream should persist it.
-    // empty groupCols (global rank): the offsets table is exactly P rows of
-    // per-partition counts — cumulate them on the DRIVER (the zipWithIndex
-    // pattern; Spark's own RangePartitioner collects the same magnitude of
-    // metadata) instead of through a declared-single-partition window, which
-    // Spark 4's EliminateWindowPartitions strips back to an empty partition
-    // spec (constant keys, foldable or not, are removed) and then warns on.
+    // in pid order (range partitioning makes pid order == value order).
+    // empty groupCols: exactly P rows of per-partition counts — cumulate on
+    // the DRIVER instead of through a declared-single-partition window,
+    // which Spark 4's EliminateWindowPartitions strips back to an empty
+    // partition spec (constant keys, foldable or not) and then warns on.
     val offsets = if (groupCols.isEmpty) {
       val cnts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -127,7 +133,7 @@ object Rank {
     val outSchema = StructType(df.schema.fields :+
       StructField("_pid", IntegerType, nullable = false) :+
       StructField("_lsum", LongType, nullable = false))
-    val local = sorted.mapPartitions { it =>
+    val localPlan = sorted.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var prevKey: Seq[Any] = null
       var s = 0L
@@ -138,6 +144,10 @@ object Rank {
         Row.fromSeq(row.toSeq :+ pid :+ s)
       }
     }(Encoders.row(outSchema))
+    // empty groupCols: materialize once before the two executions — the
+    // range-bound consistency discipline explained in groupRanks
+    val local =
+      if (groupCols.isEmpty) localPlan.localCheckpoint(true) else localPlan
     // empty groupCols: P-row metadata cumulated on the driver — see groupRanks
     val offsets = if (groupCols.isEmpty) {
       val sums = local.groupBy(col("_pid"))
