@@ -73,38 +73,53 @@ object OverlapJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasCrossEquality) return None
-    // the two strict cross-side comparisons on timestamp attributes
-    def crossLt(e: Expression): Option[(AttributeReference, AttributeReference, Boolean)] =
-      e match {
-        case LessThan(a: AttributeReference, b: AttributeReference)
+    // the two cross-side comparisons on timestamp attributes; `<` pairs a
+    // half-open interval end, `<=` a closed one (bucketing must include the
+    // end's own bucket in the closed case)
+    def crossLt(e: Expression)
+        : Option[(AttributeReference, AttributeReference, Boolean, Boolean)] = {
+      def classify(a: Expression, b: Expression, strict: Boolean) = (a, b) match {
+        case (a: AttributeReference, b: AttributeReference)
             if a.dataType == TimestampType && b.dataType == TimestampType =>
           (sideOf(a), sideOf(b)) match {
-            case (Some(true), Some(false)) => Some((a, b, true))   // left < right
-            case (Some(false), Some(true)) => Some((a, b, false))  // right < left
+            case (Some(true), Some(false)) => Some((a, b, true, strict))  // l ? r
+            case (Some(false), Some(true)) => Some((a, b, false, strict)) // r ? l
             case _ => None
           }
         case _ => None
       }
+      e match {
+        case LessThan(a, b) => classify(a, b, strict = true)
+        case LessThanOrEqual(a, b) => classify(a, b, strict = false)
+        case _ => None
+      }
+    }
     val lts = cs.flatMap(e => crossLt(e))
-    val lr = lts.collectFirst { case (ls, re, true) => (ls, re) }
-    val rl = lts.collectFirst { case (rs, le, false) => (rs, le) }
+    val lr = lts.collectFirst { case (ls, re, true, strictR) => (ls, re, strictR) }
+    val rl = lts.collectFirst { case (rs, le, false, strictL) => (rs, le, strictL) }
     (lr, rl) match {
-      case (Some((ls, re)), Some((rs, le))) if ls != le && rs != re =>
+      // strictR: ls < re bounds the RIGHT interval's end openness;
+      // strictL: rs < le bounds the LEFT's
+      case (Some((ls, re, strictR)), Some((rs, le, strictL)))
+          if ls != le && rs != re =>
         val widthUs = Literal(bucketSeconds * 1000000L, LongType)
         def bucketOf(t: Expression): Expression =
           IntegralDivide(UnixMicros(t), widthUs)
-        // end-exclusive: the range ends at the bucket of the last contained
-        // µs. Sequence is TimeZoneAware — without an explicit zone the
-        // expression stays UNRESOLVED and the optimizer rejects the plan.
-        def buckets(s: Expression, e: Expression): Expression =
+        // half-open end: range stops at the bucket of the last contained µs;
+        // closed end: the endpoint itself is contained. Sequence is
+        // TimeZoneAware — without an explicit zone the expression stays
+        // UNRESOLVED and the optimizer rejects the plan.
+        def buckets(s: Expression, e: Expression, strictEnd: Boolean): Expression =
           new Sequence(bucketOf(s),
-            IntegralDivide(Subtract(UnixMicros(e), Literal(1L)), widthUs),
+            if (strictEnd)
+              IntegralDivide(Subtract(UnixMicros(e), Literal(1L)), widthUs)
+            else bucketOf(e),
             None, Some(SQLConf.get.sessionLocalTimeZone))
         val bL = AttributeReference("_graft_bucket_l", LongType, nullable = false)()
         val bR = AttributeReference("_graft_bucket_r", LongType, nullable = false)()
-        val genL = Generate(Explode(buckets(ls, le)), Nil, outer = false,
+        val genL = Generate(Explode(buckets(ls, le, strictL)), Nil, outer = false,
           qualifier = None, generatorOutput = Seq(bL), child = left)
-        val genR = Generate(Explode(buckets(rs, re)), Nil, outer = false,
+        val genR = Generate(Explode(buckets(rs, re, strictR)), Nil, outer = false,
           qualifier = None, generatorOutput = Seq(bR), child = right)
         val reportOnce = EqualTo(bucketOf(Greatest(Seq(ls, rs))), bL)
         val newCond = And(And(EqualTo(bL, bR), cond), reportOnce)

@@ -59,6 +59,19 @@ class OverlapRewriteSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.overlapJoin.enabled")
   }
 
+  test("closed bounds (<=): touching intervals DO match, still bucket-planned") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val df = left.join(right,
+      col("ls") <= col("re") && col("rs") <= col("le"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && p.contains("_graft_bucket"),
+      s"rule did not fire on <=:\n$p")
+    val got = df.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // closed semantics add the touching pair (1, 11): le == rs at 11:00
+    assert(got == expected + ((1L, 11L)))
+  }
+
   test("equi-joins and mixed conditions are left alone") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val l2 = left.withColumn("k", col("lid") % 2)
