@@ -118,6 +118,27 @@ object SparkEntry {
       Relational.lastShipperCounts(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q19_disjunctive_revenue" -> ((s, d) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tpch.forecastRevenue(Tables.lineitem(s, d))),
+    "q7_volume_shipping" -> ((s, d) =>
+      Tpch.volumeShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      Tpch.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Tables.part(s, d))),
+    "q9_profit_by_nation" -> ((s, d) =>
+      Tpch.profitByNation(Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), Tables.part(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      Tpch.returnedItems(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
+    "q13_order_count_dist" -> ((s, d) =>
+      Tpch.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      Tpch.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "q22_idle_customers" -> ((s, d) =>
+      Tpch.idleCustomers(Tables.customer(s, d), Tables.orders(s, d))),
     "agg_price_moments" -> ((s, d) =>
       Relational.priceMoments(Tables.lineitem(s, d))),
     "anomaly_zscore" -> ((s, d) =>
@@ -650,6 +671,99 @@ object SparkEntry {
          |   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 25)
          |   OR (p.p_size >= 40 AND l.l_quantity >= 30)
          |ORDER BY revenue""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         |  year(l.l_shipdate) AS l_year,
+         |  CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |WHERE year(l.l_shipdate) IN (1996, 1997) AND sn.n_name <> cn.n_name
+         |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH b AS (SELECT year(o.o_orderdate) AS o_year, sn.n_name AS supp_nation,
+         |    $revSql AS rev
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+         |  WHERE year(o.o_orderdate) IN (1996, 1997)),
+         |a AS (SELECT o_year,
+         |  CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+         |    ELSE CAST(0 AS DECIMAL(17,4)) END) AS DECIMAL(18,4)) AS DOUBLE) AS nation_revenue,
+         |  CAST(CAST(sum(rev) AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue
+         |FROM b GROUP BY 1)
+         |SELECT o_year, round(nation_revenue / total_revenue, 6) AS mkt_share,
+         |  nation_revenue, total_revenue
+         |FROM a ORDER BY o_year""".stripMargin,
+    "q9_profit_by_nation" ->
+      s"""SELECT n.n_name, year(l.l_shipdate) AS o_year,
+         |  CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS profit
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin,
+    "q10_returned_items" ->
+      s"""WITH rc AS (SELECT o.o_custkey,
+         |    CAST(CAST(sum($revSql) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_returnflag = 'R'
+         |    AND year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) = 1
+         |  GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 20)
+         |SELECT c.c_custkey, c.c_name, rc.revenue, c.c_acctbal, n.n_name
+         |FROM rc JOIN customer c ON rc.o_custkey = c.c_custkey
+         |        JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |ORDER BY revenue DESC, c_custkey""".stripMargin,
+    "q13_order_count_dist" ->
+      """WITH pc AS (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // max-equality tested on the EXACT decimal sums (the double cast happens
+    // after), so the kept supplier set is bit-identical cross-engine
+    "q15_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey,
+         |    CAST(sum($revSql) AS DECIMAL(18,4)) AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         |  GROUP BY 1),
+         |m AS (SELECT max(total_rev) AS max_rev FROM r)
+         |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+         |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |CROSS JOIN m
+         |WHERE r.total_rev = m.max_rev
+         |ORDER BY s_suppkey""".stripMargin,
+    // above-average threshold as exact cross-multiplication (bal·n > sum),
+    // never a float average; cntrycode = custkey mod 7 (no phone column)
+    "q22_idle_customers" ->
+      """WITH bal AS (SELECT c_custkey, c_custkey % 7 AS cntrycode,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+        |st AS (SELECT sum(bal) AS pos_sum, count(*) AS pos_n
+        |       FROM bal WHERE bal > 0)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  CAST(CAST(sum(bal) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+        |FROM bal, st
+        |WHERE bal * pos_n > pos_sum
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = bal.c_custkey
+        |                  AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY cntrycode""".stripMargin,
     // Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins
     // bias-correct, so the oracle recomputes from explicit central moments
     "agg_price_moments" ->
