@@ -139,6 +139,15 @@ object SparkEntry {
       Tpch.topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q22_idle_customers" -> ((s, d) =>
       Tpch.idleCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "corpus_chunk_overlap" -> ((s, d) =>
+      Corpus.chunkOverlap(Tables.documents(s, d))),
+    "ml_kmeans_clusters" -> ((s, d) =>
+      Ml.kmeansClusters(Tables.embeddings(s, d))),
+    "graph_pagerank_nations" -> ((s, d) =>
+      Graph.nationPagerank(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "join_fuzzy_blocked" -> ((s, d) =>
+      Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
     "agg_price_moments" -> ((s, d) =>
       Relational.priceMoments(Tables.lineitem(s, d))),
     "anomaly_zscore" -> ((s, d) =>
@@ -764,6 +773,75 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = bal.c_custkey
         |                  AND o.o_orderdate >= DATE '2000-01-01')
         |GROUP BY 1 ORDER BY cntrycode""".stripMargin,
+    "corpus_chunk_overlap" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(0, (length(text)-1)//90 + 1)) AS chunk_id
+        |  FROM documents)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  substring(text, CAST(chunk_id*90+1 AS INT), 120) AS chunk_text,
+        |  length(substring(text, CAST(chunk_id*90+1 AS INT), 120)) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // the full 2-round Lloyd trajectory replayed relationally: quantize to
+    // the round(x·1000) integer grid, exact int64 distances, round-half-up
+    // centroid updates — every intermediate integer, so the trajectory is
+    // bit-identical to the Spark loop (seed = 8 lowest vec_ids)
+    "ml_kmeans_clusters" ->
+      """WITH e AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT init.cid, e.i, e.v AS cv FROM init JOIN e USING (vec_id)),
+        |d1 AS (SELECT e.vec_id, c0.cid, sum((e.v - c0.cv)*(e.v - c0.cv)) AS d
+        |       FROM e JOIN c0 ON e.i = c0.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, d FROM (SELECT vec_id, cid, d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |s1 AS (SELECT a1.cid, e.i, sum(e.v) AS s, count(*) AS n
+        |       FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, i, CAST(floor((2*s + n) / (2.0*n)) AS BIGINT) AS cv FROM s1),
+        |d2 AS (SELECT e.vec_id, c1.cid, sum((e.v - c1.cv)*(e.v - c1.cv)) AS d
+        |       FROM e JOIN c1 ON e.i = c1.i GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d FROM (SELECT vec_id, cid, d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |       FROM d2) WHERE rn = 1)
+        |SELECT cid AS cluster, count(*) AS n_points, CAST(sum(d) AS BIGINT) AS inertia
+        |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer-exact weighted PageRank (seed 1e12, damping 17/20, div-first
+    // contributions), 3 unrolled rounds over the nation trade graph
+    "graph_pagerank_nations" ->
+      """WITH edges AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+        |e AS (SELECT edges.src, edges.dst, edges.w, outw.wout
+        |      FROM edges JOIN outw USING (src)),
+        |i1 AS (SELECT e.dst, sum((1000000000000 // e.wout) * e.w) AS m
+        |       FROM e GROUP BY 1),
+        |r1 AS (SELECT n.n_name, 150000000000 + (COALESCE(i.m, 0) * 17) // 20 AS r
+        |       FROM nation n LEFT JOIN i1 i ON n.n_name = i.dst),
+        |i2 AS (SELECT e.dst, sum((r1.r // e.wout) * e.w) AS m
+        |       FROM e JOIN r1 ON r1.n_name = e.src GROUP BY 1),
+        |r2 AS (SELECT n.n_name, 150000000000 + (COALESCE(i.m, 0) * 17) // 20 AS r
+        |       FROM nation n LEFT JOIN i2 i ON n.n_name = i.dst),
+        |i3 AS (SELECT e.dst, sum((r2.r // e.wout) * e.w) AS m
+        |       FROM e JOIN r2 ON r2.n_name = e.src GROUP BY 1),
+        |r3 AS (SELECT n.n_name, 150000000000 + (COALESCE(i.m, 0) * 17) // 20 AS r
+        |       FROM nation n LEFT JOIN i3 i ON n.n_name = i.dst)
+        |SELECT n_name, CAST(r AS BIGINT) AS rank FROM r3
+        |ORDER BY rank DESC, n_name""".stripMargin,
+    "join_fuzzy_blocked" ->
+      """WITH k AS (SELECT c_custkey // 100 AS block, c_custkey, c_name FROM customer)
+        |SELECT a.block, count(*) AS n_candidates,
+        |  count(*) FILTER (WHERE levenshtein(a.c_name, b.c_name) <= 1) AS n_matches
+        |FROM k a JOIN k b ON a.block = b.block AND a.c_custkey < b.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins
     // bias-correct, so the oracle recomputes from explicit central moments
     "agg_price_moments" ->

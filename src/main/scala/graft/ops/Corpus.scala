@@ -37,6 +37,30 @@ object Corpus {
       .orderBy("source", "doc_id")
   }
 
+  /** Sliding-window document chunking — the context-window splitter every
+    * RAG / pretraining ingest runs: fixed `size`-char chunks advancing by
+    * `stride` chars (so consecutive chunks overlap by `size - stride`).
+    * Chunk starts are `0, stride, 2·stride, …` while they fall inside the
+    * document, i.e. `1 + floor((len-1)/stride)` chunks per doc.
+    *
+    * Scale design: `explode(sequence(...))` is a row-local generator — no
+    * shuffle, no driver involvement, and each output chunk is produced on
+    * the partition holding its source doc. The expansion factor is
+    * `len/stride`, bounded by the corpus's own size — the one unavoidable
+    * cost of chunking. */
+  def chunkOverlap(documents: DataFrame, size: Int = 120, stride: Int = 90): DataFrame = {
+    require(stride > 0 && size >= stride, "overlapping fixed windows need 0 < stride <= size")
+    documents
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / stride).cast("int"))).as("chunk_id"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr(s"substring(text, chunk_id * $stride + 1, $size)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Stable contiguous id assignment over the corpus: global `row_number`
     * by (lang, doc_id) via [[Rank.groupRanks]] with no group — the
     * scale-safe form of "re-id a 100 TB corpus" (a plain global window puts

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over a graph distilled FROM the fact tables — the
+  * "entity importance" pass a data pipeline runs after extracting a link
+  * graph (here: nation → nation trade edges, supplier side → customer side,
+  * weighted by lineitem count).
+  *
+  * Numeric design: ranks are INTEGER micro-units (1e12 per node seed), and
+  * every per-edge contribution is `(rank div out_weight) · edge_weight` —
+  * integer division FIRST, so no intermediate exceeds rank·1 and the whole
+  * iteration is exact int64 arithmetic the DuckDB oracle replays bit-for-bit
+  * (a float PageRank would diverge across engines in the last ulp of every
+  * shuffle-ordered sum). Damping 0.85 is the exact rational 17/20.
+  *
+  * Scale design: the edge extraction (the 100 TB part) is one aggregate-first
+  * pass over the fact joins — identical cost class to Q7. The iteration then
+  * runs over the AGGREGATED edge list, localCheckpoint'd once (per the
+  * connectedComponents discipline: truncate lineage, never re-run the
+  * extraction per round); each round is a join + partial-agg'd groupBy on
+  * edge-list-sized data, valid for graphs far larger than the driver. */
+object Graph {
+
+  /** nation→nation trade edges: weight = lineitems shipped from a supplier
+    * of `src` nation to a customer of `dst` nation. */
+  def nationTradeEdges(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("src"))
+    val custNation = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("dst"))
+    val orderNation = orders
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("dst"))
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(orderNation, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private val Seed: Long = 1000000000000L // 1e12 micro-units per node
+
+  /** Exact-integer weighted PageRank: `iters` fixed rounds over (src, dst,
+    * w) edges and a `nodes` frame (one `n_name` per vertex — vertices with
+    * no in-edges keep the teleport term). */
+  def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges
+      .join(edges.groupBy(col("src").as("s2")).agg(sum("w").as("wout")),
+        col("src") === col("s2"))
+      .select(col("src"), col("dst"), col("w"), col("wout"))
+      .localCheckpoint(true)
+    val teleport: Long = Seed - Seed * 17L / 20L // 0.15·seed, exact integer
+    var ranks = nodes.select(col("n_name"), lit(Seed).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, col("n_name") === col("src"))
+        // integer division FIRST (`div` = Spark's long division; everything
+        // here is positive, so DuckDB's floor-div agrees exactly)
+        .select(col("dst"), expr("(r div wout) * w").as("m"))
+        .groupBy("dst")
+        .agg(sum("m").as("m"))
+      ranks = nodes
+        .join(contribs, col("n_name") === col("dst"), "left_outer")
+        .select(col("n_name"), coalesce(col("m"), lit(0L)).as("m"))
+        .select(col("n_name"),
+          expr(s"$teleport + (m * 17) div 20").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("n_name"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("n_name"))
+  }
+
+  /** The full query: extract the nation trade graph, rank it. */
+  def nationPagerank(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame =
+    pagerank(
+      nationTradeEdges(lineitem, orders, customer, supplier, nation),
+      nodes = nation.select("n_name"))
+}

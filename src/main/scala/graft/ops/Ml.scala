@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over the embedding corpus — the codebook
+  * trainer behind IVF indexing (SimSearch) and embedding-space corpus
+  * analysis. Structured exactly like the cluster-scale algorithm:
+  *
+  *   - centroids live on the driver (k·dim values — METADATA, like MLlib's
+  *     implementation; never the corpus);
+  *   - assignment is a per-row argmin over broadcast centroid literals —
+  *     zero shuffle, the same inlined-codebook trick as SimSearch.ivfTopK;
+  *   - the centroid update is posexplode → partial-agg'd groupBy (cid, dim):
+  *     the map-side combine reduces each task's shuffle output to k·dim
+  *     rows, so the exchange carries O(k·dim·partitions), not O(corpus).
+  *
+  * Numeric design (cross-engine exactness): embeddings are quantized to an
+  * integer grid (`round(x·1000)` — the same int8/int16-style quantization
+  * the ANN path uses), distances are exact int64 sums of squares, and the
+  * centroid update rounds half-up on the SAME grid via
+  * `floor((2·sum + n) / (2·n))`. Every iteration is therefore integer-exact
+  * and the DuckDB oracle replays the whole trajectory — a float k-means
+  * would drift across engines in the first reduce. Ties (equidistant
+  * centroids) break to the lowest cluster id by struct ordering. */
+object Ml {
+
+  /** Returns one row per cluster: (cluster, n_points, inertia) after `iters`
+    * assignment rounds from a deterministic seed (the k lowest vec_ids) —
+    * centroid updates run BETWEEN rounds, so the reported clustering is the
+    * round-`iters` assignment against the (iters−1)-times-updated codebook
+    * (exactly the trajectory the oracle's unrolled CTEs replay). */
+  def kmeansClusters(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = quantized(embeddings).localCheckpoint(true) // scanned once per round
+    // deterministic seed: the k lowest vec_ids, cluster id = rank order.
+    // k rows of metadata — the only collect in the loop.
+    var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    for (_ <- 1 until iters) {
+      val sums = assign(q, centroids)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("i", "v")))
+        .groupBy("cid", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        // round-half-up back onto the integer grid; (2s+n)/(2n) stays well
+        // under 2^53, so the double division is exact enough for floor
+        .select(col("cid"), col("i"),
+          floor((col("s") * 2 + col("n")) / (col("n") * 2)).cast("long").as("cv"))
+        .collect()
+      // empty clusters drop out (matches the oracle's relational replay,
+      // where a cid with no members simply vanishes from the centroid CTE)
+      centroids = sums.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
+    }
+    assign(q, centroids)
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_points"), sum("d").as("inertia"))
+      .orderBy("cluster")
+  }
+
+  /** (vec_id, qv): embeddings on the round(x·1000) integer grid. */
+  private def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+
+  /** Per-row nearest centroid over inlined literals: array_min over
+    * struct(distance, cid) — lexicographic struct order gives min distance,
+    * ties to lowest cid. No shuffle, no explode. */
+  private def assign(q: DataFrame, centroids: Seq[(Int, Seq[Long])]): DataFrame = {
+    val best = array_min(array(centroids.map { case (cid, cv) =>
+      struct(sqDist(col("qv"), cv).as("d"), lit(cid).as("c"))
+    }: _*))
+    q.select(col("vec_id"), col("qv"),
+      best.getField("c").as("cid"), best.getField("d").as("d"))
+  }
+
+  /** Exact int64 squared distance between a quantized column vector and a
+    * literal centroid. */
+  private def sqDist(qv: Column, cv: Seq[Long]): Column =
+    aggregate(
+      zip_with(qv, array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+}

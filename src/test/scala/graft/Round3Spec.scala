@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-3 operators: chunking, k-means, PageRank, blocked fuzzy linkage. */
+class Round3Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- Corpus.chunkOverlap -------------------------------------------------
+
+  test("chunkOverlap: stride-aligned starts, full coverage, overlap = size - stride") {
+    val docs = Seq((1L, "a" * 250), (2L, "b" * 90), (3L, "c" * 91)).toDF("doc_id", "text")
+    val got = Corpus.chunkOverlap(docs, size = 120, stride = 90).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 1: 250 chars -> starts 0, 90, 180 (3 chunks)
+    assert(got.keys.count(_._1 == 1L) == 3)
+    assert(got((1L, 0)).length == 120 && got((1L, 1)).length == 120)
+    assert(got((1L, 2)).length == 70) // tail: 250 - 180
+    // doc 2: exactly one stride -> one chunk; doc 3: one char over -> two
+    assert(got.keys.count(_._1 == 2L) == 1)
+    assert(got.keys.count(_._1 == 3L) == 2)
+    assert(got((3L, 1)) == "c") // start 90, one char left
+  }
+
+  test("chunkOverlap: concatenating stride prefixes reconstructs the document") {
+    val text = (1 to 40).map(i => f"w$i%02d").mkString(" ") // 199 chars
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = Corpus.chunkOverlap(docs, size = 120, stride = 90)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    val rebuilt = chunks.init.map(_.take(90)).mkString + chunks.last
+    assert(rebuilt == text)
+  }
+
+  // ---- Ml.kmeansClusters ---------------------------------------------------
+
+  private lazy val embSmall = {
+    // two tight blobs far apart + their noise: k=2 must separate them
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      val v = Array.tabulate(64)(d => base + (i % 5) * 0.001f + d * 0.0f)
+      (i.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans: clusters partition the corpus and separate distant blobs") {
+    val got = Ml.kmeansClusters(embSmall, k = 2, iters = 2).collect()
+    assert(got.map(_.getLong(1)).sum == 20L) // every point assigned once
+    assert(got.length == 2)
+    assert(got.map(_.getLong(1)).toSet == Set(10L)) // 10 per blob
+  }
+
+  test("kmeans: deterministic across runs and partition counts") {
+    val a = Ml.kmeansClusters(embSmall.repartition(7), k = 2, iters = 2).collect().toSeq
+    val b = Ml.kmeansClusters(embSmall.repartition(2), k = 2, iters = 2).collect().toSeq
+    assert(a.map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      == b.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("kmeans: more rounds never increase inertia (Lloyd monotonicity)") {
+    val i2 = Ml.kmeansClusters(embSmall, k = 2, iters = 2).collect().map(_.getLong(2)).sum
+    val i3 = Ml.kmeansClusters(embSmall, k = 2, iters = 3).collect().map(_.getLong(2)).sum
+    assert(i3 <= i2)
+  }
+
+  // ---- Graph.pagerank ------------------------------------------------------
+
+  test("pagerank: teleport-only for sink-fed graphs, mass flows to popular dst") {
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("n_name")
+    val got = Graph.pagerank(edges, nodes, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 3)
+    // c receives from both a (1/4 of its rank) and b (all of it): highest
+    assert(got("c") > got("a") && got("c") > got("b"))
+    // every rank keeps at least the teleport floor
+    assert(got.values.forall(_ >= 150000000000L))
+  }
+
+  test("pagerank: node with no in-edges holds exactly the teleport term") {
+    val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    val nodes = Seq("a", "b").toDF("n_name")
+    val got = Graph.pagerank(edges, nodes, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 150000000000L)
+  }
+
+  test("pagerank: deterministic under repartition") {
+    val edges = Seq(("a", "b", 3L), ("b", "a", 2L), ("a", "c", 1L), ("c", "b", 5L))
+      .toDF("src", "dst", "w")
+    val nodes = Seq("a", "b", "c").toDF("n_name")
+    val x = Graph.pagerank(edges.repartition(5), nodes, iters = 4).collect().toSeq
+    val y = Graph.pagerank(edges.repartition(1), nodes, iters = 4).collect().toSeq
+    assert(x.map(r => (r.getString(0), r.getLong(1))) == y.map(r => (r.getString(0), r.getLong(1))))
+  }
+
+  // ---- Dedup.fuzzyLinkBlocked ----------------------------------------------
+
+  test("fuzzy blocked linkage: candidates only within blocks, edit-1 matches counted") {
+    val cust = Seq(
+      (101L, "Customer#000000101"), (102L, "Customer#000000102"), // 1 edit apart
+      (113L, "Customer#000000113"),                               // 2 edits from both
+      (205L, "Customer#000000205")                                // other block
+    ).toDF("c_custkey", "c_name")
+    val got = Dedup.fuzzyLinkBlocked(cust, keySpan = 100, maxEdits = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 1L))) // 3 pairs in block 1, only 101-102 within 1 edit
+    assert(!got.contains(2L))     // single-record block produces no pairs
+  }
+}
