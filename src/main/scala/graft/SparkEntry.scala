@@ -148,6 +148,12 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "join_fuzzy_blocked" -> ((s, d) =>
       Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
+    "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
+    "samp_n_per_group" -> ((s, d) =>
+      Sampling.sampleNPerGroup(
+          Tables.documents(s, d).select("doc_id", "lang", "source"),
+          "lang", "doc_id", 10)
+        .orderBy("lang", "doc_id")),
     "agg_price_moments" -> ((s, d) =>
       Relational.priceMoments(Tables.lineitem(s, d))),
     "anomaly_zscore" -> ((s, d) =>
@@ -836,6 +842,43 @@ object SparkEntry {
         |       FROM nation n LEFT JOIN i3 i ON n.n_name = i.dst)
         |SELECT n_name, CAST(r AS BIGINT) AS rank FROM r3
         |ORDER BY rank DESC, n_name""".stripMargin,
+    // SemDeDup census: one assignment round vs the seed codebook, then the
+    // exact cross-multiplied cosine test (cos² ≥ 49/400 ⇔ cos ≥ 0.35)
+    // against each cluster's lowest-id representative
+    "ml_semdedup" ->
+      """WITH e AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT init.cid, e.i, e.v AS cv FROM init JOIN e USING (vec_id)),
+        |d1 AS (SELECT e.vec_id, c0.cid, sum((e.v - c0.cv)*(e.v - c0.cv)) AS d
+        |       FROM e JOIN c0 ON e.i = c0.i GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, d,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |       FROM d1) WHERE rn = 1),
+        |nrm AS (SELECT vec_id, sum(v*v) AS n2 FROM e GROUP BY 1),
+        |reps AS (SELECT cid, min(vec_id) AS rep_id FROM a1 GROUP BY 1),
+        |dots AS (SELECT a.vec_id, a.cid, r.rep_id, sum(ea.v * er.v) AS dot
+        |         FROM a1 a JOIN reps r ON a.cid = r.cid
+        |         JOIN e ea ON ea.vec_id = a.vec_id
+        |         JOIN e er ON er.vec_id = r.rep_id AND er.i = ea.i
+        |         GROUP BY 1, 2, 3),
+        |fl AS (SELECT d.cid,
+        |    CASE WHEN d.vec_id <> d.rep_id AND d.dot > 0
+        |          AND d.dot*d.dot*400 >= qa.n2 * qr.n2 * 49 THEN 1 ELSE 0 END AS dropped
+        |  FROM dots d JOIN nrm qa ON qa.vec_id = d.vec_id
+        |              JOIN nrm qr ON qr.vec_id = d.rep_id)
+        |SELECT cid AS cluster, count(*) AS n_members,
+        |  CAST(sum(dropped) AS BIGINT) AS n_dropped
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "samp_n_per_group" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 2147483647) * 1103515245) % 2147483647, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
     "join_fuzzy_blocked" ->
       """WITH k AS (SELECT c_custkey // 100 AS block, c_custkey, c_name FROM customer)
         |SELECT a.block, count(*) AS n_candidates,

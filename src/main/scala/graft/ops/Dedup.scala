@@ -336,6 +336,7 @@ object Dedup {
     * candidate/match census — integers, exact cross-engine. */
   def fuzzyLinkBlocked(customer: DataFrame, keySpan: Int = 100,
       maxEdits: Int = 1): DataFrame = {
+    GraftExtensions.ensureRegistered(customer.sparkSession)
     val keyed = customer.select(
       expr(s"c_custkey div $keySpan").as("block"),
       col("c_custkey"), col("c_name"))
@@ -347,7 +348,10 @@ object Dedup {
       .where(col("key_a") < col("key_b"))
       .groupBy("block")
       .agg(count(lit(1)).as("n_candidates"),
-        count(when(levenshtein(col("name_a"), col("name_b")) <= maxEdits, 1))
+        // banded native verify: O(k·len) per pair vs the built-in's full
+        // O(len²) DP — decides exactly the same <= maxEdits set
+        count(when(call_function("lev_bounded",
+            col("name_a"), col("name_b"), lit(maxEdits)) <= maxEdits, 1))
           .as("n_matches"))
       .orderBy("block")
   }

@@ -59,11 +59,64 @@ object Ml {
       .orderBy("cluster")
   }
 
-  /** (vec_id, qv): embeddings on the round(x·1000) integer grid. */
-  private def quantized(embeddings: DataFrame): DataFrame =
+  /** SemDeDup (semantic dedup, Abbas et al. 2023 shape): cluster the
+    * embedding space, then inside each cluster drop members whose cosine
+    * similarity to the cluster representative clears a threshold — the
+    * "same meaning, different words" pruning pass exact-text dedup misses.
+    *
+    * This implementation: one assignment round against the deterministic
+    * seed codebook (the clustering quality is [[kmeansClusters]]'s job;
+    * the pruning mechanism is the point here), representative = lowest
+    * vec_id per cluster, and the cosine test is EXACT integer
+    * cross-multiplication on the quantized grid:
+    *   keep  iff  dot ≤ 0  or  den·dot² < num·|a|²·|b|²   (cos² < num/den)
+    * so no square root, no float, no cross-engine drift. Per-cluster
+    * census out: (cluster, n_members, n_dropped).
+    *
+    * Scale: assignment is the zero-shuffle argmin; representatives are k
+    * rows (broadcast); the dot products are per-row column math against
+    * the broadcast representative vectors. One shuffle total (the census
+    * groupBy). */
+  def semDedup(embeddings: DataFrame, k: Int = 8,
+      thrNum: Long = 49, thrDen: Long = 400): DataFrame = {
+    // the coarser round(x·100) grid keeps den·dot² inside int64 for
+    // 64-dim vectors with |x| ≤ ~40 (dot ≤ 64·160e3 ⇒ den·dot² ≤ ~1e16)
+    val q = quantized(embeddings, 100d).localCheckpoint(true)
+    val seed = q.orderBy("vec_id").limit(k).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    val assigned = assign(q, seed)
+    // rep_cid rename: reps derives from `assigned`, so keeping the name
+    // `cid` through the join back would be a self-lineage ambiguity
+    val reps = assigned.groupBy(col("cid").as("rep_cid"))
+      .agg(min("vec_id").as("rep_id"))
+    val repVecs = assigned
+      .join(broadcast(reps), col("vec_id") === col("rep_id"))
+      .select(col("rep_cid").as("cid"), col("rep_id"), col("qv").as("rep_qv"))
+    val dot = aggregate(zip_with(col("qv"), col("rep_qv"), _ * _),
+      lit(0L), (acc, x) => acc + x)
+    val na = aggregate(zip_with(col("qv"), col("qv"), _ * _),
+      lit(0L), (acc, x) => acc + x)
+    val nb = aggregate(zip_with(col("rep_qv"), col("rep_qv"), _ * _),
+      lit(0L), (acc, x) => acc + x)
+    assigned
+      .join(broadcast(repVecs), "cid")
+      .select(col("cid"), col("vec_id"), col("rep_id"),
+        dot.as("dot"), na.as("na"), nb.as("nb"))
+      .select(col("cid"),
+        when(col("vec_id") =!= col("rep_id")
+          && col("dot") > 0
+          && col("dot") * col("dot") * thrDen >= col("na") * col("nb") * thrNum,
+          1L).otherwise(0L).as("dropped"))
+      .groupBy(col("cid").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum("dropped").as("n_dropped"))
+      .orderBy("cluster")
+  }
+
+  /** (vec_id, qv): embeddings on the round(x·scale) integer grid. */
+  private def quantized(embeddings: DataFrame, scale: Double = 1000d): DataFrame =
     embeddings.select(col("vec_id"),
       transform(col("embedding"),
-        x => round(x.cast("double") * 1000d).cast("long")).as("qv"))
+        x => round(x.cast("double") * scale).cast("long")).as("qv"))
 
   /** Per-row nearest centroid over inlined literals: array_min over
     * struct(distance, cid) — lexicographic struct order gives min distance,

@@ -56,6 +56,19 @@ object Sampling {
     df.where(hashBucket(col(keyCol)) < pct)
   }
 
+  /** Deterministic fixed-size per-group sample ("reservoir" semantics
+    * without an RNG): rank rows inside each group by the multiplicative
+    * hash of their key and keep the `n` smallest — a uniform-looking,
+    * rerun-stable, engine-agnostic choice of exactly min(n, |group|) rows.
+    * The rank runs per group partition (one shuffle on the group column,
+    * same cost class as any per-group top-k); ties cannot happen because
+    * the hash is injective on keys below P. */
+  def sampleNPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy((col(keyCol) % P) * A % P, col(keyCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
+  }
+
   /** Weighted corpus mixing: each named corpus sampled at its percent, then
     * unioned with a `corpus` tag — the blend step that builds a training
     * mixture from heterogeneous sources. A union of deterministic

@@ -67,7 +67,12 @@ object GraftExtensions {
     (FunctionIdentifier("poly_fp"),
       info("PolyFingerprint",
         "poly_fp(string) - dual-residue polynomial rolling fingerprint"),
-      (args: Seq[Expression]) => PolyFingerprint(args.head)))
+      (args: Seq[Expression]) => PolyFingerprint(args.head)),
+    (FunctionIdentifier("lev_bounded"),
+      info("BoundedLevenshtein",
+        "lev_bounded(a, b, k) - banded edit distance capped at k+1"),
+      (args: Seq[Expression]) => BoundedLevenshtein(args(0), args(1),
+        intLiteral("lev_bounded", "k", args(2)))))
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public

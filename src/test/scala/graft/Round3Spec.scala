@@ -98,6 +98,72 @@ class Round3Spec extends AnyFunSuite {
     assert(x.map(r => (r.getString(0), r.getLong(1))) == y.map(r => (r.getString(0), r.getLong(1))))
   }
 
+  // ---- Ml.semDedup ---------------------------------------------------------
+
+  test("semDedup: planted near-duplicate of a representative is dropped, others kept") {
+    // 4 far-apart seed vectors; vec 4 is a near-copy of vec 0 (cos ~ 1),
+    // vec 5 is orthogonal-ish to everything
+    def v(active: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(d => if (d / 16 == active) scale else 0.01f * (d % 3))
+    val emb = Seq(
+      (0L, v(0, 2.0f)), (1L, v(1, 2.0f)), (2L, v(2, 2.0f)), (3L, v(3, 2.0f)),
+      (4L, v(0, 1.9f)), // near-dup of representative 0
+      (5L, Seq.tabulate(64)(d => if (d % 2 == 0) 1.5f else -1.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Ml.semDedup(emb, k = 4).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.values.map(_._1).sum == 6L) // all members accounted for
+    assert(got(0)._2 == 1L) // exactly the planted near-dup dropped
+    assert(got.values.map(_._2).sum == 1L) // and nothing else
+  }
+
+  // ---- Sampling.sampleNPerGroup ---------------------------------------------
+
+  test("sampleNPerGroup: exact group sizes, deterministic, subset of input") {
+    val df = (1L to 500L).map(i => (i, s"g${i % 3}")).toDF("doc_id", "lang")
+    val a = Sampling.sampleNPerGroup(df, "lang", "doc_id", 7).collect()
+    assert(a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+      == Map("g0" -> 7, "g1" -> 7, "g2" -> 7))
+    val b = Sampling.sampleNPerGroup(df.repartition(11), "lang", "doc_id", 7)
+      .collect()
+    assert(a.map(r => (r.getLong(0), r.getString(1))).toSet
+      == b.map(r => (r.getLong(0), r.getString(1))).toSet)
+    // short group: min(n, size)
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "lang")
+    assert(Sampling.sampleNPerGroup(tiny, "lang", "doc_id", 5).count() == 3)
+  }
+
+  // ---- BoundedLevenshtein ---------------------------------------------------
+
+  test("lev_bounded == min(levenshtein, k+1) over random string pairs") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rng = new scala.util.Random(42)
+    def word() = (0 until 1 + rng.nextInt(12))
+      .map(_ => ('a' + rng.nextInt(4)).toChar).mkString // small alphabet: close pairs
+    val pairs = Seq.tabulate(400)(i => (i.toLong, word(), word()))
+      .toDF("id", "a", "b")
+    for (k <- 0 to 3) {
+      val diff = pairs.select(
+        call_function("lev_bounded", col("a"), col("b"), lit(k)).as("bounded"),
+        least(levenshtein(col("a"), col("b")), lit(k + 1)).as("expected"))
+        .where(col("bounded") =!= col("expected")).count()
+      assert(diff == 0L, s"k=$k")
+    }
+  }
+
+  test("lev_bounded: empty strings and exact-k edges") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val got = Seq(("", "", 0), ("", "abc", 1), ("abc", "abd", 2), ("abc", "xyz", 3))
+      .toDF("a", "b", "id")
+      .select(col("id"),
+        call_function("lev_bounded", col("a"), col("b"), lit(2)).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got(0) == 0) // "" vs ""
+    assert(got(1) == 3) // distance 3 capped at k+1
+    assert(got(2) == 1) // one substitution
+    assert(got(3) == 3) // all three differ: capped
+  }
+
   // ---- Dedup.fuzzyLinkBlocked ----------------------------------------------
 
   test("fuzzy blocked linkage: candidates only within blocks, edit-1 matches counted") {
