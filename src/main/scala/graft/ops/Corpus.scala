@@ -51,6 +51,10 @@ object Corpus {
   def chunkOverlap(documents: DataFrame, size: Int = 120, stride: Int = 90): DataFrame = {
     require(stride > 0 && size >= stride, "overlapping fixed windows need 0 < stride <= size")
     documents
+      // empty docs produce NO chunks (the oracle's range() semantics) —
+      // without this, floor((0-1)/stride) = -1 makes sequence(0,-1) emit a
+      // DESCENDING [0,-1] pair: Spark infers step -1 when start > stop
+      .where(length(col("text")) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0),
           floor((length(col("text")) - 1) / stride).cast("int"))).as("chunk_id"),

@@ -36,6 +36,9 @@ object Ml {
     // k rows of metadata — the only collect in the loop.
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    if (centroids.isEmpty) // empty corpus: no clusters (array() of zero
+      return q.select(lit(0).as("cluster"), lit(0L).as("n_points"), // structs
+        lit(0L).as("inertia")).limit(0) // would type as VOID downstream
     for (_ <- 1 until iters) {
       val sums = assign(q, centroids)
         .select(col("cid"), posexplode(col("qv")).as(Seq("i", "v")))
@@ -84,6 +87,9 @@ object Ml {
     val q = quantized(embeddings, 100d).localCheckpoint(true)
     val seed = q.orderBy("vec_id").limit(k).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    if (seed.isEmpty) // same empty-corpus guard as kmeansClusters
+      return q.select(lit(0).as("cluster"), lit(0L).as("n_members"),
+        lit(0L).as("n_dropped")).limit(0)
     val assigned = assign(q, seed)
     // rep_cid rename: reps derives from `assigned`, so keeping the name
     // `cid` through the join back would be a self-lineage ambiguity

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** `year(c) = y` as a sargable closed-open timestamp range — the form
+    * that reaches PushedFilters and prunes parquet row groups; the
+    * function form never pushes past the scan. */
+  private[ops] def inYear(c: org.apache.spark.sql.Column, y: Int) =
+    c >= lit(f"$y%04d-01-01") && c < lit(f"${y + 1}%04d-01-01")
+
   /** TPC-H Q1-shaped pricing summary: scan-heavy filter + wide aggregate.
     * The filter and the 7-column projection both push into the parquet scan.
     */
@@ -117,7 +123,7 @@ object Relational {
         (col("l_extendedprice").cast("decimal(12,2)")
           * (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
             .cast("decimal(5,2)")).as("rev"))
-      .join(orders.where(year(col("o_orderdate")) === yearSlice)
+      .join(orders.where(inYear(col("o_orderdate"), yearSlice))
         .select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(customer.select("c_custkey", "c_nationkey"),
@@ -387,7 +393,7 @@ object Relational {
     * leave it. */
   def priorityExistsCounts(orders: DataFrame, lineitem: DataFrame,
       yearSlice: Int = 1996, minQty: Int = 45): DataFrame =
-    orders.where(year(col("o_orderdate")) === yearSlice)
+    orders.where(inYear(col("o_orderdate"), yearSlice))
       .join(lineitem.where(col("l_quantity") >= minQty).select("l_orderkey"),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
@@ -402,7 +408,7 @@ object Relational {
   def linestatusPriorityCounts(lineitem: DataFrame, orders: DataFrame,
       yearSlice: Int = 1996): DataFrame = {
     val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    lineitem.where(year(col("l_shipdate")) === yearSlice)
+    lineitem.where(inYear(col("l_shipdate"), yearSlice))
       .select("l_orderkey", "l_linestatus")
       .join(orders.select("o_orderkey", "o_orderpriority"),
         col("l_orderkey") === col("o_orderkey"))

@@ -120,7 +120,7 @@ object Star {
     * build, and a name→id→name round trip for the identical result. */
   def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
-    val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
+    val ordersY = orders.where(Relational.inYear(col("o_orderdate"), yearSlice))
     val catDict = dimCategory(ordersY)
     ordersY.select(col("o_orderpriority").as("name"))
       .groupBy("name")
@@ -135,7 +135,7 @@ object Star {
     * the two broadcast dim joins to resolve before grouping. */
   def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
-    val ordersY = orders.where(year(col("o_orderdate")) === yearSlice)
+    val ordersY = orders.where(Relational.inYear(col("o_orderdate"), yearSlice))
     val distDict = dimDistrict(nation)
     ordersWithDistrict(ordersY, customer, nation)
       .select(col("n_name").as("name"))

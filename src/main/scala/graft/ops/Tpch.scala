@@ -34,7 +34,10 @@ object Tpch {
     * final aggregate, zero joins, zero wide shuffles at any scale. */
   def forecastRevenue(lineitem: DataFrame): DataFrame =
     lineitem
-      .where(year(col("l_shipdate")) === 1996
+      // the year slice as a sargable range: year(col)=N never reaches
+      // PushedFilters, a timestamp range prunes row groups at the scan
+      .where(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1997-01-01")
         && col("l_discount").between(0.05, 0.07)
         && col("l_quantity") < 24)
       .agg(
@@ -59,7 +62,9 @@ object Tpch {
       .join(custNation, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("cust_nation"))
     lineitem
-      .where(year(col("l_shipdate")).isin(1996, 1997))
+      // sargable form of year IN (1996, 1997): pushes to the parquet scan
+      .where(col("l_shipdate") >= lit("1996-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"), revDec().as("rev"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
@@ -89,7 +94,8 @@ object Tpch {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val regionOrders = orders
-      .where(year(col("o_orderdate")).isin(1996, 1997))
+      .where(col("o_orderdate") >= lit("1996-01-01") // sargable year pair
+        && col("o_orderdate") < lit("1998-01-01"))
       .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
     lineitem
@@ -136,7 +142,10 @@ object Tpch {
   def returnedItems(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
       nation: DataFrame): DataFrame = {
     val quarterOrders = orders
-      .where(year(col("o_orderdate")) === 1996 && quarter(col("o_orderdate")) === 1)
+      // 1996Q1 as a closed-open range: prunes at the scan, unlike
+      // year() = 1996 AND quarter() = 1
+      .where(col("o_orderdate") >= lit("1996-01-01")
+        && col("o_orderdate") < lit("1996-04-01"))
       .select("o_orderkey", "o_custkey")
     val revPerCust = lineitem
       .where(col("l_returnflag") === "R")

@@ -529,6 +529,21 @@ class OpsSpec extends AnyFunSuite {
     // profiling an EMPTY table is defined: one row per column, zero counts
     val prof = Profile.profile(noEvents, Seq("event_id", "event_type")).collect()
     assert(prof.length == 2 && prof.forall(r => r.getLong(2) == 0L))
+    // round-3 second wave
+    assert(Corpus.chunkOverlap(noDocs).count() == 0)
+    val emptyDoc = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Corpus.chunkOverlap(emptyDoc).count() == 0) // empty text → NO chunks
+    val noEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Ml.kmeansClusters(noEmb).count() == 0)
+    assert(Ml.semDedup(noEmb).count() == 0)
+    val noEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    val nodes = Seq("a", "b").toDF("n_name")
+    // no edges: every node holds exactly the teleport floor
+    assert(Graph.pagerank(noEdges, nodes, iters = 2).collect()
+      .forall(_.getLong(1) == 150000000000L))
+    val noCust = Seq.empty[(Long, String)].toDF("c_custkey", "c_name")
+    assert(Dedup.fuzzyLinkBlocked(noCust).count() == 0)
+    assert(Sampling.sampleNPerGroup(noDocs, "lang", "doc_id", 3).count() == 0)
   }
 
   test("layout: zorderKey interleaves bits exactly (reference impl)") {
