@@ -178,6 +178,45 @@ object Streaming {
       }
   }
 
+  /** One top-k snapshot row emitted when a group's leaderboard changes. */
+  case class TopKEntry(event_type: String, rank: Int, event_id: Long,
+      value: Double)
+
+  /** Streaming per-key top-k — the incremental form of the batch
+    * TopKPerKey operator (graft.plans.topk): per-key state holds the
+    * current k-element leaderboard (a bounded heap's contents — state
+    * size is O(k), never the stream), each micro-batch folds its rows in,
+    * and a fresh snapshot of the leaderboard is emitted ONLY when it
+    * changed. Ties break on event_id (lower wins), same as the batch
+    * operator's required tiebreak. */
+  def topKPerKey(spark: SparkSession, events: DataFrame, k: Int = 3):
+      Dataset[TopKEntry] = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Double, Long)], TopKEntry](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Seq[(Double, Long)]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty)
+          // fold the batch into the bounded board: sort desc by value,
+          // asc by id on ties, keep k. Deterministic regardless of the
+          // micro-batch iterator's order.
+          val board = (prev ++ rows.map(r => (r._3, r._2)))
+            .distinct
+            .sortBy { case (v, id) => (-v, id) }
+            .take(k)
+          if (board == prev) Iterator.empty
+          else {
+            state.update(board)
+            board.iterator.zipWithIndex.map { case ((v, id), i) =>
+              TopKEntry(key, i + 1, id, v)
+            }
+          }
+      }
+  }
+
   /** Per-user running stats emitted on every update. */
   case class UserRunning(user_id: Long, n_events: Long, n_milestones: Long)
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.Streaming
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+case class TopKIn(event_type: String, event_id: Long, value: Double)
 
 /** Structured Streaming operators driven through MemoryStream → memory sink —
   * the same transform code the batch queries use, now with incremental state.
@@ -258,6 +259,30 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getTimestamp(3)))
         .toSet
       assert(streamed == batchClosed && streamed.size == 2)
+    } finally q.stop()
+  }
+
+  test("streaming top-k leaderboard: O(k) state, emits only on change, matches batch") {
+    val src = MemoryStream[TopKIn](spark)
+    val q = Streaming.topKPerKey(spark, src.toDF(), k = 2)
+      .writeStream.format("memory").queryName("stream_topk")
+      .outputMode("append").start()
+    try {
+      src.addData(TopKIn("a", 1, 10.0), TopKIn("a", 2, 30.0), TopKIn("a", 3, 20.0), TopKIn("b", 4, 5.0))
+      q.processAllAvailable()
+      src.addData(TopKIn("a", 5, 1.0)) // below the board: must emit NOTHING for a
+      q.processAllAvailable()
+      val afterNoChange = spark.table("stream_topk")
+        .where($"event_type" === "a").count()
+      src.addData(TopKIn("a", 6, 25.0)) // displaces id 3
+      q.processAllAvailable()
+      val rows = spark.table("stream_topk").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // the LAST snapshot per key is the live leaderboard
+      assert(afterNoChange == 2) // only the first snapshot of a (2 rows)
+      val lastA = rows.filter(_._1 == "a").takeRight(2).map(t => (t._2, t._3, t._4)).toSeq
+      assert(lastA == Seq((1, 2L, 30.0), (2, 6L, 25.0)))
+      assert(rows.filter(_._1 == "b").map(t => (t._2, t._3)).toSeq == Seq((1, 4L)))
     } finally q.stop()
   }
 
