@@ -149,6 +149,10 @@ object SparkEntry {
     "join_fuzzy_blocked" -> ((s, d) =>
       Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
     "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
+    "corpus_source_overlap" -> ((s, d) =>
+      Corpus.sourceOverlap(Tables.documents(s, d))),
+    "win_rank_dense" -> ((s, d) =>
+      Relational.priceBucketRanks(Tables.orders(s, d))),
     "samp_n_per_group" -> ((s, d) =>
       Sampling.sampleNPerGroup(
           Tables.documents(s, d).select("doc_id", "lang", "source"),
@@ -872,6 +876,35 @@ object SparkEntry {
         |SELECT cid AS cluster, count(*) AS n_members,
         |  CAST(sum(dropped) AS BIGINT) AS n_dropped
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+    // trigram-shingle sets per source (engine: native shingles expression),
+    // self-join bounded by sources² per gram; jaccard in double AFTER the
+    // exact integer counts, rounded to 6 on both sides
+    "corpus_source_overlap" ->
+      s"""WITH g0 AS (SELECT DISTINCT source, gram FROM (
+         |    SELECT source, unnest(list_distinct(
+         |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |           ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |      END)) AS gram
+         |    FROM (SELECT source, $toksSql AS toks FROM documents))),
+         |sizes AS (SELECT source, count(*) AS n_grams FROM g0 GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |      FROM g0 a JOIN g0 b ON a.gram = b.gram AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared,
+         |  round(p.n_shared / (sa.n_grams + sb.n_grams - p.n_shared), 6) AS jaccard
+         |FROM p JOIN sizes sa ON p.src_a = sa.source
+         |       JOIN sizes sb ON p.src_b = sb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+    // the oracle runs the TEXTBOOK window form on raw rows; the engine's
+    // aggregate-first formulation must emit identical (rank, dense_rank)
+    "win_rank_dense" ->
+      """SELECT DISTINCT o_orderpriority,
+        |  CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+        |  rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice / 50000) AS INT)) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(floor(o_totalprice / 50000) AS INT)) AS drnk
+        |FROM orders ORDER BY o_orderpriority, bucket""".stripMargin,
     "samp_n_per_group" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -77,6 +77,34 @@ object Corpus {
       .select(col("rank").as("new_id"), col("doc_id"), col("lang"))
       .orderBy("new_id")
 
+  /** Cross-source corpus overlap: per source-pair shared-shingle counts and
+    * n-gram Jaccard — the "how much does corpus A repeat corpus B" census a
+    * mixture designer reads before setting sampling weights. Distinct
+    * (source, shingle) first (map-side dedup), then a shingle self-join:
+    * each shingle contributes at most |sources|² pair rows no matter how
+    * big the corpus is, so the join output is O(distinct_shingles ·
+    * sources²) — bounded by the SOURCE count, not the document count. The
+    * Jaccard division runs in double after the exact integer counts,
+    * rounded to 6 on both sides. */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val grams = documents
+      .select(col("source"), explode(array_distinct(shingles(tokens(col("text")), n)))
+        .as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    grams.select(col("source").as("src_a"), col("gram"))
+      .join(grams.select(col("source").as("src_b"), col("gram")), "gram")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** The composed C4/Gopher-style keep/drop decision: length fit, stopword
     * presence, alphabetic purity, low n-gram repetition, and language-ID
     * agreement with the declared tag — each check a reason BIT, so a

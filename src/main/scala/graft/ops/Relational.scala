@@ -873,6 +873,29 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** rank() and dense_rank() with ties, formulated aggregate-first: counts
+    * per (priority, price-bucket) collapse the fact table BEFORE any window
+    * runs, so the windows see only dimension-cardinality rows (priorities ×
+    * buckets) — rank = 1 + running sum of earlier-bucket counts, dense_rank
+    * = row_number over the aggregated buckets. Identical output to the
+    * textbook `SELECT DISTINCT ..., rank() OVER ...` on raw rows (which is
+    * what the oracle runs), without ever funneling a fact-sized partition
+    * through one reducer. */
+  def priceBucketRanks(orders: DataFrame): DataFrame = {
+    val counts = orders
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+      .groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    counts
+      .select(col("o_orderpriority"), col("bucket"),
+        (coalesce(sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + 1L).as("rnk"),
+        row_number().over(w).cast("long").as("drnk"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
   /** Tumbling window counts (batch form of the streaming §2.6 operator):
     * 1-day windows per event type via `window()`. */
   def tumblingDailyCounts(events: DataFrame): DataFrame =

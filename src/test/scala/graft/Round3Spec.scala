@@ -164,6 +164,38 @@ class Round3Spec extends AnyFunSuite {
     assert(got(3) == 3) // all three differ: capped
   }
 
+  // ---- Relational.priceBucketRanks ------------------------------------------
+
+  test("priceBucketRanks: aggregate-first form == textbook DISTINCT window form") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val got = Relational.priceBucketRanks(orders).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val w = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    val textbook = orders
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+      .select(col("o_orderpriority"), col("bucket"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .distinct().orderBy("o_orderpriority", "bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == textbook)
+  }
+
+  // ---- Corpus.sourceOverlap --------------------------------------------------
+
+  test("sourceOverlap: self-similar corpora score 1, disjoint score 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"), (2L, "alpha beta gamma delta", "s2"),
+      (3L, "zz yy xx ww vv uu", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("s1", "s2")) == 1.0) // identical shingle sets
+    assert(!got.contains(("s1", "s3"))) // zero shared shingles: no pair row
+  }
+
   // ---- Dedup.fuzzyLinkBlocked ----------------------------------------------
 
   test("fuzzy blocked linkage: candidates only within blocks, edit-1 matches counted") {
