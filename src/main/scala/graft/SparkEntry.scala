@@ -151,6 +151,8 @@ object SparkEntry {
     "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
     "corpus_source_overlap" -> ((s, d) =>
       Corpus.sourceOverlap(Tables.documents(s, d))),
+    "sim_tfidf_pairs" -> ((s, d) =>
+      TextOps.tfidfSimilarPairs(Tables.documents(s, d))),
     "win_rank_dense" -> ((s, d) =>
       Relational.priceBucketRanks(Tables.orders(s, d))),
     "samp_n_per_group" -> ((s, d) =>
@@ -895,6 +897,32 @@ object SparkEntry {
          |FROM p JOIN sizes sa ON p.src_a = sa.source
          |       JOIN sizes sb ON p.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
+    // sparse tf-idf cosine in the [2,100]-df shingle band; ln parity with
+    // text_tfidf, cosine rounded to 6 before the threshold on both sides
+    "sim_tfidf_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |    END) AS gram FROM t),
+         |tf AS (SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY 1, 2),
+         |df AS (SELECT gram, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, gram FROM g)
+         |       GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |w AS (SELECT tf.doc_id, tf.gram,
+         |        tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) AS w
+         |      FROM tf JOIN df USING (gram) CROSS JOIN n),
+         |nm AS (SELECT doc_id, sum(w*w) AS n2 FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+         |      FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(p.dot / sqrt(na.n2 * nb.n2), 6) AS cos_tfidf
+         |FROM p JOIN nm na ON p.doc_a = na.doc_id
+         |       JOIN nm nb ON p.doc_b = nb.doc_id
+         |WHERE round(p.dot / sqrt(na.n2 * nb.n2), 6) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the oracle runs the TEXTBOOK window form on raw rows; the engine's
     // aggregate-first formulation must emit identical (rank, dense_rank)
     "win_rank_dense" ->

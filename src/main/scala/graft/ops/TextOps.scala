@@ -227,6 +227,48 @@ object TextOps {
       .where(col("df") >= minDf)
       .orderBy("token")
 
+  /** Sparse TF-IDF document similarity — the inverted-index join the dense
+    * ANN path can't replace when there are no embeddings: weight each doc's
+    * shingles by tf·idf, generate candidate pairs ONLY through shingles in
+    * the [minDf, maxDf] band (the sharedGramPairs stop-shingle discipline —
+    * a shingle contributes at most maxDf² pair rows regardless of corpus
+    * size), and score candidates by cosine in the SAME banded shingle
+    * space (ubiquitous shingles carry no discriminative weight; excluding
+    * them from the metric is the textbook stop-token treatment).
+    * Whole-token vectors would be useless here AND at scale: tf-idf
+    * similarity lives in the rare-feature subspace by construction. The
+    * cosine is double math after integer (tf, df) aggregates, rounded to 6
+    * so summation-order noise can't flip the threshold on either engine. */
+  def tfidfSimilarPairs(documents: DataFrame, n: Int = 3, minDf: Long = 2,
+      maxDf: Long = 100, minScore: Double = 0.1): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val grams = documents.select(col("doc_id"),
+      explode(call_function("shingles", tokens(col("text")), lit(n))).as("gram"))
+    val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+    val df = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df").between(minDf, maxDf))
+    val w = tf.join(df, "gram").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("gram"),
+        (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+          .as("w"))
+      .localCheckpoint(true) // read three times: norms + both join sides
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    w.select(col("gram"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("gram"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        "gram")
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_tfidf"))
+      .where(col("cos_tfidf") >= minScore)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Per-doc Shannon entropy over the token distribution — the
     * perplexity-proxy signal quality pipelines threshold on (low-entropy ≈
     * repetitive/templated text). Algebraic form `ln N − Σ n·ln n / N` over

@@ -143,4 +143,35 @@ class PlanSpec extends AnyFunSuite {
     val full = spark.read.parquet(out).count()
     assert(pruned.count() < full)
   }
+
+  test("chunkOverlap: row-local generator — no exchange beyond the output sort") {
+    val full = plan(Corpus.chunkOverlap(Tables.documents(spark, TestSpark.sf0001)))
+    // exactly the one exchange the deterministic output ORDER BY needs —
+    // chunk production itself never shuffles
+    assert("Exchange".r.findAllIn(full).length <= 1, full)
+    assert(!full.contains("BroadcastExchange"), full)
+  }
+
+  test("q10: revenue aggregates before any customer attribute join; top-20 via TakeOrdered") {
+    val p = plan(Tpch.returnedItems(
+      Tables.lineitem(spark, TestSpark.sf0001), Tables.orders(spark, TestSpark.sf0001),
+      Tables.customer(spark, TestSpark.sf0001), Tables.nation(spark, TestSpark.sf0001)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // c_name/c_acctbal must not appear below the TakeOrdered boundary:
+    // attributes join onto the 20-row side, never the pre-limit fact flow
+    val belowLimit = p.substring(p.indexOf("TakeOrderedAndProject"))
+    assert(belowLimit.contains("c_acctbal"), p) // join happens after
+  }
+
+  test("kmeans assignment is zero-shuffle: argmin over broadcast literals") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    // one full run triggers the internal collects; then re-derive the final
+    // assignment plan shape via semDedup's single-round assign (same code)
+    val p = plan(Ml.semDedup(emb))
+    // the only exchanges permitted: the census groupBy pair (partial+final)
+    // and the k-row representative broadcasts — never a corpus-wide
+    // repartition before assignment
+    val shuffles = "ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"assignment must not shuffle the corpus:\n$p")
+  }
 }

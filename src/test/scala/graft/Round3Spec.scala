@@ -196,6 +196,22 @@ class Round3Spec extends AnyFunSuite {
     assert(!got.contains(("s1", "s3"))) // zero shared shingles: no pair row
   }
 
+  // ---- TextOps.tfidfSimilarPairs ---------------------------------------------
+
+  test("tfidfSimilarPairs: identical rare-shingle docs score 1, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "rare alpha beta gamma delta end"),
+      (2L, "rare alpha beta gamma delta end"),  // identical: cos 1 in the band
+      (3L, "zz yy xx ww vv uu tt ss"),          // shares nothing with 1/2
+      (4L, "zz yy xx ww vv uu tt ss")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfSimilarPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) == 1.0)
+    assert(got((3L, 4L)) == 1.0)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 4L)))
+  }
+
   // ---- Dedup.fuzzyLinkBlocked ----------------------------------------------
 
   test("fuzzy blocked linkage: candidates only within blocks, edit-1 matches counted") {
