@@ -87,14 +87,32 @@ object Corpus {
     * Jaccard division runs in double after the exact integer counts,
     * rounded to 6 on both sides. */
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
-    val grams = documents
+    // bucket-then-pair (the Dedup.bucketPairs shape), not a self-join, and
+    // ONE corpus-sized shuffle total: collect_set dedups per gram (no
+    // separate global distinct pass), per-source gram counts come from the
+    // already-aggregated gram table, and pairs explode from each gram's
+    // ≤|sources| array. The self-join formulation shuffled the corpus
+    // twice more and recomputed the shingle scan on both sides.
+    // the shingle explode is CPU-bound: spread the rows first when the scan
+    // yields fewer partitions than cores (single small file locally — one
+    // parquet row group cannot split); never fires on a real many-split scan
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
+      else documents
+    val gramSrcs = spread
       .select(col("source"), explode(array_distinct(shingles(tokens(col("text")), n)))
         .as("gram"))
-      .distinct()
-    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    grams.select(col("source").as("src_a"), col("gram"))
-      .join(grams.select(col("source").as("src_b"), col("gram")), "gram")
-      .where(col("src_a") < col("src_b"))
+      .groupBy("gram")
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint(true) // read twice: sizes + pairs
+    val sizes = gramSrcs
+      .select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    gramSrcs
+      .select(col("srcs"), explode(col("srcs")).as("src_a"))
+      .select(col("src_a"),
+        explode(filter(col("srcs"), x => x > col("src_a"))).as("src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")

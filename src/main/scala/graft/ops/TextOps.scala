@@ -243,7 +243,13 @@ object TextOps {
       maxDf: Long = 100, minScore: Double = 0.1): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
-    val grams = documents.select(col("doc_id"),
+    // CPU-bound shingle explode: spread an under-split scan first (the
+    // sharedGramPairs discipline; no-op on a real many-split scan)
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
+      else documents
+    val grams = spread.select(col("doc_id"),
       explode(call_function("shingles", tokens(col("text")), lit(n))).as("gram"))
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
     val df = grams.select("doc_id", "gram").distinct()
