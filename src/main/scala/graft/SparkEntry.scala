@@ -798,9 +798,11 @@ object SparkEntry {
     // centroid updates — every intermediate integer, so the trajectory is
     // bit-identical to the Spark loop (seed = 8 lowest vec_ids)
     "ml_kmeans_clusters" ->
-      """WITH e AS (SELECT vec_id, i,
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |e AS (SELECT vec_id, i,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
-        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |  FROM ex),
         |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
         |c0 AS (SELECT init.cid, e.i, e.v AS cv FROM init JOIN e USING (vec_id)),
@@ -852,9 +854,11 @@ object SparkEntry {
     // exact cross-multiplied cosine test (cos² ≥ 49/400 ⇔ cos ≥ 0.35)
     // against each cluster's lowest-id representative
     "ml_semdedup" ->
-      """WITH e AS (SELECT vec_id, i,
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |e AS (SELECT vec_id, i,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
-        |  FROM embeddings, generate_series(1, 64) AS g(i)),
+        |  FROM ex),
         |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
         |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
         |c0 AS (SELECT init.cid, e.i, e.v AS cv FROM init JOIN e USING (vec_id)),

@@ -90,6 +90,25 @@ object Ml {
     if (seed.isEmpty) // same empty-corpus guard as kmeansClusters
       return q.select(lit(0).as("cluster"), lit(0L).as("n_members"),
         lit(0L).as("n_dropped")).limit(0)
+    // Loud overflow guard: with ANSI off Spark wraps silently on int64
+    // overflow while DuckDB raises, so an out-of-bound magnitude would
+    // surface as a confusing oracle mismatch instead of an error. Both
+    // sides of the threshold test are bounded by d²·m⁴·max(thrNum,thrDen)
+    // (Cauchy–Schwarz: dot ≤ √(na·nb) ≤ d·m²), so require the max
+    // quantized magnitude m to keep that product inside Long.MaxValue.
+    // One cheap aggregate over the already-checkpointed grid.
+    val bounds = q.agg(
+      max(array_max(transform(col("qv"), x => abs(x)))).as("m"),
+      max(size(col("qv"))).as("d")).head()
+    if (!bounds.isNullAt(0)) {
+      val m = bounds.getLong(0)
+      val d = bounds.getInt(1).toDouble
+      val mMax = math.pow(
+        Long.MaxValue.toDouble / (d * d * math.max(thrNum, thrDen)), 0.25)
+      require(m <= mMax,
+        s"semDedup: quantized magnitude $m exceeds the int64-safe bound " +
+        f"$mMax%.0f for dim ${d.toInt} — shrink the grid or the threshold")
+    }
     val assigned = assign(q, seed)
     // rep_cid rename: reps derives from `assigned`, so keeping the name
     // `cid` through the join back would be a self-lineage ambiguity

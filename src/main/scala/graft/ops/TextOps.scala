@@ -270,6 +270,12 @@ object TextOps {
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
+        // dot and the norms are shuffle-order-dependent double sums, so a
+        // cosine landing within an ulp of a .5e-6 rounding boundary could
+        // in principle round differently across engines and flip a pair
+        // in/out. Accepted repo convention (same as corpus_source_overlap);
+        // if this gate ever flakes, the fix is the ML ops' integer-grid
+        // quantization of the weights, not a wider margin.
         round(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_tfidf"))
       .where(col("cos_tfidf") >= minScore)
       .orderBy("doc_a", "doc_b")

@@ -200,11 +200,15 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Seq[(Double, Long)]]) =>
           val prev = state.getOption.getOrElse(Seq.empty)
-          // fold the batch into the bounded board: sort desc by value,
-          // asc by id on ties, keep k. Deterministic regardless of the
-          // micro-batch iterator's order.
+          // fold the batch into the bounded board: collapse to ONE entry
+          // per event_id first (max value wins — a replayed event whose
+          // value changed must not occupy two ranks), then sort desc by
+          // value, asc by id on ties, keep k. Deterministic regardless of
+          // the micro-batch iterator's order.
           val board = (prev ++ rows.map(r => (r._3, r._2)))
-            .distinct
+            .groupBy { case (_, id) => id }
+            .map { case (_, vs) => vs.maxBy { case (v, _) => v } }
+            .toSeq
             .sortBy { case (v, id) => (-v, id) }
             .take(k)
           if (board == prev) Iterator.empty

@@ -286,6 +286,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k: replayed event_id with changed value holds ONE rank") {
+    val src = MemoryStream[TopKIn](spark)
+    val q = Streaming.topKPerKey(spark, src.toDF(), k = 3)
+      .writeStream.format("memory").queryName("stream_topk_replay")
+      .outputMode("append").start()
+    try {
+      src.addData(TopKIn("c", 7, 10.0), TopKIn("c", 8, 5.0))
+      q.processAllAvailable()
+      src.addData(TopKIn("c", 7, 40.0)) // replay of id 7 with a new value
+      q.processAllAvailable()
+      val rows = spark.table("stream_topk_replay").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // final snapshot: id 7 appears exactly once, at its max value
+      val last = rows.takeRight(2).toSeq
+      assert(last == Seq((1, 7L, 40.0), (2, 8L, 5.0)))
+      assert(last.count(_._2 == 7L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate ids") {
     val src = MemoryStream[Ev](spark)
     val q = Streaming.dedupWithinWatermark(src.toDF(), "1 hour")
