@@ -205,6 +205,14 @@ object SparkEntry {
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
     "win_sliding_6h" -> ((s, d) => Relational.slidingCounts(Tables.events(s, d))),
     "win_session_30m" -> ((s, d) => Relational.sessionCounts(Tables.events(s, d))),
+    // ---- streaming end-state gates (real streaming runs: readStream →
+    // transform → foreachBatch sink → end-state table; see StreamGate)
+    "stream_tumbling_daily" -> ((s, d) =>
+      graft.streaming.StreamGate.tumblingDailyEndState(s, d)),
+    "stream_scd2_closed" -> ((s, d) =>
+      graft.streaming.StreamGate.scd2ClosedEndState(s, d)),
+    "stream_topk_leaderboard" -> ((s, d) =>
+      graft.streaming.StreamGate.topKEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -1138,6 +1146,32 @@ object SparkEntry {
     "win_tumbling_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // streaming end states: the stream source is the same bounded events
+    // table, so each end state must equal the batch answer exactly
+    "stream_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "stream_scd2_closed" ->
+      """WITH o AS (SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, state, ts, event_id FROM o
+        |       WHERE prev IS NULL OR prev <> state),
+        |iv AS (SELECT user_id, state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, state, valid_from, valid_to
+        |FROM iv WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "stream_topk_leaderboard" ->
+      """WITH c AS (SELECT event_type, event_id, max(value) AS value
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM c)
+        |SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "ts_gap_fill_hourly" ->
       """WITH r AS (SELECT date_trunc('hour', min(ts)) AS t0,
         |             date_trunc('hour', max(ts)) AS t1 FROM events),

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.Tables
+
+/** Driver-gate adapters for the streaming operators: run a Structured
+  * Streaming query over the bounded `events` table to completion
+  * (`foreachBatch` → parquet), read the end-state table back, and return it
+  * as a plain DataFrame — so the streaming family, previously covered only
+  * by batch-parity specs, gets real DuckDB-oracled CORRECTNESS rows.
+  *
+  * The stream source is the same parquet the batch operators read
+  * (`spark.readStream.parquet`), so the end state of each query is exactly
+  * the batch answer and the oracle SQL is the batch SQL. On an unbounded
+  * production source the same code runs incrementally — nothing here is
+  * test-only except reading the finite directory.
+  *
+  * Each run uses fresh temp checkpoint/output dirs: the gate must be
+  * re-runnable in one session without state collisions (the driver runs
+  * Verify, then specs may run the same queries again).
+  */
+object StreamGate {
+
+  /** `events` as a STREAMING DataFrame with the same nanos→µs timestamp
+    * normalization as [[graft.Tables.events]] (the schema comes from a
+    * static read of the same files, so stream and batch agree). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    // The file-stream source monitors a DIRECTORY; TESTDATA ships events as
+    // a single file, so stream the parent dir with a glob filter selecting
+    // just that file (works unchanged when events is a real directory of
+    // parts on a cluster store).
+    spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def run(writer: DataStreamWriter[Row]): Unit = {
+    val ck = Files.createTempDirectory("graft_stream_ck").toString
+    val q = writer.option("checkpointLocation", ck).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  private def freshOut(): String =
+    Files.createTempDirectory("graft_stream_out").toString + "/end_state"
+
+  /** [[Streaming.tumblingCounts]] end state. Complete output mode: every
+    * micro-batch rewrites the full aggregate, so the final parquet is the
+    * whole-history answer regardless of where the watermark stopped (with
+    * a bounded source the watermark never passes the newest window, so
+    * append mode would hold back the tail windows forever — complete mode
+    * is the correct end-state semantics). */
+  def tumblingDailyEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val agg = Streaming.tumblingCounts(eventsStream(spark, dir))
+    run(agg.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+    })
+    spark.read.parquet(out)
+      .select(to_date(col("w_start")).as("day"), col("event_type"), col("n"))
+      .orderBy("day", "event_type")
+  }
+
+  /** [[Streaming.scd2Intervals]] end state: every CLOSED validity interval
+    * (an interval closes when a newer event for the same user arrives, so
+    * on a bounded stream the closed set is complete; only each user's
+    * final OPEN interval is never emitted — exactly the batch operator's
+    * `valid_to IS NOT NULL` rows). Append sink: closed rows are immutable
+    * once emitted. */
+  def scd2ClosedEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val ds = Streaming.scd2Intervals(spark, eventsStream(spark, dir))
+    run(ds.toDF().writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    spark.read.parquet(out)
+      .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** [[Streaming.topKPerKey]] end state: the LIVE leaderboard per key = the
+    * key's latest emitted snapshot. Each appended snapshot is stamped with
+    * its micro-batch id inside `foreachBatch` (the exactly-once key a
+    * production sink would use), and the end state keeps, per key, only the
+    * rows of that key's max batch_id — correct for any micro-batch split of
+    * the input, not just the single-batch case. */
+  def topKEndState(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val out = freshOut()
+    val ds = Streaming.topKPerKey(spark, eventsStream(spark, dir), k)
+    run(ds.toDF().writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+    })
+    val snapshots = spark.read.parquet(out)
+    val latest = snapshots.groupBy("event_type")
+      .agg(max("batch_id").as("batch_id"))
+    snapshots.join(broadcast(latest), Seq("event_type", "batch_id"))
+      .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+      .orderBy("event_type", "rank")
+  }
+}
