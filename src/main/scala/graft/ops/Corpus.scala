@@ -220,13 +220,15 @@ object Corpus {
     val grams = array_distinct(shingles(tokens(col("text")), n))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
+      .localCheckpoint(true) // read three times: count, filter build, join
     // Spark's stat.bloomFilter NPEs on an empty input (null aggregate
     // buffer); an empty benchmark means nothing can be contaminated
-    if (bench.isEmpty) {
+    val nGrams = bench.count()
+    if (nGrams == 0L) {
       return documents.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0L).as("n_hits")).limit(0)
     }
-    val bf = bench.stat.bloomFilter("gram", 1 << 16, fpp)
+    val bf = sizedBloom(bench, nGrams, fpp)
     val mightContain = udf((s: String) => s != null && bf.mightContain(s))
     val corpus = documents.where(col("doc_id") >= benchMaxDocId)
     val cores = documents.sparkSession.sparkContext.defaultParallelism
@@ -241,6 +243,17 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** Bloom filter over a gram column, sized from the MEASURED cardinality
+    * rather than a fixed guess: a hardcoded capacity silently saturates on
+    * a larger benchmark (results stay exact — the join removes false
+    * positives — but the prefilter stops filtering, which at 100 TB means
+    * the whole corpus gram stream reaches the join). `count()` on the
+    * benchmark set is one cheap aggregate on a set that is small by
+    * definition. Floor of 64 keeps the sketch well-formed on tiny sets. */
+  private[graft] def sizedBloom(grams: DataFrame, nGrams: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    grams.stat.bloomFilter("gram", math.max(nGrams, 64L), fpp)
 
   /** Deterministic epoch shuffle: a reproducible global permutation of the
     * corpus — position = rank in (multiplicative-hash(doc_id + epoch),
