@@ -217,6 +217,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
+    "dedup_cap_census" -> ((s, d) => Dedup.capCensus(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -1325,6 +1326,73 @@ object SparkEntry {
          |FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // skew-cap census: bucket-size distributions of all three bucketed
+    // near-dup paths, replayed with the same sig/fp/gram CTEs as their
+    // operators' oracles; caps (1024 / 100 / 1024) mirrored exactly
+    "dedup_cap_census" -> {
+      val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
+      val sigCols = (0 until 32)
+        .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
+        .mkString(",\n  ")
+      val bandSelects = (0 until 8).map { j =>
+        val fold = (0 until 4).map(r => s"s${j * 4 + r}")
+          .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
+            s"(($acc * 1000003 + $s) % 2147483647)")
+        s"SELECT doc_id, $j AS band_idx, $fold AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
+         |       FROM t),
+         |hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         [ord(s[i:i]) for i in range(1, length(s)+1)]),
+         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM hb GROUP BY doc_id),
+         |band AS (
+         |  $bandSelects),
+         |mb AS (SELECT count(*) AS b FROM band GROUP BY band_idx, bh
+         |       HAVING count(*) >= 2),
+         |g0 AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END)) AS gram FROM t),
+         |gb AS (SELECT count(*) AS b FROM g0 GROUP BY gram
+         |       HAVING count(*) >= 2),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |th AS (SELECT doc_id,
+         |         list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+         |       + list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629) AS h
+         |       FROM (SELECT doc_id, list_prepend(CAST(0 AS BIGINT),
+         |               [ord(tk[i:i]) for i in range(1, length(tk)+1)]) AS cs FROM tok)),
+         |v AS (SELECT doc_id, bits.j,
+         |        sum(CASE WHEN ((h >> bits.j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+         |      FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) bits
+         |      GROUP BY doc_id, bits.j),
+         |fp AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0
+         |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+         |       FROM v GROUP BY doc_id),
+         |cb AS (SELECT count(*) AS b FROM (SELECT doc_id, unnest(range(4)) AS ci, fp FROM fp) x
+         |       GROUP BY ci, (fp >> (ci * 16)) & 65535
+         |       HAVING count(*) >= 2),
+         |u AS (
+         |  SELECT 'minhash_band' AS path, count(*) AS n_buckets,
+         |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_capped,
+         |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN b*(b-1)//2 ELSE 0 END), 0) AS BIGINT) AS pairs_capped
+         |  FROM mb
+         |  UNION ALL
+         |  SELECT 'shared_gram', count(*),
+         |    CAST(coalesce(sum(CASE WHEN b > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN b > 100 THEN b*(b-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |  FROM gb
+         |  UNION ALL
+         |  SELECT 'simhash_chunk', count(*),
+         |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN b*(b-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |  FROM cb)
+         |SELECT path, n_buckets, n_capped, pairs_capped FROM u ORDER BY path""".stripMargin
+    },
     "dedup_cluster_components" ->
       s"""WITH RECURSIVE g0 AS (SELECT doc_id, unnest(list_distinct(
          |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]

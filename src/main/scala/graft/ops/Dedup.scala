@@ -59,20 +59,27 @@ object Dedup {
     * cap-sized sample of near-dup structure survives in the other bands. */
   val MaxBucket = 1024
 
-  def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
-      bands: Int = 8): DataFrame = {
+  /** (doc_id, band_idx, band_hash) rows — the LSH bucketing key stream
+    * shared by [[minhashLsh]] and [[capCensus]]. */
+  private def minhashBandRows(toksDf: DataFrame, shingleSize: Int, k: Int,
+      bands: Int): DataFrame = {
     val r = k / bands
-    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
-    // shingles/signature each materialized ONCE per row (withColumn), then
-    // only (doc_id, band) pairs — not token arrays — enter the shuffle
-    GraftExtensions.ensureRegistered(documents.sparkSession)
-    val bandRows = toksDf
+    toksDf
       // fused native expression (graft.plans.MinHashSignature): one loop
       // from token array to k-slot signature, no intermediate arrays
       .withColumn("sig",
         call_function("minhash_sig", col("toks"), lit(shingleSize), lit(k)))
       .select(col("doc_id"),
         posexplode(minhash_bands(col("sig"), bands, r)).as(Seq("band_idx", "band_hash")))
+  }
+
+  def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // shingles/signature each materialized ONCE per row (withColumn), then
+    // only (doc_id, band) pairs — not token arrays — enter the shuffle
+    GraftExtensions.ensureRegistered(documents.sparkSession)
+    val bandRows = minhashBandRows(toksDf, shingleSize, k, bands)
     // bucket-then-pair instead of self-join: one pass over the signatures,
     // one shuffle; pairs colliding in several bands dedupe via distinct
     // BEFORE the (expensive) exact-jaccard verify
@@ -98,16 +105,22 @@ object Dedup {
   /** SimHash near-dup: 64-bit per-doc fingerprint; candidate pairs share at
     * least one of 4 16-bit chunks (pigeonhole: hamming ≤ 3 guarantees a
     * matching chunk), verified with the true hamming distance. */
-  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, fp, chunk_idx, chunk) rows — the pigeonhole bucketing key
+    * stream shared by [[simhashNearDup]] and [[capCensus]]. */
+  private def simhashChunkRows(documents: DataFrame): DataFrame = {
     GraftExtensions.ensureRegistered(documents.sparkSession)
     val chunks = 4
-    val fp = documents
+    documents
       .select(col("doc_id"),
         call_function("simhash64", tokens(col("text"))).as("fp"))
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn("chunk",
         call_function("shiftright", col("fp"), col("chunk_idx") * 16)
           .bitwiseAND(lit(0xFFFFL)))
+  }
+
+  def simhashNearDup(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashChunkRows(documents)
     // bucket-then-pair (fingerprints travel inside the bucket list, so the
     // hamming verify needs no re-join and simhash64 runs once per doc)
     val buckets = fp.groupBy("chunk_idx", "chunk")
@@ -127,8 +140,9 @@ object Dedup {
     * than `maxGramDf` docs are stop-shingles — boilerplate that would pair
     * everything with everything — and are dropped, the same skew guard as
     * `MaxBucket`. */
-  def sharedGramPairs(documents: DataFrame, n: Int = 4, minShared: Int = 2,
-      maxGramDf: Int = 100): DataFrame = {
+  /** (doc_id, gram) rows, per-doc-distinct — the gram bucketing key stream
+    * shared by [[sharedGramPairs]] and [[capCensus]]. */
+  private def gramRows(documents: DataFrame, n: Int): DataFrame = {
     // the shingle explode is CPU-bound: spread the rows first if the scan
     // yields fewer partitions than cores (single small file locally — a
     // parquet row group cannot be split); never fires on a real many-split
@@ -137,8 +151,13 @@ object Dedup {
     val spread =
       if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
       else documents
-    val grams = spread.select(col("doc_id"),
+    spread.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+  }
+
+  def sharedGramPairs(documents: DataFrame, n: Int = 4, minShared: Int = 2,
+      maxGramDf: Int = 100): DataFrame = {
+    val grams = gramRows(documents, n)
     val buckets = grams.groupBy("gram")
       .agg(collect_list("doc_id").as("ids"))
       .where(size(col("ids")).between(2, maxGramDf))
@@ -147,6 +166,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select("doc_a", "doc_b", "n_shared")
+  }
+
+  /** Skew-cap census — makes [[MaxBucket]] and `maxGramDf` OBSERVABLE: one
+    * row per bucketed near-dup path reporting how many candidate buckets
+    * exist, how many the cap dropped, and how many pairs that discarded
+    * (the "no silent caps" discipline: the caps are deliberate, but a run
+    * that drops work must say how much). Zero drops on organic corpora;
+    * non-zero flags boilerplate floods worth investigating. Each branch is
+    * a count-by-key over the SAME key stream its operator buckets on —
+    * sizes only, no `collect_list`, so the census is strictly cheaper than
+    * the operator it audits. */
+  def capCensus(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
+      bands: Int = 8, gramN: Int = 4, maxGramDf: Int = 100): DataFrame = {
+    GraftExtensions.ensureRegistered(documents.sparkSession)
+    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    def census(path: String, keyed: DataFrame, keys: Seq[String], cap: Int) =
+      keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("b"))
+        .where(col("b") >= 2)
+        .agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("b") > cap, 1L).otherwise(0L)), lit(0L))
+            .as("n_capped"),
+          // b(b-1)/2 pairs never materialize for a dropped bucket; `div`
+          // keeps it integer (exact — the product is even) for the oracle
+          coalesce(sum(when(col("b") > cap,
+            expr("b * (b - 1) div 2")).otherwise(0L)), lit(0L))
+            .as("pairs_capped"))
+        .select(lit(path).as("path"), col("n_buckets"), col("n_capped"),
+          col("pairs_capped"))
+    census("minhash_band",
+        minhashBandRows(toksDf, shingleSize, k, bands),
+        Seq("band_idx", "band_hash"), MaxBucket)
+      .unionAll(census("shared_gram", gramRows(documents, gramN),
+        Seq("gram"), maxGramDf))
+      .unionAll(census("simhash_chunk", simhashChunkRows(documents),
+        Seq("chunk_idx", "chunk"), MaxBucket))
+      .orderBy("path")
   }
 
   /** Connected components over a near-dup pair graph — the clustering step

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Corpus, Ml}
+import graft.ops.{Corpus, Dedup, Ml}
 
 /** Round-4 hardening specs: loud-failure guards and replay semantics. */
 class Round4Spec extends AnyFunSuite {
@@ -21,6 +21,39 @@ class Round4Spec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](Ml.semDedup(big, k = 2))
     assert(e.getMessage.contains("int64-safe bound"))
+  }
+
+  // ---- Dedup.capCensus -----------------------------------------------------
+
+  test("capCensus: zero drops on an organic corpus, full accounting on a boilerplate flood") {
+    val organic = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val clean = Dedup.capCensus(organic).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(clean.keySet == Set("minhash_band", "shared_gram", "simhash_chunk"))
+    assert(clean.values.forall(_ == (0L, 0L)))
+
+    // 1100 byte-identical docs: every band/chunk/gram bucket holds all of
+    // them, blowing both the 1024 bucket cap and the 100 gram-df cap
+    val n = 1100
+    val flood = (0 until n)
+      .map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val census = Dedup.capCensus(flood).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perBucket = n.toLong * (n - 1) / 2
+    census.foreach { case (path, nBuckets, nCapped, pairsCapped) =>
+      assert(nCapped > 0, s"$path reported no capped buckets")
+      assert(nCapped == nBuckets, s"$path: every bucket is the flood")
+      assert(pairsCapped == nCapped * perBucket,
+        s"$path: dropped-pair accounting must be exact")
+    }
+    // and the capped operators still complete (the cap is what saves them)
+    assert(Dedup.minhashLsh(flood).count() == 0)
+    assert(Dedup.sharedGramPairs(flood).count() == 0)
   }
 
   // ---- Corpus.sizedBloom ---------------------------------------------------
