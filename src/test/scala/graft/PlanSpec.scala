@@ -163,6 +163,41 @@ class PlanSpec extends AnyFunSuite {
     assert(belowLimit.contains("c_acctbal"), p) // join happens after
   }
 
+  test("minhash: fused signature at the scan, bucket before distinct, no join explosion") {
+    val p = plan(Dedup.minhashLsh(Tables.documents(spark, TestSpark.sf0001)))
+    // the signature is ONE native expression evaluated directly over the
+    // scan — token arrays must never enter an exchange
+    assert(p.contains("minhash_sig"), s"fused signature expression lost:\n$p")
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("toks")),
+      s"token arrays shuffled:\n$p")
+    // bucket-then-pair: the (band_idx, band_hash) aggregate comes BEFORE the
+    // (doc_a, doc_b) distinct — a distinct before bucketing would shuffle
+    // the full band stream twice
+    val bucketAt = p.indexOf("keys=[band_idx")
+    val distinctAt = p.indexOf("keys=[doc_a")
+    assert(bucketAt >= 0 && distinctAt >= 0 && distinctAt < bucketAt,
+      s"pair distinct must sit above the bucket aggregate:\n$p")
+    // exactly two hash exchanges: bucket groupBy + candidate-pair distinct
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"extra shuffle appeared in the candidate path:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation exploded into a product join:\n$p")
+  }
+
+  test("session windows: one exchange on the key, sessions merge pre-shuffle, no Window op") {
+    val p = plan(Relational.sessionCounts(Tables.events(spark, TestSpark.sf0001)))
+    // exactly one hash exchange, keyed on user_id — the round-2 bench tail
+    // was full of single-partition windows; session_window must stay a
+    // keyed aggregate
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1
+      && "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"session aggregate lost its single keyed exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition funnel:\n$p")
+    assert(!p.contains("Window"), s"gaps-and-islands window crept back:\n$p")
+    // partial aggregation (map-side session pre-merge) below the exchange
+    assert(p.contains("partial_count"), s"map-side combine lost:\n$p")
+  }
+
   test("kmeans assignment is zero-shuffle: argmin over broadcast literals") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     // one full run triggers the internal collects; then re-derive the final
