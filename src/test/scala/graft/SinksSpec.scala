@@ -72,6 +72,52 @@ class SinksSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("JDBC sink replay under retry: same batch_id re-appends, id-aware read is exactly-once") {
+    // Crash-retry contract of jdbcAppendSink: the foreachBatch commit to
+    // the checkpoint happens AFTER the JDBC write, so a crash between the
+    // two replays the batch on restart — re-appending the SAME rows under
+    // the SAME batch_id. Simulate exactly that window by deleting the
+    // checkpoint's commit marker after a clean run, then restarting from
+    // the checkpoint: the engine re-executes batch 0 verbatim.
+    val url = "jdbc:derby:memory:graftretry;create=true"
+    val props = new java.util.Properties()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_retry_src").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_retry_ck").toString
+    import spark.implicits._
+    val input = Seq((1L, "click"), (2L, "view"), (3L, "click"))
+    input.toDF("event_id", "event_type").write.mode("append").parquet(srcDir)
+    def start() = graft.streaming.Streaming.jdbcAppendSink(
+        spark.readStream
+          .schema("event_id LONG, event_type STRING").parquet(srcDir),
+        url, "fact_retry", "app", "app")
+      .option("checkpointLocation", ck)
+      .start()
+    val q1 = start()
+    try q1.processAllAvailable()
+    finally { q1.stop(); q1.awaitTermination() }
+    def rows() = spark.read.jdbc(url, "fact_retry", props).collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        r.getString(r.fieldIndex("event_type")),
+        r.getLong(r.fieldIndex("batch_id"))))
+    assert(rows().length == 3)
+    // crash window: sink write durable, checkpoint commit lost (the local
+    // FS keeps a Hadoop .crc sidecar — it must go too, or the commit
+    // rewrite trips over it)
+    assert(new java.io.File(s"$ck/commits/0").delete())
+    new java.io.File(s"$ck/commits/.0.crc").delete()
+    val q2 = start()
+    try q2.processAllAvailable()
+    finally { q2.stop(); q2.awaitTermination() }
+    val replayed = rows()
+    // the retry duplicated every row — under the SAME batch id
+    assert(replayed.length == 6)
+    assert(replayed.groupBy(identity).values.forall(_.length == 2))
+    assert(replayed.forall(_._3 == 0L))
+    // an id-aware reader (dedupe on batch_id + key) sees exactly-once data
+    val exactlyOnce = replayed.toSet
+    assert(exactlyOnce == input.map { case (id, t) => (id, t, 0L) }.toSet)
+  }
+
   test("partitioned parquet write prunes partitions at read (scan-level skipping)") {
     val d = TestSpark.sf0001
     val out = "/tmp/graft_sinks_spec_partitioned"
