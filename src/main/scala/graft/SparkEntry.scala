@@ -253,6 +253,10 @@ object SparkEntry {
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
     "mm_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, Tables.documents(s, d))),
     "mm_resize_plan" -> ((s, d) => Multimodal.resizePlan(s, Tables.documents(s, d))),
+    // real container formats: synthesized PNG/WAV bytes parsed back
+    // STRUCTURALLY (magic + chunk walk + CRC verify) — no codec stub
+    "mm_png_headers" -> ((s, d) => Multimodal.pngHeaders(s, Tables.documents(s, d))),
+    "mm_wav_headers" -> ((s, d) => Multimodal.wavHeaders(s, Tables.documents(s, d))),
     // ---- as-of (temporal) joins (SURVEY §2.4 extension)
     "asof_purchase_last_view" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -1901,6 +1905,24 @@ object SparkEntry {
          |SELECT media_id, width, height, 224 AS out_width,
          |  CAST(floor(height * 224.0 / width + 0.5) AS INT) AS out_height
          |FROM d ORDER BY media_id""".stripMargin,
+    // structural header decode: the engine builds real PNG/WAV containers
+    // with planted dimensions and parses them back from byte structure;
+    // the oracle predicts the planted values + exact container sizes
+    // (PNG: 8 sig + 25 IHDR + 12 IEND = 45; WAV: 44 + data bytes)
+    "mm_png_headers" ->
+      """SELECT doc_id AS media_id, 45 AS n_bytes,
+        |  CAST(16 + (doc_id * 7) % 1024 AS INT) AS width,
+        |  CAST(16 + (doc_id * 13) % 1024 AS INT) AS height,
+        |  8 AS bit_depth, 6 AS color_type, 2 AS n_chunks
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY media_id""".stripMargin,
+    "mm_wav_headers" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(44 + (100 + (doc_id * 37) % 900) * (1 + (doc_id // 2) % 2) * 2 AS INT) AS n_bytes,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST(100 + (doc_id * 37) % 900 AS INT) AS n_samples
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY media_id""".stripMargin,
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,

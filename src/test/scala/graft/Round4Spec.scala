@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Corpus, Dedup, Ml}
+import graft.ops.{Corpus, Dedup, Ml, Multimodal}
 
 /** Round-4 hardening specs: loud-failure guards and replay semantics. */
 class Round4Spec extends AnyFunSuite {
@@ -21,6 +21,34 @@ class Round4Spec extends AnyFunSuite {
     ).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException](Ml.semDedup(big, k = 2))
     assert(e.getMessage.contains("int64-safe bound"))
+  }
+
+  // ---- Multimodal structural parsers ---------------------------------------
+
+  test("PNG parse is structural: reads IHDR via chunk walk, rejects corruption") {
+    val good = Multimodal.pngBytes(640, 480)
+    val h = Multimodal.parsePng(1L, good)
+    assert((h.width, h.height, h.bit_depth, h.color_type, h.n_chunks)
+      == (640, 480, 8, 6, 2))
+    // flip one IHDR data byte: the CRC verify must catch it
+    val corrupt = good.clone(); corrupt(20) = (corrupt(20) ^ 0x01).toByte
+    val e1 = intercept[IllegalArgumentException](Multimodal.parsePng(2L, corrupt))
+    assert(e1.getMessage.contains("CRC"))
+    // wrong magic is rejected before any field read
+    val notPng = "RIFF0000WAVE".getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException](Multimodal.parsePng(3L, notPng))
+    assert(e2.getMessage.contains("signature"))
+  }
+
+  test("WAV parse walks RIFF sub-chunks and derives n_samples from data size") {
+    val b = Multimodal.wavBytes(16000, 2, 555)
+    val h = Multimodal.parseWav(1L, b)
+    assert((h.sample_rate, h.channels, h.bits_per_sample, h.n_samples)
+      == (16000, 2, 16, 555))
+    assert(h.n_bytes == 44 + 555 * 2 * 2)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.parseWav(2L, Multimodal.pngBytes(8, 8)))
+    assert(e.getMessage.contains("RIFF"))
   }
 
   // ---- Dedup.capCensus -----------------------------------------------------
