@@ -120,6 +120,23 @@ object Parity {
       }(Encoders.row(outSchema))
   }
 
+  /** [[dictionary]] for UNBOUNDED-cardinality columns: same (id, name)
+    * contract (dense 1-based ids in sorted order), but the rank comes from
+    * [[Rank.groupRanks]]' distributed prefix sum — range-partitioned, no
+    * single-task id assignment anywhere. Use when the dictionary column is
+    * not a bounded dimension (user ids, URLs, doc fingerprints at corpus
+    * scale); the default stays `coalesce(1)` because for true dims the
+    * merge task is cheaper than an extra range exchange (measured ~0.2 s
+    * per dictionary). Row-identical to [[dictionary]] (spec-asserted). */
+  def dictionaryScalable(df: DataFrame, column: String, idName: String,
+      nameName: String): DataFrame =
+    Rank.groupRanks(
+        df.select(col(column).as(nameName))
+          .where(col(nameName).isNotNull)
+          .distinct(),
+        Seq.empty, Seq(col(nameName)))
+      .select(col("rank").cast("int").as(idName), col(nameName))
+
   /** P5 (`MapReduceJobBase.getKeyDate`/`formatKey`): normalize a timestamp to
     * the reference's `yyyy/MM/dd` sort-stable string key. */
   def dateNormalize(events: DataFrame): DataFrame =
