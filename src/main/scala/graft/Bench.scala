@@ -40,7 +40,14 @@ object Bench {
       val ord = Tables.orders(spark, sfDir).limit(64).cache()
       ops.Relational.topUrgentOrders(
         Tables.customer(spark, sfDir).limit(64), ord, li).count()
+      // distributed-rank + session-window paths: their mapPartitions/
+      // MergingSessions codegen is another ~2 s of one-time cost that
+      // otherwise lands on whichever rank/window query runs first
+      ops.Relational.priorityPriceRanks(ord).count()
       li.unpersist(); ord.unpersist()
+      val ev = Tables.events(spark, sfDir).limit(64).cache()
+      ops.Relational.sessionCounts(ev).count()
+      ev.unpersist()
     } catch { case _: Throwable => }
     // headline set by default (the driver contract's "headline queries");
     // SPARK_GRAFT_BENCH_ALL=1 times the whole inventory
