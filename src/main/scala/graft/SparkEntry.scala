@@ -218,6 +218,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cap_census" -> ((s, d) => Dedup.capCensus(Tables.documents(s, d))),
+    "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -1328,6 +1329,30 @@ object SparkEntry {
          |x AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
          |FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // winnowing (MOSS): 4-token shingle hashes, window-3 minima kept as a
+    // distinct value set; pair graph over the winnowed inverted index.
+    // Hash = the same ord() fold as the minhash base hash.
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END AS shs FROM t),
+         |hs AS (SELECT doc_id, list_transform(shs, s ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ord(s[i:i]) AS BIGINT) for i in range(1, length(s)+1)]),
+         |      (a, c) -> (a * 31 + c) % 2147483647)) AS hl FROM sh),
+         |fp AS (SELECT doc_id,
+         |    CASE WHEN len(hl) <= 3 THEN [list_min(hl)]
+         |         ELSE list_distinct([list_min(hl[i:i+2]) for i in range(1, len(hl)-1)])
+         |    END AS fps FROM hs),
+         |x AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+         |f AS (SELECT fp FROM x GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
+         |xx AS (SELECT x.doc_id, x.fp FROM x JOIN f USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM xx a JOIN xx b ON a.fp = b.fp AND b.doc_id > a.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
     // skew-cap census: bucket-size distributions of all three bucketed

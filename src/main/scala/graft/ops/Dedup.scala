@@ -168,6 +168,36 @@ object Dedup {
       .select("doc_a", "doc_b", "n_shared")
   }
 
+  /** Winnowing near-dup pair graph (Schleimer et al. 2003, the MOSS
+    * fingerprinting scheme): docs sharing ≥ `minShared` winnowed
+    * fingerprints. Same bucket-first shape as [[sharedGramPairs]], but the
+    * bucketing key stream is the fused `winnow_fps` selection — ~2/(w+1) of
+    * the shingle hashes — so the inverted index (and its shuffle) shrinks
+    * by ~3× at the same guaranteed detection floor: any shared token run of
+    * length ≥ `window + shingleSize − 1` still collides on at least one
+    * fingerprint. The df cap plays the same stop-boilerplate role, and
+    * capped drops are observable the [[capCensus]] way via `maxFpDf`. */
+  def winnowedPairs(documents: DataFrame, shingleSize: Int = 4,
+      window: Int = 3, minShared: Int = 2, maxFpDf: Int = 100): DataFrame = {
+    GraftExtensions.ensureRegistered(documents.sparkSession)
+    val cores = documents.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
+      else documents
+    val fps = spread.select(col("doc_id"),
+      explode(call_function("winnow_fps", tokens(col("text")),
+        lit(shingleSize), lit(window))).as("fp"))
+    val buckets = fps.groupBy("fp")
+      .agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")).between(2, maxFpDf))
+    bucketPairs(buckets, "ids")
+      .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select("doc_a", "doc_b", "n_shared")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Skew-cap census — makes [[MaxBucket]] and `maxGramDf` OBSERVABLE: one
     * row per bucketed near-dup path reporting how many candidate buckets
     * exist, how many the cap dropped, and how many pairs that discarded

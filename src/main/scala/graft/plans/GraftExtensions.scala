@@ -72,7 +72,13 @@ object GraftExtensions {
       info("BoundedLevenshtein",
         "lev_bounded(a, b, k) - banded edit distance capped at k+1"),
       (args: Seq[Expression]) => BoundedLevenshtein(args(0), args(1),
-        intLiteral("lev_bounded", "k", args(2)))))
+        intLiteral("lev_bounded", "k", args(2)))),
+    (FunctionIdentifier("winnow_fps"),
+      info("WinnowFingerprints",
+        "winnow_fps(tokens, shingleSize, window) - winnowing fingerprint set"),
+      (args: Seq[Expression]) => WinnowFingerprints(args(0),
+        intLiteral("winnow_fps", "shingleSize", args(1)),
+        intLiteral("winnow_fps", "window", args(2)))))
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public

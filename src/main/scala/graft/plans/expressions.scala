@@ -375,6 +375,84 @@ case class PolyFingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** `winnow_fps(tokens, shingleSize, window)`: winnowing document
+  * fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the MOSS
+  * algorithm): hash every `shingleSize`-word shingle, slide a `window`-hash
+  * window, keep each window's MINIMUM hash. The guarantee: any shared run
+  * of `window + shingleSize - 1` tokens between two documents yields at
+  * least one shared fingerprint, while only ~2/(window+1) of shingle hashes
+  * are kept — the index is a fraction of a full shingle index at the same
+  * detection floor. Kept as a sorted DISTINCT value set (value-dedup makes
+  * the positional tie rule irrelevant — deterministic on both engines).
+  * One fused loop: rolling shingle build, polynomial hash, monotonic-deque
+  * sliding min — no intermediate arrays; same short-document collapse rule
+  * as `shingles` (fewer than `shingleSize` tokens → one whole-doc shingle).
+  * The DuckDB oracle replays hash and window-min with list lambdas. */
+case class WinnowFingerprints(child: Expression, shingleSize: Int, window: Int)
+    extends UnaryExpression {
+  require(shingleSize >= 1 && window >= 1,
+    s"winnow_fps: shingleSize and window must be >= 1, got $shingleSize, $window")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"winnow_fps needs ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  private lazy val space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val winLen = if (n < shingleSize) n else shingleSize
+    val nShingles = if (n < shingleSize) 1 else n - shingleSize + 1
+    val hs = new Array[Long](nShingles)
+    val sw = new Array[UTF8String](winLen)
+    var s = 0
+    while (s < nShingles) {
+      var j = 0
+      while (j < winLen) { sw(j) = toks.getUTF8String(s + j); j += 1 }
+      hs(s) = ExprUtil.polyH1(UTF8String.concatWs(space, sw: _*))
+      s += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (nShingles <= window) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < nShingles) { if (hs(i) < m) m = hs(i); i += 1 }
+      out.add(m)
+    } else {
+      // monotonic deque sliding minimum: O(nShingles) total
+      val dq = new Array[Int](nShingles)
+      var head = 0
+      var tail = 0 // deque of indices, values increasing head→tail
+      var i = 0
+      while (i < nShingles) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - window) head += 1
+        if (i >= window - 1) out.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wf", this, classOf[WinnowFingerprints].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** `lev_bounded(a, b, k)`: banded edit distance capped at k+1 — the verify
   * step of blocked fuzzy linkage (Dedup.fuzzyLinkBlocked). The predicate
   * `lev_bounded(a, b, k) <= k` decides exactly the same set as

@@ -23,6 +23,53 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- winnowing fingerprints ----------------------------------------------
+
+  test("winnow_fps equals the brute-force reference (hash all, window mins, distinct)") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    val k = 4; val w = 3
+    def ref(toks: Seq[String]): Seq[Long] = {
+      val shs =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val hs = shs.map(s => s.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L))
+      val mins =
+        if (hs.length <= w) Seq(hs.min)
+        else hs.sliding(w).map(_.min).toSeq
+      mins.distinct.sorted
+    }
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", // shorter than the shingle: whole-doc collapse
+      "x y z w v u t s r q p o n m",
+      "one one one one one one" // constant tokens: all hashes equal
+    )
+    val got = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        s"winnow_fps(filter(split(text, '\\\\s+'), x -> length(x) > 0), $k, $w) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(got(i.toLong) == ref(toks), s"doc $i")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of window+shingle-1 tokens always pairs") {
+    // w=3, k=4 : any shared run of >= 6 tokens must share a fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"p1 p2 p3 p4 p5 $shared q1 q2 q3"),
+      (3L, "unrelated words only here nothing common at all")
+    ).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.winnowedPairs(docs, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   // ---- Parity.dictionaryScalable -------------------------------------------
 
   test("dictionaryScalable: row-identical to the coalesce(1) dictionary, no funnel") {
