@@ -168,6 +168,8 @@ object SparkEntry {
       Relational.priceHistogram(Tables.orders(s, d))),
     "corpus_decontaminate_bloom" -> ((s, d) =>
       Corpus.decontaminateBloom(Tables.documents(s, d))),
+    "corpus_decontaminate_semantic" -> ((s, d) =>
+      Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
     "layout_zorder_key" -> ((s, d) =>
       Layout.zorderOrders(Tables.orders(s, d))),
     "text_token_positions" -> ((s, d) =>
@@ -1686,6 +1688,26 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // semantic decontamination: exact cross-multiplied cosine on the x100
+    // integer grid (cos² ≥ 49/400 ⇔ cos ≥ 0.35), dim-agnostic index range
+    "corpus_decontaminate_semantic" ->
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |e AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM ex),
+        |nrm AS (SELECT vec_id, sum(v*v) AS n2 FROM e GROUP BY 1),
+        |d AS (SELECT c.vec_id, b.vec_id AS bid, sum(c.v * b.v) AS dot
+        |      FROM e c JOIN e b ON b.i = c.i
+        |      WHERE b.vec_id < 5 AND c.vec_id >= 5
+        |      GROUP BY 1, 2),
+        |fl AS (SELECT d.vec_id,
+        |    CASE WHEN d.dot > 0 AND d.dot*d.dot*400 >= nc.n2 * nb.n2 * 49
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM d JOIN nrm nc ON nc.vec_id = d.vec_id
+        |         JOIN nrm nb ON nb.vec_id = d.bid)
+        |SELECT vec_id, CAST(sum(hit) AS BIGINT) AS n_bench_hits
+        |FROM fl GROUP BY 1 HAVING sum(hit) > 0 ORDER BY vec_id""".stripMargin,
     "corpus_assign_ids" ->
       """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) AS BIGINT) AS new_id,
         |  doc_id, lang

@@ -244,6 +244,59 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space companion to the
+    * n-gram [[decontaminate]]: corpus vectors whose cosine against ANY
+    * benchmark vector clears the threshold (paraphrased benchmark text
+    * shares no shingles but still lands next to the benchmark in embedding
+    * space). Same zero-shuffle shape as `Ml.assign`: the benchmark vectors
+    * (small by definition) are collected and INLINED as literals, so the
+    * corpus is scanned once with per-row column math — no join, no corpus
+    * shuffle, only the final (vec_id, n_hits) aggregate output moves. The
+    * cosine test is the exact cross-multiplied integer form on the
+    * round(x·100) grid (`dot² · thrDen ≥ ‖a‖² · ‖b‖² · thrNum`, default
+    * cos ≥ 0.35) — no sqrt, no float drift, oracle replays it bit-for-bit.
+    * Same int64 guard discipline as `Ml.semDedup`. */
+  def decontaminateSemantic(embeddings: DataFrame, benchMaxVecId: Long = 5,
+      thrNum: Long = 49, thrDen: Long = 400): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+    val bench = q.where(col("vec_id") < benchMaxVecId)
+      .collect().map { r =>
+        val v = r.getSeq[Long](1)
+        (r.getLong(0), v, v.map(x => x * x).sum)
+      }.toSeq
+    if (bench.isEmpty)
+      return q.select(col("vec_id"), lit(0L).as("n_bench_hits")).limit(0)
+    // loud overflow guard (see Ml.semDedup): dot ≤ √(na·nb) ≤ d·m², so the
+    // threshold products stay in int64 iff m ≤ (Long.Max/(d²·thr))^¼
+    val bounds = q.agg(
+      max(array_max(transform(col("qv"), x => abs(x)))).as("m"),
+      max(size(col("qv"))).as("d")).head()
+    if (!bounds.isNullAt(0)) {
+      val m = bounds.getLong(0)
+      val d = bounds.getInt(1).toDouble
+      val mMax = math.pow(
+        Long.MaxValue.toDouble / (d * d * math.max(thrNum, thrDen)), 0.25)
+      require(m <= mMax,
+        s"decontaminateSemantic: magnitude $m exceeds int64-safe bound " +
+        f"$mMax%.0f for dim ${d.toInt}")
+    }
+    val na = aggregate(zip_with(col("qv"), col("qv"), _ * _),
+      lit(0L), (acc, x) => acc + x)
+    val hits = bench.map { case (_, bv, nb) =>
+      val dot = aggregate(
+        zip_with(col("qv"), array(bv.map(lit): _*), _ * _),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0 && dot * dot * lit(thrDen) >= na * lit(nb) * lit(thrNum),
+        1L).otherwise(0L)
+    }.reduce(_ + _)
+    q.where(col("vec_id") >= benchMaxVecId)
+      .select(col("vec_id"), hits.as("n_bench_hits"))
+      .where(col("n_bench_hits") > 0)
+      .orderBy("vec_id")
+  }
+
   /** Bloom filter over a gram column, sized from the MEASURED cardinality
     * rather than a fixed guess: a hardcoded capacity silently saturates on
     * a larger benchmark (results stay exact — the join removes false

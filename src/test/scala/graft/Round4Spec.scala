@@ -23,6 +23,37 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Corpus.decontaminateSemantic ----------------------------------------
+
+  test("semantic decontamination flags the paraphrase-neighbor, not the orthogonal") {
+    def v(active: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(32)(d => if (d / 8 == active) scale else 0.0f)
+    val emb = Seq(
+      (0L, v(0, 1.0f)), (1L, v(1, 1.0f)),          // benchmark vectors
+      (10L, v(0, 0.9f)),                            // near bench 0 (cos ~ 1)
+      (11L, v(2, 1.0f)),                            // orthogonal: clean
+      (12L, Seq.tabulate(32)(d => if (d < 16) 0.7f else 0.0f)) // overlaps both halves of bench 0/1 region
+    ).toDF("vec_id", "embedding")
+    val got = Corpus.decontaminateSemantic(emb, benchMaxVecId = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) >= 1L)         // contaminated
+    assert(!got.contains(11L))     // clean vector absent from the report
+    // the scan is zero-join: no corpus-side shuffle before the output sort
+    val p = Corpus.decontaminateSemantic(emb, benchMaxVecId = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"semantic decontamination must not join:\n$p")
+  }
+
+  test("semantic decontamination: out-of-bound magnitude fails loudly") {
+    val big = Seq(
+      (0L, Seq.tabulate(32)(_ => 3000.0f)),
+      (10L, Seq.tabulate(32)(_ => 3000.0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Corpus.decontaminateSemantic(big, benchMaxVecId = 2))
+    assert(e.getMessage.contains("int64-safe bound"))
+  }
+
   // ---- winnowing fingerprints ----------------------------------------------
 
   test("winnow_fps equals the brute-force reference (hash all, window mins, distinct)") {
