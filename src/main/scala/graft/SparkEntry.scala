@@ -215,6 +215,14 @@ object SparkEntry {
       graft.streaming.StreamGate.scd2ClosedEndState(s, d)),
     "stream_topk_leaderboard" -> ((s, d) =>
       graft.streaming.StreamGate.topKEndState(s, d)),
+    "stream_sliding_6h" -> ((s, d) =>
+      graft.streaming.StreamGate.sliding6hEndState(s, d)),
+    "stream_dedup_ids" -> ((s, d) =>
+      graft.streaming.StreamGate.dedupIdsEndState(s, d)),
+    "stream_user_milestones" -> ((s, d) =>
+      graft.streaming.StreamGate.userMilestonesEndState(s, d)),
+    "stream_purchase_view_join" -> ((s, d) =>
+      graft.streaming.StreamGate.purchaseViewEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -1180,6 +1188,26 @@ object SparkEntry {
         |  FROM c)
         |SELECT event_type, CAST(rank AS INT) AS rank, event_id, value
         |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "stream_sliding_6h" ->
+      """WITH b AS (SELECT event_type,
+        |  make_timestamp((epoch_us(ts) // 10800000000) * 10800000000) AS w1 FROM events),
+        |u AS (SELECT event_type, unnest([w1 - INTERVAL 3 HOUR, w1]) AS w_start FROM b)
+        |SELECT w_start, event_type, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_dedup_ids" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "stream_user_milestones" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(count(*) // 10 AS BIGINT) AS n_milestones
+        |FROM events GROUP BY 1 HAVING count(*) >= 10
+        |ORDER BY user_id""".stripMargin,
+    "stream_purchase_view_join" ->
+      """SELECT p.user_id, p.event_id AS p_event, v.event_id AS v_event
+        |FROM events p JOIN events v ON v.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY p.user_id, p_event, v_event""".stripMargin,
     "ts_gap_fill_hourly" ->
       """WITH r AS (SELECT date_trunc('hour', min(ts)) AS t0,
         |             date_trunc('hour', max(ts)) AS t1 FROM events),

@@ -88,6 +88,71 @@ object StreamGate {
       .orderBy("user_id", "valid_from")
   }
 
+  /** [[Streaming.slidingCounts]] end state — complete-mode rewrite, same
+    * rationale as [[tumblingDailyEndState]]. */
+  def sliding6hEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val agg = Streaming.slidingCounts(eventsStream(spark, dir))
+    run(agg.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+    })
+    spark.read.parquet(out).orderBy("w_start", "event_type")
+  }
+
+  /** [[Streaming.dedupWithinWatermark]] end state: every event whose id was
+    * first-seen inside the watermark horizon — on the TESTDATA stream (ids
+    * unique) that is the identity, which is exactly what gates the state
+    * plumbing: any spurious drop or duplication shows as a hash mismatch. */
+  def dedupIdsEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val ds = Streaming.dedupWithinWatermark(eventsStream(spark, dir))
+    run(ds.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    spark.read.parquet(out)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  /** [[Streaming.runningUserStats]] end state: each user's LATEST milestone
+    * record (the row with the highest event count — milestones only grow),
+    * robust to any micro-batch split via max_by. */
+  def userMilestonesEndState(spark: SparkSession, dir: String,
+      every: Long = 10L): DataFrame = {
+    val out = freshOut()
+    val ds = Streaming.runningUserStats(spark, eventsStream(spark, dir), every)
+    run(ds.toDF().writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    spark.read.parquet(out)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"),
+        max("n_milestones").as("n_milestones"))
+      .orderBy("user_id")
+  }
+
+  /** [[Streaming.purchaseViewJoin]] end state: every (purchase, same-user
+    * view within the preceding hour) pair — with a bounded source both
+    * sides are fully buffered before the watermark can evict anything, so
+    * the end state equals the batch time-bounded join. */
+  def purchaseViewEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val ev = eventsStream(spark, dir)
+    val joined = Streaming.purchaseViewJoin(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "view"))
+    run(joined.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    spark.read.parquet(out)
+      .select("user_id", "p_event", "v_event")
+      .orderBy("user_id", "p_event", "v_event")
+  }
+
   /** [[Streaming.topKPerKey]] end state: the LIVE leaderboard per key = the
     * key's latest emitted snapshot. Each appended snapshot is stamped with
     * its micro-batch id inside `foreachBatch` (the exactly-once key a
