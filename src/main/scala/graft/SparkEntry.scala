@@ -229,6 +229,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cap_census" -> ((s, d) => Dedup.capCensus(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
+    "dedup_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashJaccardEstimate(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -1361,6 +1363,31 @@ object SparkEntry {
          |FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // signature-slot Jaccard estimate for adjacent pairs: replays the same
+    // sig CTE as the LSH oracle, then counts matching slots
+    "dedup_minhash_estimate" -> {
+      val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
+      val sigCols = (0 until 32)
+        .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
+        .mkString(",\n  ")
+      val matches = (0 until 32)
+        .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
+         |       FROM t),
+         |hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         [ord(s[i:i]) for i in range(1, length(s)+1)]),
+         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM hb GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($matches AS BIGINT) AS n_match, CAST(32 AS BIGINT) AS k
+         |FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin
+    },
     // winnowing (MOSS): 4-token shingle hashes, window-3 minima kept as a
     // distinct value set; pair graph over the winnowed inverted index.
     // Hash = the same ord() fold as the minhash base hash.

@@ -168,6 +168,32 @@ object Dedup {
       .select("doc_a", "doc_b", "n_shared")
   }
 
+  /** MinHash Jaccard ESTIMATION — the statistic LSH is built on: for each
+    * adjacent doc pair, the number of matching signature slots out of `k`
+    * (E[n_match/k] = true Jaccard). This is what a pipeline uses to score
+    * candidate pairs WITHOUT touching the token arrays again — the
+    * signatures are k longs per doc however long the documents are, so the
+    * scoring join moves O(k) per pair instead of the text. Output keeps the
+    * integer slot count (the estimate is n_match/k when a consumer wants
+    * the ratio — integer output keeps the oracle exact). */
+  def minhashJaccardEstimate(documents: DataFrame, shingleSize: Int = 3,
+      k: Int = 32): DataFrame = {
+    GraftExtensions.ensureRegistered(documents.sparkSession)
+    val sigs = documents.select(col("doc_id"),
+      call_function("minhash_sig", tokens(col("text")),
+        lit(shingleSize), lit(k)).as("sig"))
+    sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      .join(sigs.select((col("doc_id") - 1).as("doc_a"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x).as("n_match"),
+        lit(k.toLong).as("k"))
+      .orderBy("doc_a")
+  }
+
   /** Winnowing near-dup pair graph (Schleimer et al. 2003, the MOSS
     * fingerprinting scheme): docs sharing ≥ `minShared` winnowed
     * fingerprints. Same bucket-first shape as [[sharedGramPairs]], but the

@@ -87,6 +87,18 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("minhash Jaccard estimate: 32/32 slots for identical docs, near-0 for disjoint") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // identical
+      (3L, "one two three four five six seven eight nine")   // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashJaccardEstimate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 32L) // identical shingle sets: every slot matches
+    assert(got((2L, 3L)) < 8L)   // disjoint sets: only chance collisions
+  }
+
   test("winnowing guarantee: a shared run of window+shingle-1 tokens always pairs") {
     // w=3, k=4 : any shared run of >= 6 tokens must share a fingerprint
     val shared = "alpha beta gamma delta epsilon zeta"
