@@ -224,4 +224,77 @@ object SimSearch {
         })
       .orderBy("vec_a")
   }
+
+  /** Product-quantization (PQ) ANN top-k — the memory-compressed scale path
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): split each vector into `m` subspaces, encode each
+    * subspace as the id of its nearest codebook centroid (here the
+    * `nCentroids` lowest-vec_id corpus vectors' subvectors — a k-means
+    * refinement drops in exactly like IVF's), and answer queries with the
+    * asymmetric distance computation: ADC(q, x) = Σ_s d(q_s, C_s[code_s(x)]).
+    * A 64-dim float vector becomes m=8 bytes — 32× compression — and query
+    * scoring is m table lookups per corpus vector.
+    *
+    * Scale shape: the codebook (m × nCentroids subvectors) and the per-query
+    * distance tables (nQueries × m × nCentroids ints) are driver-computed
+    * and INLINED — encoding and scoring are zero-shuffle per-row maps; the
+    * only exchange is the final top-k rank (auto-rewritten to the
+    * partial/final heap operator). Everything runs on the round(x·100)
+    * integer grid, so ADC values are exact int64 and the DuckDB oracle
+    * replays the whole path bit-for-bit. */
+  def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+    val seeds = q.where(col("vec_id") < nCentroids)
+      .orderBy("vec_id").collect()
+      .map(r => r.getSeq[Long](1).toArray)
+    require(seeds.nonEmpty, s"no codebook seeds with vec_id < $nCentroids")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // codebook(s)(c): centroid c's subvector for subspace s
+    val codebook: Array[Array[Array[Long]]] =
+      Array.tabulate(m, seeds.length)((s, c) =>
+        seeds(c).slice(s * subDim, (s + 1) * subDim))
+    val queries = q.where(col("vec_id") < nQueries)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // per-query ADC lookup tables: qd(query)(s)(c), driver-side ints
+    val qd: Map[Long, Array[Array[Long]]] = queries.map { case (qid, qv) =>
+      qid -> Array.tabulate(m, seeds.length)((s, c) =>
+        sq(qv.slice(s * subDim, (s + 1) * subDim), codebook(s)(c)))
+    }.toMap
+    // encode: per subspace, argmin over inlined centroids (ties → lowest c)
+    def subSq(s: Int, c: Int): Column =
+      aggregate(
+        zip_with(slice(col("qv"), s * subDim + 1, subDim),
+          array(codebook(s)(c).map(lit).toIndexedSeq: _*), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val codeCols = (0 until m).map { s =>
+      array_min(array(codebook(s).indices.map(c =>
+        struct(subSq(s, c).as("d"), lit(c).as("c"))): _*))
+        .getField("c").as(s"code_$s")
+    }
+    val encoded = q.select((col("vec_id") +: codeCols): _*)
+    // score each query via its inlined lookup tables, stack, heap-rank
+    val perQuery = queries.map { case (qid, _) =>
+      val adc = (0 until m).map { s =>
+        element_at(array(qd(qid)(s).map(lit).toIndexedSeq: _*), col(s"code_$s") + 1)
+      }.reduce(_ + _)
+      encoded.where(col("vec_id") =!= qid)
+        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
+          adc.as("adc"))
+    }
+    perQuery.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc"), col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

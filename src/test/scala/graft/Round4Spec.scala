@@ -23,6 +23,40 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- SimSearch.pqTopK ----------------------------------------------------
+
+  test("PQ/ADC: planted twin ranks first; recall vs brute force on real data") {
+    import graft.ops.SimSearch
+    // 20 seed/query vectors in well-separated directions + a twin of
+    // vector 0 — ADC must rank the twin as query 0's nearest neighbor
+    def v(active: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(64)(d => if (d % 20 == active) scale else 0.05f * ((d + active) % 3))
+    val emb = ((0 until 20).map(i => (i.toLong, v(i, 2.0f)))
+      :+ (100L, v(0, 1.9f))).toDF("vec_id", "embedding")
+    val got = SimSearch.pqTopK(emb, nQueries = 1, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(got.head == ((0L, 100L, 1)), s"twin not ranked first: ${got.toSeq}")
+    // recall against exact cosine on the real embeddings table (PQ with a
+    // 16-seed codebook is coarse — the floor is deliberately modest)
+    val real = Tables.embeddings(spark, TestSpark.sf0001)
+    val exact = SimSearch.bruteForceTopK(real, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimSearch.pqTopK(real, nQueries = 3, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+  }
+
+  test("PQ encoding is a zero-shuffle per-row map; ADC needs no join") {
+    import graft.ops.SimSearch
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val p = SimSearch.pqTopK(emb, nQueries = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
+    // the only exchanges: the top-k rank partial/final pair + output sort
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // ---- Corpus.decontaminateSemantic ----------------------------------------
 
   test("semantic decontamination flags the paraphrase-neighbor, not the orthogonal") {
