@@ -1463,6 +1463,21 @@ object SparkEntry {
          |cb AS (SELECT count(*) AS b FROM (SELECT doc_id, unnest(range(4)) AS ci, fp FROM fp) x
          |       GROUP BY ci, (fp >> (ci * 16)) & 65535
          |       HAVING count(*) >= 2),
+         |wsh AS (SELECT doc_id,
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END AS shs FROM t),
+         |whs AS (SELECT doc_id, list_transform(shs, s ->
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ord(s[i:i]) AS BIGINT) for i in range(1, length(s)+1)]),
+         |      (a, c) -> (a * 31 + c) % 2147483647)) AS hl FROM wsh),
+         |wfp AS (SELECT doc_id,
+         |    CASE WHEN len(hl) <= 3 THEN [list_min(hl)]
+         |         ELSE list_distinct([list_min(hl[i:i+2]) for i in range(1, len(hl)-1)])
+         |    END AS fps FROM whs),
+         |wb AS (SELECT count(*) AS b
+         |       FROM (SELECT doc_id, unnest(fps) AS wf FROM wfp)
+         |       GROUP BY wf HAVING count(*) >= 2),
          |u AS (
          |  SELECT 'minhash_band' AS path, count(*) AS n_buckets,
          |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_capped,
@@ -1477,7 +1492,12 @@ object SparkEntry {
          |  SELECT 'simhash_chunk', count(*),
          |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN 1 ELSE 0 END), 0) AS BIGINT),
          |    CAST(coalesce(sum(CASE WHEN b > 1024 THEN b*(b-1)//2 ELSE 0 END), 0) AS BIGINT)
-         |  FROM cb)
+         |  FROM cb
+         |  UNION ALL
+         |  SELECT 'winnow_fp', count(*),
+         |    CAST(coalesce(sum(CASE WHEN b > 100 THEN 1 ELSE 0 END), 0) AS BIGINT),
+         |    CAST(coalesce(sum(CASE WHEN b > 100 THEN b*(b-1)//2 ELSE 0 END), 0) AS BIGINT)
+         |  FROM wb)
          |SELECT path, n_buckets, n_capped, pairs_capped FROM u ORDER BY path""".stripMargin
     },
     "dedup_cluster_components" ->

@@ -250,6 +250,9 @@ object Dedup {
             .as("pairs_capped"))
         .select(lit(path).as("path"), col("n_buckets"), col("n_capped"),
           col("pairs_capped"))
+    val winnowFps = documents.select(col("doc_id"),
+      explode(call_function("winnow_fps", tokens(col("text")),
+        lit(4), lit(3))).as("fp"))
     census("minhash_band",
         minhashBandRows(toksDf, shingleSize, k, bands),
         Seq("band_idx", "band_hash"), MaxBucket)
@@ -257,6 +260,7 @@ object Dedup {
         Seq("gram"), maxGramDf))
       .unionAll(census("simhash_chunk", simhashChunkRows(documents),
         Seq("chunk_idx", "chunk"), MaxBucket))
+      .unionAll(census("winnow_fp", winnowFps, Seq("fp"), maxGramDf))
       .orderBy("path")
   }
 

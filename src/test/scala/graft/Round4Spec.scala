@@ -200,7 +200,8 @@ class Round4Spec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val clean = Dedup.capCensus(organic).collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-    assert(clean.keySet == Set("minhash_band", "shared_gram", "simhash_chunk"))
+    assert(clean.keySet ==
+      Set("minhash_band", "shared_gram", "simhash_chunk", "winnow_fp"))
     assert(clean.values.forall(_ == (0L, 0L)))
 
     // 1100 byte-identical docs: every band/chunk/gram bucket holds all of
