@@ -170,6 +170,8 @@ object SparkEntry {
       Corpus.decontaminateBloom(Tables.documents(s, d))),
     "corpus_decontaminate_semantic" -> ((s, d) =>
       Corpus.decontaminateSemantic(Tables.embeddings(s, d))),
+    "corpus_strip_boilerplate" -> ((s, d) =>
+      Corpus.stripBoilerplate(Tables.documents(s, d))),
     "layout_zorder_key" -> ((s, d) =>
       Layout.zorderOrders(Tables.orders(s, d))),
     "text_token_positions" -> ((s, d) =>
@@ -1796,6 +1798,27 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_hits
          |FROM tr JOIN bench USING (gram)
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // C4-style boilerplate removal: 8-token segments, df > 2 dropped
+    // everywhere, survivors reassembled in order — exact string ops
+    "corpus_strip_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sl AS (SELECT doc_id,
+         |    [array_to_string(toks[i*8+1:i*8+8], ' ')
+         |     for i in range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))] AS segl
+         |  FROM t),
+         |s AS (SELECT doc_id, seg_idx, segl[seg_idx + 1] AS seg
+         |      FROM (SELECT doc_id, segl,
+         |              unnest(range(0, len(segl))) AS seg_idx FROM sl)),
+         |df AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM s GROUP BY 1),
+         |kept AS (SELECT s.doc_id, count(*) AS n_kept,
+         |           string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS clean_text
+         |         FROM s JOIN df USING (seg) WHERE df.seg_df <= 2
+         |         GROUP BY 1)
+         |SELECT sl.doc_id, CAST(len(sl.segl) AS INT) AS n_segments,
+         |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(kept.clean_text, '') AS clean_text
+         |FROM sl LEFT JOIN kept ON kept.doc_id = sl.doc_id
+         |ORDER BY sl.doc_id""".stripMargin,
     // semantic decontamination: exact cross-multiplied cosine on the x100
     // integer grid (cos² ≥ 49/400 ⇔ cos ≥ 0.35), dim-agnostic index range
     "corpus_decontaminate_semantic" ->

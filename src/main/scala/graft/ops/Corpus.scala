@@ -244,6 +244,41 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate-segment removal — the C4 cleaning rule ("remove any line
+    * that appears more than N times in the corpus") adapted to this
+    * corpus's segmentation: documents split into consecutive `segTokens`-
+    * token segments, any segment whose document frequency exceeds
+    * `maxSegDf` (nav menus, cookie banners, license headers) is dropped
+    * from EVERY document, and the survivors are reassembled in order.
+    * Segmenting is row-local column math (no token-stream shuffle); the
+    * df count is the only exchange; the boilerplate join stays on the
+    * exploded segment stream. Output keeps the cleaned text plus the
+    * kept/total accounting — the census the "no silent caps" rule wants. */
+  def stripBoilerplate(documents: DataFrame, segTokens: Int = 8,
+      maxSegDf: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segList = transform(sequence(lit(0), nSegs - 1),
+      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    val segs = documents
+      .select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
+    val df = segs.select("seg", "doc_id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("seg_df"))
+    val marked = segs.join(df, "seg") // df carries every seg: inner is total
+    val kept = marked.where(col("seg_df") <= maxSegDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+    documents.select(col("doc_id"), nSegs.as("n_segments"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** SEMANTIC decontamination — the embedding-space companion to the
     * n-gram [[decontaminate]]: corpus vectors whose cosine against ANY
     * benchmark vector clears the threshold (paraphrased benchmark text

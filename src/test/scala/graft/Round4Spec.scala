@@ -23,6 +23,28 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Corpus.stripBoilerplate ---------------------------------------------
+
+  test("stripBoilerplate: corpus-frequent segments drop everywhere, order kept") {
+    val banner = "accept all cookies to continue reading this site" // 8 tokens
+    val docs = Seq(
+      (1L, s"$banner alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$banner one two three four five six seven eight"),
+      (3L, s"$banner red green blue cyan magenta yellow black white"),
+      (4L, banner) // pure boilerplate: everything drops
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.stripBoilerplate(docs, maxSegDf = 2).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((2, 1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    assert(got(2L) == ((2, 1L, "one two three four five six seven eight")))
+    assert(got(4L) == ((1, 0L, ""))) // all segments were boilerplate
+    // below the df threshold nothing is touched
+    val loose = graft.ops.Corpus.stripBoilerplate(docs, maxSegDf = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose(1L) == 2L && loose(4L) == 1L)
+  }
+
   // ---- SimSearch.pqTopK ----------------------------------------------------
 
   test("PQ/ADC: planted twin ranks first; recall vs brute force on real data") {
