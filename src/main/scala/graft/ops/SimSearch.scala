@@ -268,28 +268,31 @@ object SimSearch {
       qid -> Array.tabulate(m, seeds.length)((s, c) =>
         sq(qv.slice(s * subDim, (s + 1) * subDim), codebook(s)(c)))
     }.toMap
-    // encode: per subspace, argmin over inlined centroids (ties → lowest c)
-    def subSq(s: Int, c: Int): Column =
-      aggregate(
-        zip_with(slice(col("qv"), s * subDim + 1, subDim),
-          array(codebook(s)(c).map(lit).toIndexedSeq: _*), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-    val codeCols = (0 until m).map { s =>
-      array_min(array(codebook(s).indices.map(c =>
-        struct(subSq(s, c).as("d"), lit(c).as("c"))): _*))
-        .getField("c").as(s"code_$s")
-    }
-    val encoded = q.select((col("vec_id") +: codeCols): _*)
-    // score each query via its inlined lookup tables, stack, heap-rank
-    val perQuery = queries.map { case (qid, _) =>
-      val adc = (0 until m).map { s =>
-        element_at(array(qd(qid)(s).map(lit).toIndexedSeq: _*), col(s"code_$s") + 1)
-      }.reduce(_ + _)
-      encoded.where(col("vec_id") =!= qid)
-        .select(lit(qid).as("query_id"), col("vec_id").as("neighbor_id"),
-          adc.as("adc"))
-    }
-    perQuery.reduce(_ unionAll _)
+    // encode: ONE fused native expression (graft.plans.PqEncode) computes
+    // all m argmin codes per row — the composed aggregate(zip_with(slice))
+    // form built m × nCentroids interpreted HOF trees per row and its
+    // codegen/planning cost alone dominated the query
+    GraftExtensions.ensureRegistered(embeddings.sparkSession)
+    val flatCodebook: Seq[Seq[Long]] =
+      (0 until m).flatMap(s => codebook(s).map(_.toSeq))
+    val encoded = q.select(col("vec_id"),
+      call_function("pq_codes", col("qv"), lit(subDim),
+        lit(seeds.length), typedlit(flatCodebook)).as("codes"))
+    // ONE corpus scan for all queries: the query dimension is an exploded
+    // literal (per-query union branches would rescan the corpus nQueries
+    // times), and ADC is a 3-level literal lookup [query][subspace][code]
+    val qdLit = typedlit(queries.map { case (qid, _) =>
+      qd(qid).map(_.toSeq).toSeq
+    }.toSeq)
+    val adc = (0 until m).map { s =>
+      element_at(element_at(element_at(qdLit, col("q_idx") + 1), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    encoded
+      .select(col("vec_id"), col("codes"),
+        posexplode(typedlit(queries.map(_._1).toSeq)).as(Seq("q_idx", "query_id")))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("adc"), col("neighbor_id"))).cast("int"))

@@ -78,7 +78,23 @@ object GraftExtensions {
         "winnow_fps(tokens, shingleSize, window) - winnowing fingerprint set"),
       (args: Seq[Expression]) => WinnowFingerprints(args(0),
         intLiteral("winnow_fps", "shingleSize", args(1)),
-        intLiteral("winnow_fps", "window", args(2)))))
+        intLiteral("winnow_fps", "window", args(2)))),
+    (FunctionIdentifier("pq_codes"),
+      info("PqEncode",
+        "pq_codes(qv, subDim, nCentroids, codebook) - PQ subspace codes"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        val cb = args(3) match {
+          case Literal(v: ArrayData, ArrayType(ArrayType(LongType, _), _)) =>
+            Array.tabulate(v.numElements())(i => v.getArray(i).toLongArray())
+          case e => throw new IllegalArgumentException(
+            s"pq_codes: codebook must be an ARRAY<ARRAY<BIGINT>> literal, got $e")
+        }
+        PqEncode(args(0), intLiteral("pq_codes", "subDim", args(1)),
+          intLiteral("pq_codes", "nCentroids", args(2)), cb)
+      }))
 
   /** Idempotent runtime registration into an existing session: SQL
     * functions via the registry, the top-k planner strategy via the public

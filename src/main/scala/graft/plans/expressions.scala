@@ -453,6 +453,67 @@ case class WinnowFingerprints(child: Expression, shingleSize: Int, window: Int)
     copy(child = newChild)
 }
 
+/** `pq_codes(qv, subDim, nCentroids, flatCodebook)`: product-quantization
+  * encoding fused into one loop — for each of the m = len(qv)/subDim
+  * subspaces, the index of the nearest codebook subvector (exact int64
+  * squared distance, ties to the lowest index). The codebook arrives as an
+  * ARRAY<ARRAY<BIGINT>> literal, row-major `[s * nCentroids + c]`, captured
+  * at build time into a plain JVM array — the composed formulation
+  * (`aggregate(zip_with(slice(...)))` × m × nCentroids) builds 128
+  * interpreted HOF trees per row and dominates the PQ query's runtime with
+  * codegen/planning cost alone. */
+case class PqEncode(child: Expression, subDim: Int,
+    nCentroids: Int, codebook: Array[Array[Long]])
+    extends UnaryExpression {
+  require(subDim >= 1 && nCentroids >= 1 && codebook.nonEmpty
+      && codebook.length % nCentroids == 0,
+    s"pq_codes: bad codebook shape ${codebook.length} for nc=$nCentroids")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"pq_codes needs ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  def compute(qv: ArrayData): ArrayData = {
+    val dim = qv.numElements()
+    val m = dim / subDim
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var bestC = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < nCentroids) {
+        val cb = codebook(s * nCentroids + c)
+        var d = 0L
+        var j = 0
+        while (j < subDim) {
+          val diff = qv.getLong(s * subDim + j) - cb(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pq", this, classOf[PqEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 /** `lev_bounded(a, b, k)`: banded edit distance capped at k+1 — the verify
   * step of blocked fuzzy linkage (Dedup.fuzzyLinkBlocked). The predicate
   * `lev_bounded(a, b, k) <= k` decides exactly the same set as
