@@ -155,6 +155,71 @@ class Round4Spec extends AnyFunSuite {
     assert(got((2L, 3L)) < 8L)   // disjoint sets: only chance collisions
   }
 
+  test("winnow_fps property: 200 seeded-random docs match the reference fold") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.ensureRegistered(spark)
+    val k = 4; val w = 3
+    def ref(toks: Seq[String]): Seq[Long] = {
+      val shs =
+        if (toks.length < k) Seq(toks.mkString(" "))
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      val hs = shs.map(s => s.foldLeft(0L)((a, c) => (a * 31 + c) % 2147483647L))
+      val mins = if (hs.length <= w) Seq(hs.min) else hs.sliding(w).map(_.min).toSeq
+      mins.distinct.sorted
+    }
+    val rnd = new scala.util.Random(42)
+    // lengths sweep the edge cases: 0-pad-avoided short docs through 60 toks,
+    // small alphabet so shingles repeat WITHIN documents
+    val docs = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(9)}"))
+    }
+    val got = docs.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        s"winnow_fps(filter(split(text, '\\\\s+'), x -> length(x) > 0), $k, $w) AS fps")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.foreach { case (id, toks) =>
+      assert(got(id) == ref(toks), s"doc $id (${toks.length} toks)")
+    }
+  }
+
+  test("pq_codes property: 100 seeded-random vectors match brute-force argmin") {
+    import graft.ops.SimSearch
+    val rnd = new scala.util.Random(7)
+    val dim = 32; val m = 8; val subDim = dim / m; val nc = 16
+    val vecs = (0 until (100 + nc)).map { i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() * 4 - 2).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    // brute-force reference on the same x100 grid
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.round(x * 100).toLong) }.toMap
+    val seeds = (0 until nc).map(c => q(c.toLong))
+    def refCodes(v: Seq[Long]): Seq[Int] = (0 until m).map { s =>
+      val sub = v.slice(s * subDim, (s + 1) * subDim)
+      (0 until nc).minBy { c =>
+        val cb = seeds(c).slice(s * subDim, (s + 1) * subDim)
+        (sub.indices.map(j => { val d = sub(j) - cb(j); d * d }).sum, c)
+      }
+    }
+    // drive through the public operator: for every (query, neighbor), the
+    // ADC must equal the reference ADC computed from reference codes
+    val got = SimSearch.pqTopK(emb, nQueries = 2, k = 100 + nc, m = m, nCentroids = nc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def refAdc(qid: Long, nid: Long): Long = {
+      val codes = refCodes(q(nid))
+      (0 until m).map { s =>
+        val qsub = q(qid).slice(s * subDim, (s + 1) * subDim)
+        val cb = seeds(codes(s)).slice(s * subDim, (s + 1) * subDim)
+        qsub.indices.map(j => { val d = qsub(j) - cb(j); d * d }).sum
+      }.sum
+    }
+    got.foreach { case ((qid, nid), adc) =>
+      assert(adc == refAdc(qid, nid), s"query $qid neighbor $nid")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("winnowing guarantee: a shared run of window+shingle-1 tokens always pairs") {
     // w=3, k=4 : any shared run of >= 6 tokens must share a fingerprint
     val shared = "alpha beta gamma delta epsilon zeta"
