@@ -225,6 +225,8 @@ object SparkEntry {
       graft.streaming.StreamGate.userMilestonesEndState(s, d)),
     "stream_purchase_view_join" -> ((s, d) =>
       graft.streaming.StreamGate.purchaseViewEndState(s, d)),
+    "stream_dedup_corpus" -> ((s, d) =>
+      graft.streaming.StreamGate.corpusDedupEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -1213,6 +1215,20 @@ object SparkEntry {
         |  AND p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY p.user_id, p_event, v_event""".stripMargin,
+    // stream-static anti-join: incoming (id >= 100) kept iff its RAW-text
+    // dual-residue fingerprint is absent from the frozen corpus (id < 100)
+    "stream_dedup_corpus" ->
+      """WITH c AS (SELECT doc_id, list_prepend(CAST(0 AS BIGINT),
+        |        [ord(text[i:i]) for i in range(1, length(text)+1)]) AS cs
+        |      FROM documents),
+        |f AS (SELECT doc_id,
+        |  list_reduce(cs, (a, c) -> (a * 31 + c) % 2147483647) * 2147483648 +
+        |  list_reduce(cs, (a, c) -> (a * 131 + c) % 2147483629) AS fp
+        |FROM c)
+        |SELECT a.doc_id FROM f a
+        |WHERE a.doc_id >= 100 AND NOT EXISTS (
+        |  SELECT 1 FROM f b WHERE b.doc_id < 100 AND b.fp = a.fp)
+        |ORDER BY doc_id""".stripMargin,
     "ts_gap_fill_hourly" ->
       """WITH r AS (SELECT date_trunc('hour', min(ts)) AS t0,
         |             date_trunc('hour', max(ts)) AS t1 FROM events),

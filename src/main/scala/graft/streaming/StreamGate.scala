@@ -153,6 +153,26 @@ object StreamGate {
       .orderBy("user_id", "p_event", "v_event")
   }
 
+  /** [[Streaming.dedupAgainstCorpus]] end state: incoming documents
+    * (doc_id ≥ `corpusMaxDocId`, streamed) whose content fingerprint does
+    * NOT already exist in the frozen corpus (doc_id < `corpusMaxDocId`,
+    * static side of the anti-join) — the incremental-ingest dedup. */
+  def corpusDedupEndState(spark: SparkSession, dir: String,
+      corpusMaxDocId: Long = 100): DataFrame = {
+    val out = freshOut()
+    val raw = spark.read.parquet(Tables.path(dir, "documents"))
+    val incoming = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(col("doc_id") >= corpusMaxDocId)
+    val corpus = raw.where(col("doc_id") < corpusMaxDocId)
+    val ds = Streaming.dedupAgainstCorpus(incoming, corpus)
+    run(ds.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    spark.read.parquet(out).select("doc_id").orderBy("doc_id")
+  }
+
   /** [[Streaming.topKPerKey]] end state: the LIVE leaderboard per key = the
     * key's latest emitted snapshot. Each appended snapshot is stamped with
     * its micro-batch id inside `foreachBatch` (the exactly-once key a
