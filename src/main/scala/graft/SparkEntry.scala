@@ -235,6 +235,8 @@ object SparkEntry {
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
     "dedup_minhash_estimate" -> ((s, d) =>
       Dedup.minhashJaccardEstimate(Tables.documents(s, d))),
+    "er_fuzzy_clusters" -> ((s, d) =>
+      Dedup.fuzzyEntityClusters(Tables.customer(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
@@ -981,6 +983,23 @@ object SparkEntry {
         |  count(*) FILTER (WHERE levenshtein(a.c_name, b.c_name) <= 1) AS n_matches
         |FROM k a JOIN k b ON a.block = b.block AND a.c_custkey < b.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fuzzy pairs closed transitively (recursive CTE = the min-label
+    // fixpoint), one row per resolved entity cluster
+    "er_fuzzy_clusters" ->
+      """WITH RECURSIVE k AS (SELECT c_custkey // 100 AS block, c_custkey, c_name
+        |       FROM customer),
+        |p AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |      FROM k a JOIN k b ON a.block = b.block AND a.c_custkey < b.c_custkey
+        |      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT ka AS s, kb AS d FROM p UNION SELECT kb, ka FROM p),
+        |v AS (SELECT DISTINCT s AS id FROM e),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+        |c AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id, count(*) AS n_members
+        |FROM c GROUP BY 1 ORDER BY cluster_id""".stripMargin,
     // Spark's skewness/kurtosis are POPULATION moments; DuckDB's built-ins
     // bias-correct, so the oracle recomputes from explicit central moments
     "agg_price_moments" ->

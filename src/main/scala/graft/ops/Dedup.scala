@@ -470,4 +470,32 @@ object Dedup {
           .as("n_matches"))
       .orderBy("block")
   }
+
+  /** End-to-end entity resolution: [[fuzzyLinkBlocked]]'s pair generation
+    * (block → banded-edit-distance verify) composed with
+    * [[connectedComponents]] — the full dedup-a-customer-file pipeline,
+    * one row per resolved entity cluster (cluster_id = the lowest member
+    * key, the canonical-record choice) with its member count. Transitive:
+    * A~B and B~C land in ONE cluster even when A and C differ by more than
+    * `maxEdits` — the behavior record-linkage needs and a pairwise report
+    * cannot give. */
+  def fuzzyEntityClusters(customer: DataFrame, keySpan: Int = 100,
+      maxEdits: Int = 1): DataFrame = {
+    GraftExtensions.ensureRegistered(customer.sparkSession)
+    val keyed = customer.select(
+      expr(s"c_custkey div $keySpan").as("block"),
+      col("c_custkey"), col("c_name"))
+    val pairs = keyed.select(col("block"), col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"))
+      .join(keyed.select(col("block"), col("c_custkey").as("key_b"),
+        col("c_name").as("name_b")), "block")
+      .where(col("key_a") < col("key_b")
+        && call_function("lev_bounded",
+          col("name_a"), col("name_b"), lit(maxEdits)) <= maxEdits)
+      .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
+    connectedComponents(pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+  }
 }

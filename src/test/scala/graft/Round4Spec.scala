@@ -23,6 +23,25 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Dedup.fuzzyEntityClusters -------------------------------------------
+
+  test("fuzzy entity clusters: transitive chain resolves to ONE cluster") {
+    // smith / smyth / smythe form a chain (1 edit per hop; ends differ by
+    // 2 edits — a pairwise report would split them); jones is separate;
+    // taylor matches nothing
+    val customers = Seq(
+      (1L, "smith"), (2L, "smyth"), (3L, "smythe"),
+      (4L, "jones"), (5L, "janes"),
+      (6L, "taylor")
+    ).toDF("c_custkey", "c_name")
+    val got = Dedup.fuzzyEntityClusters(customers, keySpan = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 2L)) // chain united; taylor absent
+    // blocking is respected: same names in different blocks never pair
+    val blocked = Seq((1L, "smith"), (250L, "smith")).toDF("c_custkey", "c_name")
+    assert(Dedup.fuzzyEntityClusters(blocked, keySpan = 100).count() == 0)
+  }
+
   // ---- Corpus.stripBoilerplate ---------------------------------------------
 
   test("stripBoilerplate: corpus-frequent segments drop everywhere, order kept") {
