@@ -164,6 +164,8 @@ object SparkEntry {
       Relational.priceMoments(Tables.lineitem(s, d))),
     "anomaly_zscore" -> ((s, d) =>
       Relational.valueOutliers(Tables.events(s, d))),
+    "anomaly_cusum" -> ((s, d) =>
+      Relational.cusumChangepoints(Tables.events(s, d))),
     "hist_price_bins" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
     "corpus_decontaminate_bloom" -> ((s, d) =>
@@ -1024,6 +1026,25 @@ object SparkEntry {
         |FROM events e JOIN st USING (event_type)
         |WHERE abs(round((e.value - st.mu) / st.sd, 6)) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,
+    // Page's CUSUM as cumsum - running_min(cumsum), scaled by n_days so
+    // the whole statistic stays exact int64 (no float mean anywhere)
+    "anomaly_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_days, sum(c) AS total
+        |       FROM d GROUP BY 1),
+        |x AS (SELECT d.event_type, d.day, d.c, st.total,
+        |        sum(st.n_days * d.c - st.total) OVER (
+        |          PARTITION BY d.event_type ORDER BY d.day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |      FROM d JOIN st USING (event_type)),
+        |y AS (SELECT event_type, day, c, total,
+        |        cs - min(cs) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_pos
+        |      FROM x)
+        |SELECT event_type, day, c, CAST(cusum_pos AS BIGINT) AS cusum_pos,
+        |  cusum_pos > total * 2 AS alarm
+        |FROM y ORDER BY event_type, day""".stripMargin,
     "hist_price_bins" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bin, count(*) AS n,
         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

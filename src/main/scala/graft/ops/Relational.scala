@@ -519,6 +519,33 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** CUSUM changepoint detection over the daily event-count series — the
+    * drift detector that catches what per-point z-scores miss (a sustained
+    * small shift in level). Page's one-sided CUSUM S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ-μ)
+    * is expressed non-recursively as `cumsum − running_min(cumsum)` so it
+    * is two window passes, not an iterative loop; everything is scaled by
+    * n_days (deviation = n·cᵢ − total) so the statistic is EXACT int64 and
+    * the oracle replays it bit-for-bit — no float mean ever materializes.
+    * Windows are keyed by event_type (bounded dimension → bounded
+    * partitions, the accepted per-dim window shape). An alarm fires when
+    * the scaled excursion exceeds `alarmDays` × the series' daily mean
+    * (n·alarmDays·μ = alarmDays·total). */
+  def cusumChangepoints(events: DataFrame, alarmDays: Int = 2): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("total"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("cs", sum(col("n_days") * col("c") - col("total")).over(w))
+      .withColumn("cusum_pos", col("cs") - min(col("cs")).over(w))
+      .select(col("event_type"), col("day"), col("c"), col("cusum_pos"),
+        (col("cusum_pos") > col("total") * alarmDays).as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   /** Higher-moment aggregate surface: per-group skewness and excess
     * kurtosis (population moments, Spark's definition). The oracle
     * recomputes them from explicit central moments — DuckDB's built-ins

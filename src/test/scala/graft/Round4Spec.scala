@@ -23,6 +23,30 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Relational.cusumChangepoints ----------------------------------------
+
+  test("CUSUM: sustained level shift alarms after the shift, never before") {
+    // 20 quiet days (1 event/day) then 10 loud days (10 events/day): the
+    // per-day deviation pre-shift is negative (cusum pinned at 0), post-
+    // shift the excursion grows ~180/day and crosses 2x total on the
+    // second loud day
+    val rows = (1 to 20).map(d => (f"2024-01-$d%02d 12:00:00", 1)) ++
+      (21 to 30).map(d => (f"2024-01-$d%02d 12:00:00", 10))
+    val events = rows.zipWithIndex.flatMap { case ((ts, n), i) =>
+      (0 until n).map(j => (i.toLong * 100 + j, java.sql.Timestamp.valueOf(ts), "a"))
+    }.toDF("event_id", "ts", "event_type")
+    val got = graft.ops.Relational.cusumChangepoints(events).collect()
+      .map(r => r.getDate(1).toString -> (r.getLong(3), r.getBoolean(4))).toMap
+    (1 to 20).foreach { d =>
+      val (cusum, alarm) = got(f"2024-01-$d%02d")
+      assert(cusum == 0L && !alarm, s"false alarm on quiet day $d")
+    }
+    assert(!got("2024-01-21")._2) // first loud day: excursion 180 < 240
+    (22 to 30).foreach { d =>
+      assert(got(f"2024-01-$d%02d")._2, s"missed alarm on loud day $d")
+    }
+  }
+
   // ---- Dedup.fuzzyEntityClusters -------------------------------------------
 
   test("fuzzy entity clusters: transitive chain resolves to ONE cluster") {
