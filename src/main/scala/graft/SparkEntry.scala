@@ -146,6 +146,9 @@ object SparkEntry {
     "graph_pagerank_nations" -> ((s, d) =>
       Graph.nationPagerank(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "graph_triangles" -> ((s, d) =>
+      Graph.nationTriangles(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "join_fuzzy_blocked" -> ((s, d) =>
       Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
     "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
@@ -885,6 +888,27 @@ object SparkEntry {
         |       FROM nation n LEFT JOIN i3 i ON n.n_name = i.dst)
         |SELECT n_name, CAST(r AS BIGINT) AS rank FROM r3
         |ORDER BY rank DESC, n_name""".stripMargin,
+    // ordered-form triangle enumeration (a < b < c, each triangle once)
+    // over the undirected distinct trade edges; same extraction CTE as
+    // pagerank
+    "graph_triangles" ->
+      """WITH edges AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM edges WHERE src <> dst),
+        |t AS (SELECT x.a, x.b, y.b AS c
+        |      FROM u x JOIN u y ON y.a = x.b
+        |               JOIN u z ON z.a = x.a AND z.b = y.b),
+        |v AS (SELECT unnest([a, b, c]) AS n_name FROM t)
+        |SELECT n_name, count(*) AS n_triangles FROM v
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
     // SemDeDup census: one assignment round vs the seed codebook, then the
     // exact cross-multiplied cosine test (cos² ≥ 49/400 ⇔ cos ≥ 0.35)
     // against each cluster's lowest-id representative

@@ -81,4 +81,34 @@ object Graph {
     pagerank(
       nationTradeEdges(lineitem, orders, customer, supplier, nation),
       nodes = nation.select("n_name"))
+
+  /** Per-vertex triangle participation — the clustering-structure census
+    * (community density, spam-ring detection) that complements PageRank
+    * (importance) and connected components (reachability). Directions and
+    * weights are dropped first; each triangle is enumerated exactly once
+    * through its ordered form a < b < c (the standard distributed
+    * formulation: two joins over the ordered edge list, so a vertex's work
+    * is bounded by its ordered degree²; production adds degree-ordering to
+    * cap hub fanout). Per-vertex count = triangles touching the vertex. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // read three times (two joins + the census)
+    val tri = und.select(col("a"), col("b"))
+      .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("n_name"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("n_name")
+  }
+
+  def nationTriangles(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame =
+    triangleCounts(
+      nationTradeEdges(lineitem, orders, customer, supplier, nation))
 }

@@ -23,6 +23,21 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Graph.triangleCounts ------------------------------------------------
+
+  test("triangle counts: K4 gives 3 per vertex, squares give none, direction ignored") {
+    val edges = Seq(
+      // K4 on a,b,c,d (some edges reversed / duplicated: must not matter)
+      ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "b"), ("c", "d"),
+      ("b", "a"),
+      // 4-cycle w-x-y-z: no triangles
+      ("w", "x"), ("x", "y"), ("y", "z"), ("z", "w")
+    ).toDF("src", "dst")
+    val got = graft.ops.Graph.triangleCounts(edges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
   // ---- Relational.cusumChangepoints ----------------------------------------
 
   test("CUSUM: sustained level shift alarms after the shift, never before") {
