@@ -169,6 +169,8 @@ object SparkEntry {
       Relational.valueOutliers(Tables.events(s, d))),
     "anomaly_cusum" -> ((s, d) =>
       Relational.cusumChangepoints(Tables.events(s, d))),
+    "affinity_brand_pairs" -> ((s, d) =>
+      Relational.brandAffinity(Tables.lineitem(s, d), Tables.part(s, d))),
     "hist_price_bins" -> ((s, d) =>
       Relational.priceHistogram(Tables.orders(s, d))),
     "corpus_decontaminate_bloom" -> ((s, d) =>
@@ -1050,6 +1052,21 @@ object SparkEntry {
         |FROM events e JOIN st USING (event_type)
         |WHERE abs(round((e.value - st.mu) / st.sd, 6)) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,
+    // per-order distinct brand baskets, ordered pairs, integer supports
+    "affinity_brand_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |sup AS (SELECT p_brand, count(*) AS n_orders FROM ob GROUP BY 1),
+        |pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |         count(*) AS n_both
+        |       FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |                          AND a.p_brand < b.p_brand
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_both,
+        |  sa.n_orders AS n_a, sb.n_orders AS n_b
+        |FROM pr JOIN sup sa ON sa.p_brand = pr.brand_a
+        |        JOIN sup sb ON sb.p_brand = pr.brand_b
+        |ORDER BY brand_a, brand_b""".stripMargin,
     // Page's CUSUM as cumsum - running_min(cumsum), scaled by n_days so
     // the whole statistic stays exact int64 (no float mean anywhere)
     "anomaly_cusum" ->

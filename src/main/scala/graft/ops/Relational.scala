@@ -519,6 +519,38 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** Market-basket co-occurrence: brand pairs bought together in one order
+    * (the support counts behind association-rule mining — lift/confidence
+    * are ratios of these integers, left to the consumer so the output stays
+    * exact). Baskets are per-order DISTINCT brand sets, so the self-join
+    * key is the order and its fanout is bounded by basket size² (baskets
+    * are small by nature — this is the bounded-blocking pattern, not an
+    * all-pairs join); per-brand order support rides along via two broadcast
+    * joins of the tiny brand-count table. */
+  def brandAffinity(lineitem: DataFrame, part: DataFrame,
+      minSupport: Long = 3): DataFrame = {
+    val orderBrands = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val support = orderBrands.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_orders"))
+    val pairs = orderBrands.select(col("l_orderkey"), col("p_brand").as("brand_a"))
+      .join(orderBrands.select(col("l_orderkey"), col("p_brand").as("brand_b")),
+        "l_orderkey")
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= minSupport)
+    pairs
+      .join(broadcast(support.select(col("p_brand").as("brand_a"),
+        col("n_orders").as("n_a"))), "brand_a")
+      .join(broadcast(support.select(col("p_brand").as("brand_b"),
+        col("n_orders").as("n_b"))), "brand_b")
+      .select("brand_a", "brand_b", "n_both", "n_a", "n_b")
+      .orderBy("brand_a", "brand_b")
+  }
+
   /** CUSUM changepoint detection over the daily event-count series — the
     * drift detector that catches what per-point z-scores miss (a sustained
     * small shift in level). Page's one-sided CUSUM S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ-μ)

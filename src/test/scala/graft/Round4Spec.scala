@@ -23,6 +23,27 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Relational.brandAffinity --------------------------------------------
+
+  test("brand affinity: co-occurrence counted per order basket, not per line") {
+    val li = Seq(
+      // order 1 buys brand X twice and Y once: the pair must count ONCE
+      (1L, 101L), (1L, 102L), (1L, 201L),
+      (2L, 103L), (2L, 202L),
+      (3L, 104L), (3L, 203L),
+      (4L, 105L), // X alone: support for X but no pair
+      (5L, 301L)  // Z alone: never appears in output pairs
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq(
+      (101L, "X"), (102L, "X"), (103L, "X"), (104L, "X"), (105L, "X"),
+      (201L, "Y"), (202L, "Y"), (203L, "Y"), (301L, "Z")
+    ).toDF("p_partkey", "p_brand")
+    val got = graft.ops.Relational.brandAffinity(li, part, minSupport = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("X", "Y", 3L, 4L, 3L))) // X in orders 1-4, Y in 1-3
+  }
+
   // ---- Graph.triangleCounts ------------------------------------------------
 
   test("triangle counts: K4 gives 3 per vertex, squares give none, direction ignored") {
