@@ -355,6 +355,8 @@ object SparkEntry {
     "profile_events" -> ((s, d) =>
       Profile.profile(Tables.events(s, d),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+    "profile_benford_price" -> ((s, d) =>
+      Profile.benfordDigits(Tables.orders(s, d), "o_totalprice")),
     "join_interval_overlap" -> ((s, d) =>
       Intervals.sessionIncidentOverlap(Tables.events(s, d))),
     "join_overlap_auto" -> ((s, d) =>
@@ -1995,6 +1997,22 @@ object SparkEntry {
         |t AS (SELECT count(*) AS total FROM events)
         |SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share
         |FROM c, t ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
+    // leading digit from the decimal(18,2) string head; Benford expecteds
+    // as integer micro-unit literals (round(log10(1+1/d)*1e6))
+    "profile_benford_price" ->
+      """WITH v AS (SELECT CAST(substring(
+        |      CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |    AS INT) AS digit
+        |  FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1),
+        |t AS (SELECT count(*) AS n_total FROM v),
+        |b(bd, micro) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757))
+        |SELECT v.digit, count(*) AS n_observed,
+        |  CAST(t.n_total * b.micro AS BIGINT) AS expected_micro
+        |FROM v, t JOIN b ON b.bd = v.digit
+        |GROUP BY v.digit, t.n_total, b.micro
+        |ORDER BY digit""".stripMargin,
     // sessions replicated with the win_session_30m gaps-and-islands CTE;
     // the overlap join itself is the plain inequality join (the engine's
     // bucket-first plan must produce exactly its result)

@@ -59,4 +59,33 @@ object Profile {
       .orderBy(col("n").desc, col(keyCol))
       .limit(k)
   }
+
+  /** Benford first-digit census — the fabricated-data screen auditors run
+    * on monetary columns (organic amounts follow log₁₀(1+1/d); uniform or
+    * hand-entered numbers do not). Emits the observed count per leading
+    * digit next to the Benford-expected count in EXACT integer micro-units
+    * (expected = n · log₁₀(1+1/d), both factors computed identically from
+    * int64 counts and 6-decimal literal logs — no engine-variant float
+    * path), leaving the χ² to the consumer. One aggregate over per-row
+    * digit math. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    // leading digit via string head of the integral part: exact for the
+    // positive decimals this screen applies to, no log10 on the data path
+    val d = substring(abs(col(valueCol)).cast("decimal(18,2)")
+      .cast("string"), 1, 1).cast("int")
+    // round(log10(1+1/d) * 1e6) for d = 1..9, precomputed as literals so
+    // both engines multiply the same integers
+    val benfordMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expect = element_at(array(benfordMicro.map(lit): _*), col("digit"))
+    df.where(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+      .select(d.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_observed"))
+      .crossJoin(broadcast(
+        df.where(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+          .agg(count(lit(1)).as("n_total"))))
+      .select(col("digit"), col("n_observed"),
+        (col("n_total") * expect).as("expected_micro"))
+      .orderBy("digit")
+  }
 }

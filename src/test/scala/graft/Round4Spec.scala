@@ -23,6 +23,20 @@ class Round4Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64-safe bound"))
   }
 
+  // ---- Profile.benfordDigits -----------------------------------------------
+
+  test("Benford census: digits and expected micro-counts exact, sub-1 values excluded") {
+    val df = Seq(123.45, 19.99, 1.05, 250.0, 2999.0, 0.42, -34.5)
+      .toDF("amount") // 0.42 excluded (|x| < 1); -34.5 counts as digit 3
+    val got = graft.ops.Profile.benfordDigits(df, "amount").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 6 qualifying rows: digits 1(×3: 123.45, 19.99, 1.05), 2(×2), 3(×1)
+    assert(got(1) == ((3L, 6L * 301030L)))
+    assert(got(2) == ((2L, 6L * 176091L)))
+    assert(got(3) == ((1L, 6L * 124939L)))
+    assert(got.keySet == Set(1, 2, 3))
+  }
+
   // ---- Relational.brandAffinity --------------------------------------------
 
   test("brand affinity: co-occurrence counted per order basket, not per line") {
