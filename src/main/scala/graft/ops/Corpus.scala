@@ -258,8 +258,12 @@ object Corpus {
       maxSegDf: Int = 2): DataFrame = {
     val toks = tokens(col("text"))
     val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
-    val segList = transform(sequence(lit(0), nSegs - 1),
-      i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens))))
+    // empty-doc guard: sequence(0, -1) DESCENDS in Spark, fabricating two
+    // bogus segments for a zero-token document — same guard as chunkOverlap
+    val segList = when(nSegs > 0,
+      transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+      .otherwise(array().cast("array<string>"))
     val segs = documents
       .select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
     val df = segs.select("seg", "doc_id").distinct()

@@ -250,7 +250,10 @@ object SimSearch {
     val seeds = q.where(col("vec_id") < nCentroids)
       .orderBy("vec_id").collect()
       .map(r => r.getSeq[Long](1).toArray)
-    require(seeds.nonEmpty, s"no codebook seeds with vec_id < $nCentroids")
+    if (seeds.isEmpty) // empty-corpus guard (same contract as kmeans/semDedup)
+      return q.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("adc"),
+        lit(0).as("rank")).limit(0)
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m

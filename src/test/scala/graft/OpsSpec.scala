@@ -544,6 +544,23 @@ class OpsSpec extends AnyFunSuite {
     val noCust = Seq.empty[(Long, String)].toDF("c_custkey", "c_name")
     assert(Dedup.fuzzyLinkBlocked(noCust).count() == 0)
     assert(Sampling.sampleNPerGroup(noDocs, "lang", "doc_id", 3).count() == 0)
+    // round-4 operators
+    assert(Dedup.winnowedPairs(noDocs).count() == 0)
+    assert(Dedup.minhashJaccardEstimate(noDocs).count() == 0)
+    assert(Dedup.fuzzyEntityClusters(noCust).count() == 0)
+    val census = Dedup.capCensus(noDocs).collect()
+    assert(census.length == 4 && census.forall(_.getLong(2) == 0L))
+    assert(Corpus.decontaminateSemantic(noEmb).count() == 0)
+    assert(Corpus.stripBoilerplate(noDocs).count() == 0)
+    assert(Corpus.stripBoilerplate(emptyDoc).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq == Seq((0, 0L)))
+    assert(SimSearch.pqTopK(noEmb).count() == 0)
+    assert(Relational.cusumChangepoints(noEvents).count() == 0)
+    assert(Relational.brandAffinity(
+      Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey"),
+      Seq.empty[(Long, String)].toDF("p_partkey", "p_brand")).count() == 0)
+    assert(Graph.triangleCounts(noEdges).count() == 0)
+    assert(Profile.benfordDigits(noOrders, "o_totalprice").count() == 0)
   }
 
   test("layout: zorderKey interleaves bits exactly (reference impl)") {
