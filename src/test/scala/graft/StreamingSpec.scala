@@ -286,6 +286,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint recovery of CUSTOM state: restarted leaderboard remembers the board") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk_ckpt_").toString
+    val srcDir = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val schema = Seq.empty[TopKIn].toDS().schema
+    // memory sink cannot recover an append-mode query from a checkpoint;
+    // foreachBatch -> parquet can (the StreamGate sink shape)
+    def start(out: String) =
+      Streaming.topKPerKey(spark,
+          spark.readStream.schema(schema).parquet(srcDir), k = 2)
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    def readOut(out: String) =
+      try spark.read.parquet(out).collect()
+      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+    def addFile(n: Int, rows: TopKIn*): Unit = {
+      val tmp = s"$dir/tmp$n"
+      rows.toDS().coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/batch$n.parquet"))
+    }
+    val outA = s"$dir/outA"; val outB = s"$dir/outB"
+    val q1 = start(outA)
+    try {
+      addFile(1, TopKIn("a", 1, 30.0), TopKIn("a", 2, 20.0))
+      q1.processAllAvailable()
+      assert(readOut(outA).length == 2)
+    } finally { q1.stop(); q1.awaitTermination() }
+    // restart into a FRESH sink: a below-board value must emit NOTHING —
+    // only possible if the flatMapGroupsWithState state (the board) was
+    // RECOVERED from the checkpoint, not rebuilt empty
+    val q2 = start(outB)
+    try {
+      addFile(2, TopKIn("a", 3, 5.0))
+      q2.processAllAvailable()
+      assert(readOut(outB).isEmpty,
+        "recovered state should have suppressed the below-board value")
+      // a displacing value merges with the RECOVERED board values
+      addFile(3, TopKIn("a", 4, 25.0))
+      q2.processAllAvailable()
+      val board = readOut(outB)
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+      assert(board == Seq((1, 1L, 30.0), (2, 4L, 25.0)))
+    } finally { q2.stop(); q2.awaitTermination() }
+  }
+
   test("streaming top-k: replayed event_id with changed value holds ONE rank") {
     val src = MemoryStream[TopKIn](spark)
     val q = Streaming.topKPerKey(spark, src.toDF(), k = 3)
