@@ -55,18 +55,29 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.headlineQueries
+    // median of `reps` timed runs per query (default 3): a single run is
+    // hostage to machine-load noise — the r04 driver recording doubled two
+    // queries that the builder's run minutes earlier timed at half, purely
+    // from co-tenant load. The median discards one bad draw per side while
+    // staying cheap; SPARK_GRAFT_BENCH_REPS=1 restores single-shot for the
+    // (slow) full-inventory sweep.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = names.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // a failed query reports -1, NOT its elapsed time — a regression must
       // show up as broken, never as "fast"
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      if (times.contains(-1.0)) name -> -1.0
+      else name -> times.sorted.apply(reps / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2003,7 +2003,8 @@ object SparkEntry {
       """WITH v AS (SELECT CAST(substring(
         |      CAST(CAST(abs(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
         |    AS INT) AS digit
-        |  FROM orders WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1),
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |    AND abs(o_totalprice) >= 1 AND abs(o_totalprice) < 1e16),
         |t AS (SELECT count(*) AS n_total FROM v),
         |b(bd, micro) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
         |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),

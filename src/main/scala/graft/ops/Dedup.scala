@@ -75,7 +75,13 @@ object Dedup {
 
   def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
       bands: Int = 8): DataFrame = {
+    // the token projection feeds THREE consumers joining on different keys
+    // (band rows, verify side a, verify side b) — no exchange reuse applies,
+    // so without a persist `tokens(text)` would re-tokenize the corpus 3×
+    // per run (the r04 bench regression). MEMORY_AND_DISK: spills rather
+    // than OOMs when the token arrays outgrow executor memory at scale.
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles/signature each materialized ONCE per row (withColumn), then
     // only (doc_id, band) pairs — not token arrays — enter the shuffle
     GraftExtensions.ensureRegistered(documents.sparkSession)

@@ -208,9 +208,16 @@ object Multimodal {
         rate = readLe32(b, off + 12)
         bits = readLe16(b, off + 22)
       } else if (typ == "data") dataSize = len
-      off += 8 + len
+      // RIFF pads odd-length chunks with one byte that the length field
+      // does NOT count — skipping it keeps the walk aligned on externally
+      // produced files (our own chunks are all even-sized)
+      off += 8 + len + (len & 1)
     }
     require(rate >= 0 && dataSize >= 0, s"media $id: missing fmt/data chunk")
+    // loud failure on a degenerate fmt chunk, not an ArithmeticException
+    // out of the division below
+    require(ch > 0 && bits > 0,
+      s"media $id: fmt declares $ch channels x $bits bits")
     WavHeader(id, b.length, rate, ch, bits, dataSize / (ch * bits / 8))
   }
 

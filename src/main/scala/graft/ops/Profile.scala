@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality census a pipeline runs before
@@ -70,7 +71,11 @@ object Profile {
     * digit math. */
   def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
     // leading digit via string head of the integral part: exact for the
-    // positive decimals this screen applies to, no log10 on the data path
+    // positive decimals this screen applies to, no log10 on the data path.
+    // The decimal(18,2) cast caps the integral part at 16 digits — values
+    // >= 1e16 would overflow it to NULL under non-ANSI Spark while the
+    // DuckDB oracle raises, so the range is part of the operator's contract
+    // (enforced in the WHERE below, visible to the oracle)
     val d = substring(abs(col(valueCol)).cast("decimal(18,2)")
       .cast("string"), 1, 1).cast("int")
     // round(log10(1+1/d) * 1e6) for d = 1..9, precomputed as literals so
@@ -78,14 +83,18 @@ object Profile {
     val benfordMicro = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
     val expect = element_at(array(benfordMicro.map(lit): _*), col("digit"))
-    df.where(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
+    val counts = df
+      .where(col(valueCol).isNotNull
+        && abs(col(valueCol)) >= 1 && abs(col(valueCol)) < 1e16)
       .select(d.as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_observed"))
-      .crossJoin(broadcast(
-        df.where(col(valueCol).isNotNull && abs(col(valueCol)) >= 1)
-          .agg(count(lit(1)).as("n_total"))))
+    // n_total = Σ n_observed, as a window over the 9 post-aggregate rows —
+    // ONE scan of the input (the earlier broadcast-crossJoin formulation
+    // re-evaluated the filtered projection a second time)
+    counts
       .select(col("digit"), col("n_observed"),
-        (col("n_total") * expect).as("expected_micro"))
+        (sum("n_observed").over(Window.partitionBy()) * expect)
+          .as("expected_micro"))
       .orderBy("digit")
   }
 }

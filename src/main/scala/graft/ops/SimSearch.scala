@@ -283,22 +283,25 @@ object SimSearch {
         lit(seeds.length), typedlit(flatCodebook)).as("codes"))
     // ONE corpus scan for all queries: the query dimension is an exploded
     // literal (per-query union branches would rescan the corpus nQueries
-    // times), and ADC is a 3-level literal lookup [query][subspace][code]
+    // times), and ADC scoring is the fused native expression
+    // (graft.plans.PqAdc) — the previous 3-level element_at literal-lookup
+    // tree re-materialized the full distance-table literal per subspace and
+    // its planning/codegen cost alone was ~3 s per run
     val qdLit = typedlit(queries.map { case (qid, _) =>
       qd(qid).map(_.toSeq).toSeq
     }.toSeq)
-    val adc = (0 until m).map { s =>
-      element_at(element_at(element_at(qdLit, col("q_idx") + 1), s + 1),
-        element_at(col("codes"), s + 1) + 1)
-    }.reduce(_ + _)
+    val adc = call_function("pq_adc", col("codes"),
+      col("q_idx").cast("int"), qdLit)
     encoded
       .select(col("vec_id"), col("codes"),
         posexplode(typedlit(queries.map(_._1).toSeq)).as(Seq("q_idx", "query_id")))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
+      // nulls LAST under asc, matching DuckDB's default: an unexpected NULL
+      // score must never claim rank 1 (belt to PqEncode's ragged-row braces)
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("adc"), col("neighbor_id"))).cast("int"))
+          .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))).cast("int"))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "adc", "rank")
       .orderBy("query_id", "rank")

@@ -88,12 +88,31 @@ object GraftExtensions {
         import org.apache.spark.sql.types.{ArrayType, LongType}
         val cb = args(3) match {
           case Literal(v: ArrayData, ArrayType(ArrayType(LongType, _), _)) =>
-            Array.tabulate(v.numElements())(i => v.getArray(i).toLongArray())
+            Seq.tabulate(v.numElements())(i => v.getArray(i).toLongArray().toSeq)
           case e => throw new IllegalArgumentException(
             s"pq_codes: codebook must be an ARRAY<ARRAY<BIGINT>> literal, got $e")
         }
         PqEncode(args(0), intLiteral("pq_codes", "subDim", args(1)),
           intLiteral("pq_codes", "nCentroids", args(2)), cb)
+      }),
+    (FunctionIdentifier("pq_adc"),
+      info("PqAdc",
+        "pq_adc(codes, q_idx, tables) - PQ asymmetric-distance score"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, LongType}
+        val tbl = args(2) match {
+          case Literal(v: ArrayData,
+              ArrayType(ArrayType(ArrayType(LongType, _), _), _)) =>
+            Seq.tabulate(v.numElements()) { q =>
+              val sub = v.getArray(q)
+              Seq.tabulate(sub.numElements())(s => sub.getArray(s).toLongArray().toSeq)
+            }
+          case e => throw new IllegalArgumentException(
+            s"pq_adc: tables must be an ARRAY<ARRAY<ARRAY<BIGINT>>> literal, got $e")
+        }
+        PqAdc(args(0), args(1), tbl)
       }))
 
   /** Idempotent runtime registration into an existing session: SQL

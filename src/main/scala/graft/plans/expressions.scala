@@ -463,7 +463,7 @@ case class WinnowFingerprints(child: Expression, shingleSize: Int, window: Int)
   * interpreted HOF trees per row and dominates the PQ query's runtime with
   * codegen/planning cost alone. */
 case class PqEncode(child: Expression, subDim: Int,
-    nCentroids: Int, codebook: Array[Array[Long]])
+    nCentroids: Int, codebook: Seq[Seq[Long]])
     extends UnaryExpression {
   require(subDim >= 1 && nCentroids >= 1 && codebook.nonEmpty
       && codebook.length % nCentroids == 0,
@@ -475,9 +475,24 @@ case class PqEncode(child: Expression, subDim: Int,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
 
+  // codebook is held as Seq in the case-class fields (Array fields compare
+  // by reference, which would break expression canonicalization / CSE /
+  // plan matching for semantically identical pq_codes calls) and flattened
+  // to primitive arrays ONCE here for the hot loop
+  private val m = codebook.length / nCentroids
+  @transient private lazy val cbArr: Array[Array[Long]] =
+    codebook.map(_.toArray).toArray
+
   def compute(qv: ArrayData): ArrayData = {
     val dim = qv.numElements()
-    val m = dim / subDim
+    // loud failure on ragged rows: dim uniformity is otherwise only checked
+    // on the codebook seeds, and a short row would yield a short codes
+    // array whose downstream element_at turns NULL — a silently mis-ranked
+    // neighbor instead of an error
+    if (dim != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_codes: row has $dim elements, codebook expects ${m * subDim} " +
+          s"($m subspaces x $subDim)")
     val out = new Array[Any](m)
     var s = 0
     while (s < m) {
@@ -485,7 +500,7 @@ case class PqEncode(child: Expression, subDim: Int,
       var bestD = Long.MaxValue
       var c = 0
       while (c < nCentroids) {
-        val cb = codebook(s * nCentroids + c)
+        val cb = cbArr(s * nCentroids + c)
         var d = 0L
         var j = 0
         while (j < subDim) {
@@ -512,6 +527,65 @@ case class PqEncode(child: Expression, subDim: Int,
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** `pq_adc(codes, q_idx)`: PQ asymmetric-distance scoring fused into one
+  * loop — ADC(q, x) = Σ_s tables(q)(s)(codes(s)), the per-query distance
+  * tables captured at build time. The composed formulation (a 3-level
+  * `element_at` literal-lookup tree per subspace, m trees summed) carried
+  * ~3 s of planning/codegen overhead per run: each element_at chain
+  * re-materialized the full [queries][subspaces][centroids] literal in the
+  * expression tree m times. Here the tables live ONCE as a reference object
+  * and scoring is m primitive array reads per row. Tables are Seq in the
+  * case-class field (canonicalization-safe, like [[PqEncode]]'s codebook)
+  * and flattened to primitive arrays once per executor. */
+case class PqAdc(left: Expression, right: Expression,
+    tables: Seq[Seq[Seq[Long]]])
+    extends BinaryExpression {
+  require(tables.nonEmpty && tables.head.nonEmpty,
+    "pq_adc: empty distance tables")
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc needs (ARRAY<INT> codes, INT query index), got $l, $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  private val m = tables.head.length
+  @transient private lazy val tblArr: Array[Array[Array[Long]]] =
+    tables.map(_.map(_.toArray).toArray).toArray
+
+  def compute(codes: ArrayData, qIdx: Int): Long = {
+    if (qIdx < 0 || qIdx >= tblArr.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: query index $qIdx outside [0, ${tblArr.length})")
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${codes.numElements()} codes, tables expect $m subspaces")
+    val t = tblArr(qIdx)
+    var sum = 0L
+    var s = 0
+    while (s < m) {
+      sum += t(s)(codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(codes: Any, qIdx: Any): Any =
+    compute(codes.asInstanceOf[ArrayData], qIdx.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (c, q) => s"$ref.compute($c, $q)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `lev_bounded(a, b, k)`: banded edit distance capped at k+1 — the verify

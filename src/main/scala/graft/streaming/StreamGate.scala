@@ -42,15 +42,32 @@ object StreamGate {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Gate scratch space: tmpfs when the host has one. Checkpoint commits
+    * fsync every micro-batch — on-disk temp dirs made the gates pay real
+    * disk latency for durability that a drain-a-bounded-source gate does
+    * not need (a production job points checkpointLocation at durable
+    * storage; this is gate plumbing, not the operator). */
+  private def tmpBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
   private def run(writer: DataStreamWriter[Row]): Unit = {
-    val ck = Files.createTempDirectory("graft_stream_ck").toString
-    val q = writer.option("checkpointLocation", ck).start()
-    try q.processAllAvailable()
+    val ck = Files.createTempDirectory(tmpBase, "graft_stream_ck").toString
+    // AvailableNow: drain everything available, then STOP — versus
+    // processAllAvailable on the default trigger, which keeps the
+    // micro-batch scheduler polling (empty-batch planning cycles) until
+    // the explicit stop. Same end state, less machinery.
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck).start()
+    try q.awaitTermination()
     finally q.stop()
   }
 
   private def freshOut(): String =
-    Files.createTempDirectory("graft_stream_out").toString + "/end_state"
+    Files.createTempDirectory(tmpBase, "graft_stream_out").toString + "/end_state"
 
   /** [[Streaming.tumblingCounts]] end state. Complete output mode: every
     * micro-batch rewrites the full aggregate, so the final parquet is the
@@ -116,9 +133,12 @@ object StreamGate {
       .orderBy("event_id")
   }
 
-  /** [[Streaming.runningUserStats]] end state: each user's LATEST milestone
-    * record (the row with the highest event count — milestones only grow),
-    * robust to any micro-batch split via max_by. */
+  /** [[Streaming.runningUserStats]] end state: each user's latest running
+    * record (the row with the highest event count). Robust to any
+    * micro-batch split because the operator emits the updated record on
+    * every batch the user appears in — the max over emitted rows is the
+    * total count even when a user's trailing events land in a batch that
+    * crosses no milestone. */
   def userMilestonesEndState(spark: SparkSession, dir: String,
       every: Long = 10L): DataFrame = {
     val out = freshOut()

@@ -226,12 +226,19 @@ object Streaming {
 
   /** Custom arbitrary state via `flatMapGroupsWithState` (the escape hatch
     * when windowed built-ins can't express the semantics): per-user running
-    * event counter that also emits a milestone record each time the count
-    * crosses a multiple of `every`. State = one (count, milestones) pair per
-    * user. Pass `ProcessingTimeTimeout` + `inactivityTimeout` in production
-    * to evict idle users and keep the map bounded (NOTE: with a timeout
-    * configured the engine schedules continuous timeout-check micro-batches,
-    * so tests that wait for idleness must use the NoTimeout default). */
+    * event counter with a milestone counter that grows each time the count
+    * crosses a multiple of `every`. The updated running record is emitted on
+    * EVERY micro-batch the user appears in — not only on milestone batches —
+    * so the latest emitted record always carries the user's total count
+    * regardless of how the source splits into micro-batches (milestone-only
+    * emission understated `n_events` whenever a user's trailing events
+    * landed in a batch that crossed no milestone; a consumer wanting
+    * milestone rows alone filters on `n_milestones` growth). State = one
+    * (count, milestones) pair per user. Pass `ProcessingTimeTimeout` +
+    * `inactivityTimeout` in production to evict idle users and keep the map
+    * bounded (NOTE: with a timeout configured the engine schedules
+    * continuous timeout-check micro-batches, so tests that wait for idleness
+    * must use the NoTimeout default). */
   def runningUserStats(spark: SparkSession, events: DataFrame,
       every: Long = 10L,
       timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout,
@@ -248,13 +255,16 @@ object Streaming {
             state.remove()
             Iterator.empty
           } else {
-            val (n0, m0) = state.getOption.getOrElse((0L, 0L))
+            val (n0, _) = state.getOption.getOrElse((0L, 0L))
             val n1 = n0 + rows.size
             val m1 = n1 / every
             state.update((n1, m1))
             if (timeoutConf == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(inactivityTimeout)
-            if (m1 > m0) Iterator(UserRunning(user, n1, m1)) else Iterator.empty
+            // emit whenever this batch carried rows for the user: the
+            // latest record then always holds the running total, whatever
+            // the micro-batch split (see scaladoc)
+            if (n1 > n0) Iterator(UserRunning(user, n1, m1)) else Iterator.empty
           }
       }
   }
