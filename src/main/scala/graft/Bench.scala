@@ -66,6 +66,11 @@ object Bench {
       // a failed query reports -1, NOT its elapsed time — a regression must
       // show up as broken, never as "fast"
       val times = (1 to reps).map { _ =>
+        // drop persisted data between reps: operators that persist an
+        // intermediate (minhashLsh's token projection) would otherwise hand
+        // reps 2+ a warm cache and the median would report a number no
+        // cold run can reproduce
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
