@@ -50,11 +50,23 @@ object SparkEntry {
         .orderBy("id")),
     "p5_date_normalize" -> ((s, d) => Parity.dateNormalize(Tables.events(s, d))),
     // ---- star-schema ETL + OLAP (LoadStarDB / Mondrian, SURVEY §2.3-A5 §3.3)
+    // default path = distributed-rank dictionary (Parity.dictionaryAuto,
+    // conf default true: no one-task merge in the plan); the *_onetask
+    // variants pin the bounded-dim coalesce(1) merge — both paths oracled
+    // against the SAME SQL, so the gate proves them row-identical
     "star_dim_category" -> ((s, d) =>
       Star.dimCategory(Tables.orders(s, d)).orderBy("category_id")),
     "star_dim_district" -> ((s, d) =>
       Star.dimDistrict(Tables.nation(s, d)).orderBy("district_id")),
     "star_dim_time" -> ((s, d) => Star.dimTime(Tables.orders(s, d))),
+    "star_dim_category_onetask" -> ((s, d) =>
+      Star.dimCategory(Tables.orders(s, d), scalable = Some(false))
+        .orderBy("category_id")),
+    "star_dim_district_onetask" -> ((s, d) =>
+      Star.dimDistrict(Tables.nation(s, d), scalable = Some(false))
+        .orderBy("district_id")),
+    "star_dim_time_onetask" -> ((s, d) =>
+      Star.dimTime(Tables.orders(s, d), scalable = Some(false))),
     "star_fact" -> ((s, d) =>
       Star.fact(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "a5_sum_by_category" -> ((s, d) =>
@@ -284,6 +296,7 @@ object SparkEntry {
     // STRUCTURALLY (magic + chunk walk + CRC verify) — no codec stub
     "mm_png_headers" -> ((s, d) => Multimodal.pngHeaders(s, Tables.documents(s, d))),
     "mm_wav_headers" -> ((s, d) => Multimodal.wavHeaders(s, Tables.documents(s, d))),
+    "mm_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, Tables.documents(s, d))),
     // ---- as-of (temporal) joins (SURVEY §2.4 extension)
     "asof_purchase_last_view" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -515,6 +528,23 @@ object SparkEntry {
         |FROM (SELECT DISTINCT n_name AS name FROM nation WHERE n_name IS NOT NULL)
         |ORDER BY district_id""".stripMargin,
     "star_dim_time" ->
+      s"""WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+         |            WHERE o_orderdate IS NOT NULL)
+         |SELECT CAST(row_number() OVER (ORDER BY d) AS INT) AS time_id, d,
+         |  CAST(year(d) AS INT) AS year, CAST(month(d) AS INT) AS month,
+         |  ${wom("d")} AS week, CAST(dayofmonth(d) AS INT) AS day
+         |FROM dd ORDER BY time_id""".stripMargin,
+    // the *_onetask variants pin the coalesce(1) dictionary path; the SQL
+    // is identical because the two builds must be row-identical
+    "star_dim_category_onetask" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS category_id, name
+        |FROM (SELECT DISTINCT o_orderpriority AS name FROM orders WHERE o_orderpriority IS NOT NULL)
+        |ORDER BY category_id""".stripMargin,
+    "star_dim_district_onetask" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS district_id, name
+        |FROM (SELECT DISTINCT n_name AS name FROM nation WHERE n_name IS NOT NULL)
+        |ORDER BY district_id""".stripMargin,
+    "star_dim_time_onetask" ->
       s"""WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
          |            WHERE o_orderdate IS NOT NULL)
          |SELECT CAST(row_number() OVER (ORDER BY d) AS INT) AS time_id, d,
@@ -2217,6 +2247,25 @@ object SparkEntry {
         |  16 AS bits_per_sample,
         |  CAST(100 + (doc_id * 37) % 900 AS INT) AS n_samples
         |FROM documents WHERE doc_id % 2 = 1 ORDER BY media_id""".stripMargin,
+    // REAL pixel decode: the engine inflates IDAT and reconstructs the
+    // PNG filters; the oracle predicts the exact channel sums from the
+    // planted-pixel formula — a hash match proves the container → zlib →
+    // filter-reconstruction → pixel path end to end
+    "mm_pixel_stats" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1 + (doc_id // 2) % 4 AS INT) AS width,
+        |    CAST(1 + ((doc_id // 2) * 3) % 4 AS INT) AS height
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT d.doc_id, d.width, d.height, gx.x, gy.y
+        |  FROM dims d, generate_series(0, 3) gx(x), generate_series(0, 3) gy(y)
+        |  WHERE gx.x < d.width AND gy.y < d.height)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(width * height AS INT) AS n_pixels,
+        |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13 + 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13 + 10) % 256) AS BIGINT) AS sum_b,
+        |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13 + 15) % 256) AS BIGINT) AS sum_a
+        |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,

@@ -221,6 +221,181 @@ object Multimodal {
     WavHeader(id, b.length, rate, ch, bits, dataSize / (ch * bits / 8))
   }
 
+  // ---- real pixel decode: IDAT inflate + filter reconstruction ------------
+  //
+  // The one step decodeStub could not do honestly without media libraries is
+  // done here with the JDK alone: PNG's pixel payload is zlib-deflated
+  // scanlines behind per-row filters — java.util.zip.{Deflater, Inflater}
+  // plus ~40 lines of the spec'd filter math (PNG spec §4.5.4, filters
+  // None/Sub/Up/Average/Paeth) decode it exactly. Pixels are planted by a
+  // deterministic integer formula, so the DuckDB oracle predicts the exact
+  // channel sums WITHOUT running a codec — any error in deflate framing,
+  // chunk CRCs, or filter reconstruction breaks the hash match.
+
+  /** Planted channel value for pixel (x, y) channel c of image `id` —
+    * integer math both engines reproduce (mirrored in the mm_pixel_stats
+    * oracle SQL). */
+  private[graft] def plantedPixel(id: Long, x: Int, y: Int, c: Int): Int =
+    (((id + 1) * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+  /** Planted dims for the pixel fixtures: 1..4 on each axis, cycling with
+    * doc_id so all filter/width edge cases (incl. 1-px rows where the
+    * `left` predecessor is always 0) occur in the corpus. */
+  private[graft] def plantedDims(id: Long): (Int, Int) = {
+    val j = id / 2
+    (1 + (j % 4).toInt, 1 + (j * 3 % 4).toInt)
+  }
+
+  /** A COMPLETE PNG with real pixels: RGBA8, one IDAT holding the
+    * zlib-deflated scanlines, each scanline filtered with type y % 5 — so
+    * every decode exercises all five PNG filters, not just None. */
+  private[graft] def pngBytesWithPixels(id: Long, width: Int, height: Int): Array[Byte] = {
+    val bpp = 4
+    val stride = width * bpp
+    val raw = Array.tabulate(height, stride)((y, i) =>
+      plantedPixel(id, i / bpp, y, i % bpp).toByte)
+    val filtered = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until height) {
+      val ft = y % 5
+      filtered.write(ft)
+      for (i <- 0 until stride) {
+        val cur = raw(y)(i) & 0xff
+        val a = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
+        val b = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        filtered.write((cur - pred) & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered.toByteArray)
+    deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val t = typ.getBytes("US-ASCII")
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** PNG spec §4.5.4 Paeth predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  case class PixelStats(media_id: Long, width: Int, height: Int,
+      n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long)
+
+  /** REAL pixel decode: chunk walk (CRC-verified), IDAT concatenation,
+    * zlib inflate, per-scanline filter reconstruction — then exact integer
+    * channel sums over the reconstructed pixels. RGBA8 non-interlaced only
+    * (what the fixtures are — the honest JDK-only envelope; depth/color
+    * combinations beyond it fail loudly rather than mis-decode). */
+  private[graft] def decodePixelStats(id: Long, bytes: Array[Byte]): PixelStats = {
+    require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      s"media $id: not a PNG (bad signature)")
+    var off = 8
+    var width, height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off < bytes.length) {
+      val len = readBe32(bytes, off)
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(bytes, off + 8 + len),
+        s"media $id: CRC mismatch in $typ")
+      if (typ == "IHDR") {
+        width = readBe32(bytes, off + 8)
+        height = readBe32(bytes, off + 12)
+        require(bytes(off + 16) == 8 && bytes(off + 17) == 6
+            && bytes(off + 20) == 0,
+          s"media $id: decoder supports RGBA8 non-interlaced only")
+      } else if (typ == "IDAT") idat.write(bytes, off + 8, len)
+      off += 12 + len
+    }
+    require(width > 0 && idat.size() > 0, s"media $id: missing IHDR/IDAT")
+    val bpp = 4
+    val stride = width * bpp
+    val expected = height * (1 + stride)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val lines = new Array[Byte](expected)
+    var got = 0
+    while (!inflater.finished() && got < expected)
+      got += inflater.inflate(lines, got, expected - got)
+    inflater.end()
+    require(got == expected,
+      s"media $id: IDAT inflated to $got bytes, expected $expected")
+    // filter reconstruction, in place per scanline
+    val out = Array.ofDim[Int](height, stride)
+    for (y <- 0 until height) {
+      val ft = lines(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"media $id: unknown filter type $ft on row $y")
+      for (i <- 0 until stride) {
+        val x = lines(y * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= bpp) out(y)(i - bpp) else 0
+        val b = if (y > 0) out(y - 1)(i) else 0
+        val c = if (y > 0 && i >= bpp) out(y - 1)(i - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => paeth(a, b, c)
+        }
+        out(y)(i) = (x + pred) & 0xff
+      }
+    }
+    var sr, sg, sb, sa = 0L
+    for (y <- 0 until height; px <- 0 until width) {
+      sr += out(y)(px * bpp)
+      sg += out(y)(px * bpp + 1)
+      sb += out(y)(px * bpp + 2)
+      sa += out(y)(px * bpp + 3)
+    }
+    PixelStats(id, width, height, width * height, sr, sg, sb, sa)
+  }
+
+  /** Even-doc_id documents as COMPLETE pixel-bearing PNGs (planted dims and
+    * planted pixel values — tiny 1×1..4×4 images, the honest scope of a
+    * codec-less container). */
+  def pngPixelBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h) = plantedDims(id)
+        (id, pngBytesWithPixels(id, w, h))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** True pixel statistics from a REAL decode (inflate + filter math) —
+    * the oracle predicts the sums from the planted formula, so a hash
+    * match proves the whole container → deflate → filter → pixel path. */
+  def pixelStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodePixelStats(id, payload) })
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Even-doc_id documents as real PNG blobs with planted dimensions
     * (the deterministic stand-in for an actual image corpus). */
   def pngBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {

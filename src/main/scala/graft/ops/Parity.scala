@@ -137,6 +137,27 @@ object Parity {
         Seq.empty, Seq(col(nameName)))
       .select(col("rank").cast("int").as(idName), col(nameName))
 
+  /** Session conf key selecting the dictionary build for operators that
+    * don't pin one: `true` (the default) → [[dictionaryScalable]]'s
+    * distributed rank, `false` → [[dictionary]]'s one-task merge. */
+  val ScalableDictionariesConf = "spark.graft.scalableDictionaries"
+
+  /** [[dictionary]] / [[dictionaryScalable]] dispatch: an explicit
+    * `scalable` wins; otherwise [[ScalableDictionariesConf]] decides
+    * (default TRUE — the exposed dictionary builds should run the path
+    * that survives a high-cardinality column, and for bounded dims the
+    * extra range exchange costs ~0.2 s, not correctness). Both paths are
+    * row-identical (spec-asserted and both oracled); plan-internal callers
+    * that broadcast a provably tiny dim pin `Some(false)` for the cheaper
+    * merge task. */
+  def dictionaryAuto(df: DataFrame, column: String, idName: String,
+      nameName: String, scalable: Option[Boolean] = None): DataFrame = {
+    val useScalable = scalable.getOrElse(
+      df.sparkSession.conf.get(ScalableDictionariesConf, "true").toBoolean)
+    if (useScalable) dictionaryScalable(df, column, idName, nameName)
+    else dictionary(df, column, idName, nameName)
+  }
+
   /** P5 (`MapReduceJobBase.getKeyDate`/`formatKey`): normalize a timestamp to
     * the reference's `yyyy/MM/dd` sort-stable string key. */
   def dateNormalize(events: DataFrame): DataFrame =

@@ -28,13 +28,19 @@ object Star {
       .join(broadcast(nation.select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
 
-  /** Category dimension: 1-based sorted-rank ids (LoadStarDB.java:186-195). */
-  def dimCategory(orders: DataFrame): DataFrame =
-    Parity.dictionary(orders, "o_orderpriority", "category_id", "name")
+  /** Category dimension: 1-based sorted-rank ids (LoadStarDB.java:186-195).
+    * Dictionary build dispatches on [[Parity.ScalableDictionariesConf]]
+    * (default: the distributed-rank path — no one-task merge in the plan);
+    * pass `scalable = Some(false)` to pin the bounded-dim merge. */
+  def dimCategory(orders: DataFrame,
+      scalable: Option[Boolean] = None): DataFrame =
+    Parity.dictionaryAuto(orders, "o_orderpriority", "category_id", "name",
+      scalable)
 
   /** District dimension over nation names. */
-  def dimDistrict(nation: DataFrame): DataFrame =
-    Parity.dictionary(nation, "n_name", "district_id", "name")
+  def dimDistrict(nation: DataFrame,
+      scalable: Option[Boolean] = None): DataFrame =
+    Parity.dictionaryAuto(nation, "n_name", "district_id", "name", scalable)
 
   /** Time dimension: distinct order dates decomposed to
     * (year, month, week-of-month, day) — the `timeperiod` table
@@ -43,13 +49,14 @@ object Star {
     * deterministic, documented delta (SURVEY.md §3.3). Months are 1-based
     * (documented delta from the reference's raw Calendar.MONTH persistence).
     */
-  def dimTime(orders: DataFrame): DataFrame = {
+  def dimTime(orders: DataFrame, scalable: Option[Boolean] = None): DataFrame = {
     // native codegen week_of_month (graft.plans.WeekOfMonth) — proven equal
     // to the column formula in ExpressionsSpec, and this keeps the custom
     // expression on the oracle-gated path
     graft.plans.GraftExtensions.ensureRegistered(orders.sparkSession)
-    Parity.dictionary(
-        orders.select(to_date(col("o_orderdate")).as("d")), "d", "time_id", "d")
+    Parity.dictionaryAuto(
+        orders.select(to_date(col("o_orderdate")).as("d")), "d", "time_id", "d",
+        scalable)
       .select(
         col("time_id"), col("d"),
         year(col("d")).as("year"),
@@ -89,8 +96,12 @@ object Star {
         col("o_orderpriority").as("category"),
         col("n_name").as("district"))
     val agg = src.groupBy("d", "category", "district").agg(count(lit(1)).as("crimes"))
-    val catDict = dimCategory(orders)
-    val distDict = dimDistrict(nation)
+    // plan-internal broadcast dims pinned to the one-task merge: these are
+    // bounded by construction (5 priorities / 25 nations / ~2.4k dates) and
+    // the distributed-rank path would add a range exchange + offset pass
+    // per dictionary for the same 5-row broadcast
+    val catDict = dimCategory(orders, scalable = Some(false))
+    val distDict = dimDistrict(nation, scalable = Some(false))
     val timeDict = Parity.dictionary(
       orders.select(to_date(col("o_orderdate")).as("d")), "d", "time_id", "td")
     val withIds = agg
@@ -121,7 +132,7 @@ object Star {
   def sumByCategory(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(Relational.inYear(col("o_orderdate"), yearSlice))
-    val catDict = dimCategory(ordersY)
+    val catDict = dimCategory(ordersY, scalable = Some(false)) // 5-row broadcast dim
     ordersY.select(col("o_orderpriority").as("name"))
       .groupBy("name")
       .agg(count(lit(1)).as("crimes"))
@@ -136,7 +147,7 @@ object Star {
   def sumByDistrict(orders: DataFrame, customer: DataFrame, nation: DataFrame,
       yearSlice: Int): DataFrame = {
     val ordersY = orders.where(Relational.inYear(col("o_orderdate"), yearSlice))
-    val distDict = dimDistrict(nation)
+    val distDict = dimDistrict(nation, scalable = Some(false)) // 25-row broadcast dim
     ordersWithDistrict(ordersY, customer, nation)
       .select(col("n_name").as("name"))
       .groupBy("name")

@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+/** Round-5 specs: real PNG pixel decode (IDAT inflate + filter
+  * reconstruction), RIFF pad-byte walking, and PQ loud-failure guards. */
+class Round5Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // ---- Multimodal.decodePixelStats -----------------------------------------
+
+  test("pixel decode: every 1..4 x 1..4 image round-trips through deflate + all five filters") {
+    // heights >= 5 would be needed to hit filter type 4 via the y % 5
+    // cycle alone, so ALSO build a tall image exercising rows 0..9
+    for (w <- 1 to 4; h <- (1 to 4) :+ 10) {
+      val id = (w * 100 + h).toLong
+      val bytes = Multimodal.pngBytesWithPixels(id, w, h)
+      val got = Multimodal.decodePixelStats(id, bytes)
+      var sr, sg, sb, sa = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += Multimodal.plantedPixel(id, x, y, 0)
+        sg += Multimodal.plantedPixel(id, x, y, 1)
+        sb += Multimodal.plantedPixel(id, x, y, 2)
+        sa += Multimodal.plantedPixel(id, x, y, 3)
+      }
+      assert(got == Multimodal.PixelStats(id, w, h, w * h, sr, sg, sb, sa),
+        s"decode mismatch for ${w}x$h")
+    }
+  }
+
+  test("pixel decode: corrupted IDAT byte is rejected by the CRC walk, not mis-decoded") {
+    val bytes = Multimodal.pngBytesWithPixels(7L, 3, 3)
+    // flip one byte inside the IDAT payload (after sig+IHDR = 8+25, skip
+    // the 8-byte chunk header)
+    val corrupted = bytes.clone()
+    corrupted(8 + 25 + 8 + 2) = (corrupted(8 + 25 + 8 + 2) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodePixelStats(7L, corrupted))
+    assert(e.getMessage.contains("CRC mismatch"))
+  }
+
+  test("pixel decode: non-RGBA8 color declarations fail loudly (honest decoder envelope)") {
+    // grayscale (color type 0) IHDR: the decoder must refuse, not decode
+    // RGBA math over grayscale bytes
+    val rgba = Multimodal.pngBytesWithPixels(1L, 2, 2)
+    val gray = rgba.clone()
+    gray(8 + 8 + 9) = 0 // IHDR color-type byte: 6 (RGBA) -> 0 (gray)
+    // fix the IHDR CRC so the failure is the color check, not the CRC walk
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray, 8 + 4, 4 + 13)
+    val v = crc.getValue.toInt
+    gray(8 + 8 + 13) = ((v >> 24) & 0xff).toByte
+    gray(8 + 8 + 14) = ((v >> 16) & 0xff).toByte
+    gray(8 + 8 + 15) = ((v >> 8) & 0xff).toByte
+    gray(8 + 8 + 16) = (v & 0xff).toByte
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodePixelStats(1L, gray))
+    assert(e.getMessage.contains("RGBA8"))
+  }
+
+  // ---- Multimodal.parseWav: RIFF pad byte + degenerate fmt ------------------
+
+  test("parseWav: odd-length chunk followed by its pad byte stays aligned") {
+    // hand-build RIFF/WAVE with a 3-byte junk chunk (padded to 4) BEFORE
+    // fmt/data: a walker that ignores the pad desyncs and misses them
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val junk = "junk".getBytes("US-ASCII") ++ le32(3) ++
+      Array[Byte](1, 2, 3, 0) // 3 data bytes + 1 pad
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(2) ++ le32(16000) ++ le32(16000 * 2 * 2) ++
+      le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(40) ++ new Array[Byte](40)
+    val body = "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val h = Multimodal.parseWav(1L, wav)
+    assert(h.sample_rate == 16000 && h.channels == 2
+      && h.bits_per_sample == 16 && h.n_samples == 10)
+  }
+
+  test("parseWav: zero-channel fmt chunk fails loudly, not ArithmeticException") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(0) ++ le32(8000) ++ le32(0) ++ le16(0) ++ le16(0)
+    val data = "data".getBytes("US-ASCII") ++ le32(8) ++ new Array[Byte](8)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val e = intercept[IllegalArgumentException](Multimodal.parseWav(2L, wav))
+    assert(e.getMessage.contains("channels"))
+  }
+
+  // ---- PQ guards ------------------------------------------------------------
+
+  test("pq_codes: ragged embedding row fails loudly instead of mis-ranking") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // 8-long codebook rows (m=2, subDim=4, nc=1); one 6-long data row
+    val df = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)),
+      (1L, Seq(1L, 2L, 3L, 4L, 5L, 6L))).toDF("vec_id", "qv")
+    val cb = Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L))
+    val e = intercept[Exception] {
+      df.select(call_function("pq_codes", col("qv"), lit(4), lit(1),
+        typedlit(cb))).collect()
+    }
+    // the IllegalArgumentException may arrive wrapped (task failure → Spark
+    // exception): search the cause chain for the loud pq_codes message
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("pq_codes")), s"got: $messages")
+  }
+
+  test("pq_adc: scores equal driver-side table lookups on the fused path") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // 2 queries x 2 subspaces x 3 centroids
+    val tables = Seq(
+      Seq(Seq(10L, 20L, 30L), Seq(1L, 2L, 3L)),
+      Seq(Seq(100L, 200L, 300L), Seq(7L, 8L, 9L)))
+    val df = Seq((Seq(0, 2), 0), (Seq(1, 1), 1)).toDF("codes", "q")
+    val got = df.select(call_function("pq_adc", col("codes"),
+      col("q"), typedlit(tables)).as("adc")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L + 3L, 200L + 8L))
+  }
+}
