@@ -51,10 +51,15 @@ object Bench {
     } catch { case _: Throwable => }
     // headline set by default (the driver contract's "headline queries");
     // SPARK_GRAFT_BENCH_ALL=1 times the whole inventory
-    val names =
+    val names0 =
       if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries.keys.toSeq.sorted
       else SparkEntry.headlineQueries
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None => names0
+    }
     // median of `reps` timed runs per query (default 3): a single run is
     // hostage to machine-load noise — the r04 driver recording doubled two
     // queries that the builder's run minutes earlier timed at half, purely

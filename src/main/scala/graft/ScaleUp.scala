@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up replicator for the TESTDATA layout: writes
+  * `copies`× the source scale factor by unioning key-shifted copies of each
+  * table, so the full inventory can be benched ABOVE the shipped sf0.1
+  * without regenerating data (`ScaleUp <srcDir> <outDir> <copies>`).
+  *
+  * Replication rules keep the scaling honest:
+  *   - fact-like tables (customer/supplier/part/orders/lineitem/events/
+  *     documents/embeddings) shift every key column by `i × span` (span =
+  *     max key + 1), preserving referential joins across the copies;
+  *   - dimension tables (region, nation) are copied ONCE — dims stay
+  *     bounded while facts grow, which is what a larger scale factor means;
+  *   - document TEXT is salted per replica (each token suffixed `_i`):
+  *     verbatim copies would give every doc `copies−1` exact near-dups and
+  *     near-dup pair counts would scale quadratically with the replication
+  *     factor — an artifact of copying, not of scale. Salting keeps each
+  *     replica's internal near-dup structure isomorphic to the original
+  *     and makes cross-replica shingle matches impossible, so dedup work
+  *     scales linearly like an organically larger corpus.
+  *
+  * Each table lands as a single `name.parquet` FILE (written then moved),
+  * matching the TESTDATA layout the loaders and the streaming gates expect.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <copies>")
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    require(copies >= 1, s"copies must be >= 1, got $copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // events.ts is TIMESTAMP(NANOS): read it RAW as long (nanosAsLong) and
+    // write it back as INT64, which the loaders' `ts div 1000` handles
+    // identically — round-tripping through TimestampType would silently
+    // change the stored unit
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Files.createDirectories(Paths.get(out))
+
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    /** Union `copies` key-shifted replicas; `salt` optionally rewrites a
+      * column per replica index. */
+    def replicate(df: DataFrame, keys: Map[String, Long],
+        salt: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { i =>
+        val shifted = keys.foldLeft(df) { case (d, (k, s)) =>
+          d.withColumn(k, col(k) + lit(i * s))
+        }
+        salt(shifted, i)
+      }.reduce(_ unionByName _)
+
+    def writeOne(df: DataFrame, name: String): Unit = {
+      val tmp = s"$out/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      require(part.length == 1, s"$name: expected one part file, got ${part.length}")
+      Files.move(Paths.get(part.head), Paths.get(s"$out/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      // clean the scratch dir (part file already moved out)
+      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      println(s"[scaleup] $name -> $out/$name.parquet")
+    }
+
+    def read(name: String) = spark.read.parquet(Tables.path(src, name))
+
+    // dims: bounded, copied once
+    for (dim <- Seq("region", "nation")) writeOne(read(dim), dim)
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val custSpan = span(customer, "c_custkey")
+    val suppSpan = span(supplier, "s_suppkey")
+    val partSpan = span(part, "p_partkey")
+    val orderSpan = span(orders, "o_orderkey")
+
+    writeOne(replicate(customer, Map("c_custkey" -> custSpan)), "customer")
+    writeOne(replicate(supplier, Map("s_suppkey" -> suppSpan)), "supplier")
+    writeOne(replicate(part, Map("p_partkey" -> partSpan)), "part")
+    writeOne(replicate(orders,
+      Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
+    writeOne(replicate(read("lineitem"),
+      Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
+        "l_suppkey" -> suppSpan)), "lineitem")
+
+    val events = read("events")
+    writeOne(replicate(events,
+      Map("event_id" -> span(events, "event_id"),
+        "user_id" -> span(events, "user_id"))), "events")
+
+    val documents = read("documents")
+    writeOne(replicate(documents,
+      Map("doc_id" -> span(documents, "doc_id")),
+      salt = (d, i) =>
+        if (i == 0) d
+        else d.withColumn("text",
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(t, lit(s"_$i")))))), "documents")
+
+    val embeddings = read("embeddings")
+    writeOne(replicate(embeddings,
+      Map("vec_id" -> span(embeddings, "vec_id"))), "embeddings")
+
+    spark.stop()
+  }
+}
