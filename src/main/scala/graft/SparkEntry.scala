@@ -376,6 +376,8 @@ object SparkEntry {
       Intervals.sessionIncidentOverlapAuto(Tables.events(s, d))),
     "diag_hot_keys" -> ((s, d) =>
       Profile.hotKeys(Tables.events(s, d), "user_id", k = 5)),
+    "diag_heavy_hitters" -> ((s, d) =>
+      Profile.heavyHitters(Tables.events(s, d), "user_id")),
     // ---- warehouse ETL beyond LoadStarDB: SCD2 intervals, CDC merge
     "etl_scd2_user_state" -> ((s, d) =>
       Star.scd2(Tables.events(s, d), "user_id", "ts", "event_type", "event_id")),
@@ -2027,6 +2029,14 @@ object SparkEntry {
         |t AS (SELECT count(*) AS total FROM events)
         |SELECT user_id, n, round(CAST(n AS DOUBLE) / total, 6) AS share
         |FROM c, t ORDER BY n DESC, user_id LIMIT 5""".stripMargin,
+    // Misra-Gries candidates + exact verify emit EXACTLY the keys in the
+    // n*capacity > total guarantee zone — the oracle is the plain
+    // aggregate with the same integer threshold
+    "diag_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id, n FROM c, t WHERE n * 2048 > total
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     // leading digit from the decimal(18,2) string head; Benford expecteds
     // as integer micro-unit literals (round(log10(1+1/d)*1e6))
     "profile_benford_price" ->

@@ -61,6 +61,74 @@ object Profile {
       .limit(k)
   }
 
+  /** Heavy hitters via Misra–Gries candidates + exact verification — the
+    * [[hotKeys]] variant for keys whose CARDINALITY is itself at data scale
+    * (URLs, user ids, fingerprints): `hotKeys`' groupBy shuffles one record
+    * per distinct key, which at 100 TB can be most of the input; this never
+    * shuffles more than `capacity` rows per input partition regardless of
+    * key cardinality.
+    *
+    * Pass 1 runs a Misra–Gries summary (Misra & Gries 1982, the
+    * deterministic frequent-items sketch) of size `capacity` per partition.
+    * Guarantee: any key with GLOBAL frequency > n/capacity must survive in
+    * at least one partition (if f = Σf_p > Σn_p/capacity then some
+    * f_p > n_p/capacity), so the union of partition survivors is a
+    * candidate superset of the answer. Pass 2 computes EXACT counts for
+    * candidates only (broadcast semi-join; the groupBy shuffle is bounded
+    * by the candidate count ≤ capacity × partitions) and keeps keys in the
+    * guaranteed zone — `n · capacity > n_total`, integer arithmetic both
+    * engines reproduce exactly. Output is exact and deterministic (ties
+    * break on the key), so the DuckDB oracle is a plain GROUP BY with the
+    * same threshold. */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int = 2048,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(capacity >= 1 && k >= 1, s"bad heavyHitters params: $capacity, $k")
+    val keyField = df.schema(keyCol)
+    val sumSchema = StructType(Seq(
+      StructField("key", keyField.dataType, nullable = true),
+      StructField("cnt", LongType, nullable = false)))
+    // pass 1: per-partition MG survivors, plus ONE null-key row carrying the
+    // partition's row count — the global total rides the same pass instead
+    // of a second scan
+    val summary = df.select(col(keyCol)).mapPartitions { it =>
+      val counts = new java.util.HashMap[Any, Long]()
+      var nRows = 0L
+      it.foreach { row =>
+        val key = row.get(0)
+        nRows += 1
+        val cur = counts.getOrDefault(key, 0L)
+        if (cur > 0L) counts.put(key, cur + 1)
+        else if (counts.size < capacity) counts.put(key, 1L)
+        else {
+          // decrement-all step: drop every counter by 1, evict zeros
+          val itEntries = counts.entrySet().iterator()
+          while (itEntries.hasNext) {
+            val e = itEntries.next()
+            if (e.getValue == 1L) itEntries.remove() else e.setValue(e.getValue - 1)
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      counts.forEach((key, c) => out += Row(key, c))
+      out += Row(null, nRows)
+      out.iterator
+    }(Encoders.row(sumSchema))
+    val totals = summary.where(col("key").isNull)
+      .agg(sum("cnt").as("n_total"))
+    val candidates = summary.where(col("key").isNotNull)
+      .select(col("key").as(keyCol)).distinct()
+    // pass 2: exact counts for the (metadata-sized) candidate set only
+    df.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .groupBy(keyCol).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .where(col("n") * capacity > col("n_total"))
+      .select(col(keyCol), col("n"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Benford first-digit census — the fabricated-data screen auditors run
     * on monetary columns (organic amounts follow log₁₀(1+1/d); uniform or
     * hand-entered numbers do not). Emits the observed count per leading

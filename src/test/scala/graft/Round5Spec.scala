@@ -116,6 +116,31 @@ class Round5Spec extends AnyFunSuite {
     assert(messages.exists(_.contains("pq_codes")), s"got: $messages")
   }
 
+  test("heavyHitters: MG candidates + exact verify find planted hot keys through the cap") {
+    import org.apache.spark.sql.functions._
+    // 10k rows, one key at 30%, one at 15%, the rest spread over 2000 cold
+    // keys — capacity 16 forces constant decrement-all eviction, so this
+    // exercises the sketch, not the counts.size < capacity fast path
+    val rows = (Seq.fill(3000)(777L) ++ Seq.fill(1500)(888L) ++
+      (0 until 5500).map(i => 1000L + i % 2000)).zipWithIndex
+    val df = rows.toDF("user_id", "ord").repartition(8)
+    val got = graft.ops.Profile.heavyHitters(df, "user_id", capacity = 16, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // guarantee zone: n * 16 > 10000 -> n > 625: exactly the two planted keys
+    assert(got == Seq((777L, 3000L), (888L, 1500L)), s"got $got")
+  }
+
+  test("heavyHitters: capacity >= cardinality degenerates to the exact answer") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 1000).map(i => i % 7).toDF("k")
+    val got = graft.ops.Profile.heavyHitters(df, "k", capacity = 64, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val expected = (0 until 7).map(k => k -> (if (k < 1000 % 7) 143L else 142L))
+      .filter { case (_, n) => n * 64 > 1000 }
+      .sortBy { case (k, n) => (-n, k) }
+    assert(got == expected, s"got $got")
+  }
+
   test("pq_adc: scores equal driver-side table lookups on the fused path") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.ensureRegistered(spark)
