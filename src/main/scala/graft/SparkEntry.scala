@@ -365,6 +365,12 @@ object SparkEntry {
       TextOps.repetitionStats(Tables.documents(s, d))),
     "text_vocab_coverage" -> ((s, d) =>
       TextOps.vocabCoverage(Tables.documents(s, d), vocabSize = 10)),
+    "text_token_rarity" -> ((s, d) =>
+      TextOps.tokenRarity(Tables.documents(s, d))),
+    "dedup_duplicate_spans" -> ((s, d) =>
+      Corpus.duplicateSpans(Tables.documents(s, d))),
+    "corpus_length_batches" -> ((s, d) =>
+      Corpus.lengthBatches(Tables.documents(s, d))),
     "profile_events" -> ((s, d) =>
       Profile.profile(Tables.events(s, d),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
@@ -2012,6 +2018,53 @@ object SparkEntry {
          |  CAST(coalesce(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab
          |FROM documents d LEFT JOIN cov c ON d.doc_id = c.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // rarity rank 1 = most frequent, ties on token; mean rank in integer
+    // micro-units via integer division; head/middle/tail = ntile(3) under
+    // the (mean, doc_id) total order — all integer math, both engines exact
+    "text_token_rarity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+         |r AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM c),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(rank) AS BIGINT) AS rank_sum
+         |  FROM t JOIN r USING (tok) GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_toks, rank_sum,
+         |    rank_sum * 1000000 // n_toks AS mean_rank_micro FROM s)
+         |SELECT doc_id, n_toks, rank_sum,
+         |  CAST(mean_rank_micro AS BIGINT) AS mean_rank_micro,
+         |  CAST(ntile(3) OVER (ORDER BY mean_rank_micro, doc_id) AS INT) AS bucket
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // exact-substring-dedup census: distinct 8-token spans per doc (short
+    // docs collapse to one whole-doc span, the shingles contract); a span
+    // is duplicated when its doc frequency >= 2
+    "dedup_duplicate_spans" ->
+      s"""WITH sp AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)]
+         |    END)) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |d AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+         |dup AS (SELECT doc_id, count(*) AS n_dup_spans
+         |        FROM sp JOIN d USING (span) GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_spans,
+         |  CAST(coalesce(dup.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
+         |FROM tot t LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // power-of-two length bands (explicit thresholds, no float log);
+    // batches of 8 docs cut in doc_id order within each band
+    "corpus_length_batches" ->
+      s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |    CASE WHEN n_tokens <= 16 THEN 0 WHEN n_tokens <= 32 THEN 1
+         |         WHEN n_tokens <= 64 THEN 2 WHEN n_tokens <= 128 THEN 3
+         |         WHEN n_tokens <= 256 THEN 4 ELSE 5 END AS band
+         |  FROM c)
+         |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(band AS INT) AS band,
+         |  CAST((row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) // 8
+         |    AS INT) AS batch_idx
+         |FROM b ORDER BY doc_id""".stripMargin,
     "profile_events" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column",

@@ -363,4 +363,63 @@ object Corpus {
       .select(col("rank").as("pos"), col("doc_id"))
       .orderBy("pos")
   }
+
+  /** Duplicate-span census — the decision input of exact substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): per document, how many of its distinct `spanTokens`-token
+    * spans also occur in at least one OTHER document. The full suffix-array
+    * construction the paper uses is a single-machine structure; the
+    * Spark-first equivalent is the shingle inverted index the near-dup
+    * family already builds — spans are exact token n-grams, a span is
+    * "duplicated" when its document frequency is ≥ 2, and the per-doc
+    * duplicated fraction (`n_dup_spans / n_spans`) is what a removal pass
+    * thresholds on. Documents shorter than `spanTokens` collapse to one
+    * whole-document span (the `shingles` contract), so exact full-document
+    * duplicates still count each other.
+    *
+    * Scale shape: distinct spans per doc map-side, one groupBy for span
+    * df, one semi-join back — shuffle volume is the span stream, the same
+    * bound as [[Dedup.sharedGramPairs]]' index. */
+  def duplicateSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val spans = documents.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), spanTokens))).as("span"))
+    val dup = spans.groupBy("span").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select("span")
+    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Length-bucketed batch assignment — the padding-efficiency discipline
+    * of sequence batching: documents are banded by token length (explicit
+    * power-of-two thresholds — no float log on the data path), and within
+    * each band, batches of `batchSize` documents are cut in stable doc_id
+    * order. Batching similar lengths together is what keeps a training
+    * step's padding waste bounded; the alternative (random batches) pads
+    * every sequence to the batch max.
+    *
+    * Scale shape: the within-band order comes from [[Rank.groupRanks]]'
+    * distributed two-pass — a band can hold a constant fraction of the
+    * corpus (most web docs are mid-length), exactly the case where a
+    * plain `Window.partitionBy(band)` funnels it through one reducer. */
+  def lengthBatches(documents: DataFrame, batchSize: Int = 8): DataFrame = {
+    val counted = documents.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"))
+    val banded = counted.withColumn("band",
+      when(col("n_tokens") <= 16, 0)
+        .when(col("n_tokens") <= 32, 1)
+        .when(col("n_tokens") <= 64, 2)
+        .when(col("n_tokens") <= 128, 3)
+        .when(col("n_tokens") <= 256, 4)
+        .otherwise(5))
+    Rank.groupRanks(banded, Seq("band"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("band"),
+        expr(s"(rank - 1) div $batchSize").cast("int").as("batch_idx"))
+      .orderBy("doc_id")
+  }
 }

@@ -312,6 +312,40 @@ object TextOps {
     * to every row as ONE broadcast array and scores each document with
     * per-row array math — the corpus is never exploded or shuffled for
     * scoring. Zero-token docs report (0, 0) rather than disappearing. */
+  /** Corpus-frequency rarity score + head/middle/tail bucketing — the
+    * frequency-based quality screen of the CCNet lineage (Wenzek et al.
+    * 2020 bucket documents by LM score into head/middle/tail; the
+    * log-probability is engine-variant float, so this uses the exact
+    * monotone proxy that predates it: corpus-frequency RANKS). Every token
+    * gets a deterministic rarity rank (1 = most frequent; ties break on
+    * the token), each document reports its token count and rank sum as
+    * exact integers, the mean rank in integer micro-units (`div`, exact in
+    * both engines), and documents land in terciles 1/2/3 (head = common
+    * vocabulary, tail = rare-token-heavy — the usual noise suspects).
+    *
+    * Scale shape: both ranking passes are [[Rank.groupRanks]]' distributed
+    * two-pass (no single-reducer window over the vocabulary OR the corpus);
+    * the token→rank join shuffles on the token like any frequency join.
+    * Zero-token documents have no tokens to rank and are absent, like
+    * [[docFrequency]]. */
+  def tokenRarity(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val ranked = Rank.groupRanks(counts, Seq.empty,
+        Seq(col("c").desc, col("tok")))
+      .select(col("tok"), col("rank"))
+    val scored = toks.join(ranked, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("rank").as("rank_sum"))
+      .withColumn("mean_rank_micro",
+        expr("rank_sum * 1000000 div n_toks"))
+    Rank.groupRanks(scored, Seq.empty,
+        Seq(col("mean_rank_micro"), col("doc_id")))
+      .withColumn("bucket", Rank.ntileOf(col("rank"), col("n"), 3))
+      .select("doc_id", "n_toks", "rank_sum", "mean_rank_micro", "bucket")
+      .orderBy("doc_id")
+  }
+
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 10): DataFrame = {
     val toks = tokens(col("text"))
     val vocab = documents

@@ -141,6 +141,49 @@ class Round5Spec extends AnyFunSuite {
     assert(got == expected, s"got $got")
   }
 
+  test("duplicateSpans: planted cross-doc span is counted; unique docs report zero") {
+    import org.apache.spark.sql.functions._
+    val shared = (1 to 8).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " tail one two three"),
+      (2L, "head words here " + shared),
+      (3L, "totally unrelated text with nine tokens minimum padding words")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.duplicateSpans(docs, spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1 and 2 share exactly the one 8-token span; doc 3 shares nothing
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L && got(3L)._2 == 0L, s"got $got")
+    // span totals: doc1 has 12 tokens -> 5 spans, doc2 11 -> 4, doc3 9 -> 2
+    assert(got(1L)._1 == 5L && got(2L)._1 == 4L && got(3L)._1 == 2L, s"got $got")
+  }
+
+  test("lengthBatches: bands split on the power-of-two thresholds, batches cut every N docs") {
+    import org.apache.spark.sql.functions._
+    // 20 docs of 10 tokens (band 0) + 3 docs of 100 tokens (band 3)
+    val docs = ((1 to 20).map(i => (i.toLong, Seq.fill(10)("w").mkString(" "))) ++
+      (21 to 23).map(i => (i.toLong, Seq.fill(100)("w").mkString(" ")))).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.lengthBatches(docs, batchSize = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val bands = got.map { case (id, band, _) => id -> band }.toMap
+    assert((1L to 20L).forall(bands(_) == 0) && (21L to 23L).forall(bands(_) == 3))
+    // band 0: docs 1-8 batch 0, 9-16 batch 1, 17-20 batch 2; band 3 all batch 0
+    val batches = got.map { case (id, _, b) => id -> b }.toMap
+    assert((1L to 8L).forall(batches(_) == 0) && (9L to 16L).forall(batches(_) == 1)
+      && (17L to 20L).forall(batches(_) == 2) && (21L to 23L).forall(batches(_) == 0))
+  }
+
+  test("tokenRarity: rare-token docs land in the tail bucket, common-token docs in the head") {
+    import org.apache.spark.sql.functions._
+    // "the" dominates the corpus; doc 3 is all hapaxes
+    val docs = Seq(
+      (1L, "the the the the the the"),
+      (2L, "the the the cat"),
+      (3L, "zyx wvu tsr qpo")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.tokenRarity(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got(1L) == 1 && got(3L) == 3, s"got $got")
+  }
+
   test("pq_adc: scores equal driver-side table lookups on the fused path") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.ensureRegistered(spark)
