@@ -297,6 +297,8 @@ object SparkEntry {
     "mm_png_headers" -> ((s, d) => Multimodal.pngHeaders(s, Tables.documents(s, d))),
     "mm_wav_headers" -> ((s, d) => Multimodal.wavHeaders(s, Tables.documents(s, d))),
     "mm_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, Tables.documents(s, d))),
+    "mm_ahash" -> ((s, d) => Multimodal.imageAHashes(s, Tables.documents(s, d))),
+    "mm_wav_stats" -> ((s, d) => Multimodal.wavSampleStats(s, Tables.documents(s, d))),
     // ---- as-of (temporal) joins (SURVEY §2.4 extension)
     "asof_purchase_last_view" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2329,6 +2331,42 @@ object SparkEntry {
         |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13 + 10) % 256) AS BIGINT) AS sum_b,
         |  CAST(sum(((doc_id + 1) * 31 + x * 7 + y * 13 + 15) % 256) AS BIGINT) AS sum_a
         |FROM px GROUP BY doc_id, width, height ORDER BY media_id""".stripMargin,
+    // aHash over the decoded pixels: nearest-neighbor 8x8 resample
+    // (integer index map), gray = r+g+b sum, bit set iff gray*64 > total —
+    // the oracle recomputes the exact 64 bits from the planted formula
+    "mm_ahash" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1 + (doc_id // 2) % 4 AS INT) AS w,
+        |    CAST(1 + ((doc_id // 2) * 3) % 4 AS INT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT d.doc_id, d.w, d.h, gy.y * 8 + gx.x AS i,
+        |      ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13) % 256
+        |    + ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13 + 5) % 256
+        |    + ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13 + 10) % 256
+        |    AS gray
+        |  FROM dims d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |t AS (SELECT doc_id, sum(gray) AS tot FROM g GROUP BY doc_id)
+        |SELECT g.doc_id AS media_id,
+        |  CAST(max(g.w) AS INT) AS width, CAST(max(g.h) AS INT) AS height,
+        |  CAST(sum(CASE WHEN g.gray * 64 > t.tot AND g.i >= 32
+        |    THEN 1::BIGINT << (g.i - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN g.gray * 64 > t.tot AND g.i < 32
+        |    THEN 1::BIGINT << g.i ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM g JOIN t USING (doc_id)
+        |GROUP BY g.doc_id ORDER BY media_id""".stripMargin,
+    // REAL PCM decode: 16-bit LE samples from the data chunk; the oracle
+    // replays the planted-sample formula for exact peak / L1 stats
+    "mm_wav_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT d.doc_id, d.n, gk.k,
+        |    ((d.doc_id + 1) * 31 + gk.k * 7) % 65536 - 32768 AS v
+        |  FROM d, generate_series(0, 319) gk(k) WHERE gk.k < d.n)
+        |SELECT doc_id AS media_id, n AS n_samples,
+        |  CAST(max(abs(v)) AS INT) AS peak_abs,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(min(CASE WHEN k = 0 THEN v END) AS INT) AS first_sample
+        |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,

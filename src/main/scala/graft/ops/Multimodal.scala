@@ -301,12 +301,10 @@ object Multimodal {
   case class PixelStats(media_id: Long, width: Int, height: Int,
       n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long, sum_a: Long)
 
-  /** REAL pixel decode: chunk walk (CRC-verified), IDAT concatenation,
-    * zlib inflate, per-scanline filter reconstruction — then exact integer
-    * channel sums over the reconstructed pixels. RGBA8 non-interlaced only
-    * (what the fixtures are — the honest JDK-only envelope; depth/color
-    * combinations beyond it fail loudly rather than mis-decode). */
-  private[graft] def decodePixelStats(id: Long, bytes: Array[Byte]): PixelStats = {
+  /** Decoded RGBA rows (height × width·4 ints 0..255) — the shared product
+    * of the real decode path, consumed by [[decodePixelStats]] and
+    * [[aHash64]]. */
+  private def decodePixels(id: Long, bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
     require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
       s"media $id: not a PNG (bad signature)")
     var off = 8
@@ -341,7 +339,6 @@ object Multimodal {
     inflater.end()
     require(got == expected,
       s"media $id: IDAT inflated to $got bytes, expected $expected")
-    // filter reconstruction, in place per scanline
     val out = Array.ofDim[Int](height, stride)
     for (y <- 0 until height) {
       val ft = lines(y * (1 + stride)) & 0xff
@@ -361,14 +358,68 @@ object Multimodal {
         out(y)(i) = (x + pred) & 0xff
       }
     }
+    (width, height, out)
+  }
+
+  /** REAL pixel decode: chunk walk (CRC-verified), IDAT concatenation,
+    * zlib inflate, per-scanline filter reconstruction — then exact integer
+    * channel sums over the reconstructed pixels. RGBA8 non-interlaced only
+    * (what the fixtures are — the honest JDK-only envelope; depth/color
+    * combinations beyond it fail loudly rather than mis-decode). */
+  private[graft] def decodePixelStats(id: Long, bytes: Array[Byte]): PixelStats = {
+    val (width, height, out) = decodePixels(id, bytes)
     var sr, sg, sb, sa = 0L
     for (y <- 0 until height; px <- 0 until width) {
-      sr += out(y)(px * bpp)
-      sg += out(y)(px * bpp + 1)
-      sb += out(y)(px * bpp + 2)
-      sa += out(y)(px * bpp + 3)
+      sr += out(y)(px * 4)
+      sg += out(y)(px * 4 + 1)
+      sb += out(y)(px * 4 + 2)
+      sa += out(y)(px * 4 + 3)
     }
     PixelStats(id, width, height, width * height, sr, sg, sb, sa)
+  }
+
+  case class AHash(media_id: Long, width: Int, height: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Average perceptual hash (the classic aHash image near-dup primitive)
+    * over REAL decoded pixels: nearest-neighbor resample to 8×8 (integer
+    * index map `src = dst·dim div 8` — no interpolation float path), gray
+    * as the r+g+b sum (division-free, scale-invariant for the compare),
+    * bit i set iff `gray_i · 64 > Σgray` (strict; ties → 0 — integer-exact
+    * in any engine). The 64 bits split into two non-negative 32-bit halves
+    * so the oracle never touches the sign bit. Near-dup candidates are then
+    * hamming-bucketed exactly like [[graft.ops.Dedup.simhashNearDup]]. */
+  private[graft] def aHash64(id: Long, bytes: Array[Byte]): AHash = {
+    val (width, height, px) = decodePixels(id, bytes)
+    val gray = new Array[Long](64)
+    var tot = 0L
+    for (yd <- 0 until 8; xd <- 0 until 8) {
+      val xs = xd * width / 8
+      val ys = yd * height / 8
+      val g = px(ys)(xs * 4).toLong + px(ys)(xs * 4 + 1) + px(ys)(xs * 4 + 2)
+      gray(yd * 8 + xd) = g
+      tot += g
+    }
+    var hi = 0L
+    var lo = 0L
+    for (i <- 0 until 64) {
+      if (gray(i) * 64 > tot) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+    }
+    AHash(id, width, height, hi, lo)
+  }
+
+  /** Perceptual-hash table over the pixel-bearing PNG corpus — the image
+    * half of multimodal dedup: decode (REAL), hash, and downstream hamming
+    * join, with the hash values oracled bit-for-bit from the planted-pixel
+    * formula. */
+  def imageAHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => aHash64(id, payload) })
+      .toDF()
+      .orderBy("media_id")
   }
 
   /** Even-doc_id documents as COMPLETE pixel-bearing PNGs (planted dims and
@@ -418,6 +469,96 @@ object Multimodal {
           100 + (id * 37 % 900).toInt))
       })
       .toDF("media_id", "payload")
+  }
+
+  // ---- real audio: planted PCM samples, decoded from the data chunk -------
+
+  /** Planted 16-bit sample k of medium `id` — integer math the oracle
+    * replays (mirrored in the mm_wav_stats SQL). */
+  private[graft] def plantedSample(id: Long, k: Int): Int =
+    ((((id + 1) * 31 + k * 7) % 65536) - 32768).toInt
+
+  /** A RIFF/WAVE with REAL PCM: mono 16-bit little-endian planted samples
+    * in the data chunk — the audio analog of [[pngBytesWithPixels]]. */
+  private[graft] def wavBytesWithSamples(id: Long, sampleRate: Int,
+      nSamples: Int): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    for (k <- 0 until nSamples) {
+      val s = plantedSample(id, k)
+      data(2 * k) = (s & 0xff).toByte
+      data(2 * k + 1) = ((s >> 8) & 0xff).toByte
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  case class WavStats(media_id: Long, n_samples: Int, peak_abs: Int,
+      sum_abs: Long, first_sample: Int)
+
+  /** REAL sample decode: RIFF walk (with pad bytes), then 16-bit LE PCM
+    * from the data chunk — exact integer amplitude statistics (peak and
+    * L1 energy), the pre-filter an audio pipeline runs before paying for
+    * resample/features. Mono 16-bit only (the fixtures; anything else
+    * fails loudly). */
+  private[graft] def decodeWavStats(id: Long, b: Array[Byte]): WavStats = {
+    require(b.length >= 12
+        && new String(b, 0, 4, "US-ASCII") == "RIFF"
+        && new String(b, 8, 4, "US-ASCII") == "WAVE",
+      s"media $id: not a RIFF/WAVE container")
+    var off = 12
+    var ch, bits, dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val typ = new String(b, off, 4, "US-ASCII")
+      val len = readLe32(b, off + 4)
+      if (typ == "fmt ") {
+        ch = readLe16(b, off + 10)
+        bits = readLe16(b, off + 22)
+      } else if (typ == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1)
+    }
+    require(dataOff >= 0, s"media $id: missing data chunk")
+    require(ch == 1 && bits == 16,
+      s"media $id: sample decoder supports mono 16-bit only, got $ch ch x $bits")
+    val n = dataLen / 2
+    var peak = 0
+    var sumAbs = 0L
+    var first = 0
+    for (k <- 0 until n) {
+      // int16 LE, sign-extended
+      val v = ((b(dataOff + 2 * k) & 0xff) |
+        (b(dataOff + 2 * k + 1).toInt << 8)).toShort.toInt
+      if (k == 0) first = v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      sumAbs += a
+    }
+    WavStats(id, n, peak, sumAbs, first)
+  }
+
+  /** Odd-doc_id documents as REAL-PCM WAV blobs (planted samples). */
+  def wavPcmBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).where(col("doc_id") % 2 === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        (id, wavBytesWithSamples(id, 16000, 64 + (id % 256).toInt))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** True amplitude statistics from a REAL PCM decode — the oracle predicts
+    * peak/L1 from the planted-sample formula, proving the container →
+    * little-endian-int16 → amplitude path end to end. */
+  def wavSampleStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    wavPcmBlobs(spark, documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWavStats(id, payload) })
+      .toDF()
+      .orderBy("media_id")
   }
 
   /** Structural header decode over the PNG blob table — same partition-

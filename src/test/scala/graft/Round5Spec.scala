@@ -184,6 +184,58 @@ class Round5Spec extends AnyFunSuite {
     assert(got(1L) == 1 && got(3L) == 3, s"got $got")
   }
 
+  // ---- Multimodal.aHash64 ---------------------------------------------------
+
+  test("aHash64: bits match a direct recomputation from the planted pixels") {
+    for (w <- 1 to 4; h <- 1 to 4) {
+      val id = (w * 10 + h).toLong
+      val got = Multimodal.aHash64(id, Multimodal.pngBytesWithPixels(id, w, h))
+      // recompute from the planted formula (what the DuckDB oracle does)
+      val gray = Array.tabulate(64) { i =>
+        val xs = (i % 8) * w / 8; val ys = (i / 8) * h / 8
+        (0 to 2).map(c => Multimodal.plantedPixel(id, xs, ys, c).toLong).sum
+      }
+      val tot = gray.sum
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if gray(i) * 64 > tot)
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      assert((got.ahash_hi, got.ahash_lo) == (hi, lo), s"mismatch for ${w}x$h")
+      assert(got.ahash_hi >= 0 && got.ahash_lo >= 0,
+        "halves must stay non-negative (32 bits each)")
+    }
+  }
+
+  test("aHash64: uniform image hashes to zero (no gray strictly above mean)") {
+    // a 1x1 image resamples to 64 identical grays: gray*64 == tot everywhere,
+    // strict compare -> all bits 0 (ties-to-zero contract)
+    val got = Multimodal.aHash64(9L, Multimodal.pngBytesWithPixels(9L, 1, 1))
+    assert(got.ahash_hi == 0L && got.ahash_lo == 0L)
+  }
+
+  // ---- Multimodal.decodeWavStats --------------------------------------------
+
+  test("wav sample decode: peak/L1/first match the planted-sample formula") {
+    for (n <- Seq(1, 64, 319)) {
+      val id = n.toLong
+      val got = Multimodal.decodeWavStats(id,
+        Multimodal.wavBytesWithSamples(id, 16000, n))
+      val planted = (0 until n).map(Multimodal.plantedSample(id, _))
+      assert(got.n_samples == n)
+      assert(got.peak_abs == planted.map(math.abs).max, s"peak for n=$n")
+      assert(got.sum_abs == planted.map(v => math.abs(v).toLong).sum)
+      assert(got.first_sample == planted.head)
+    }
+  }
+
+  test("wav sample decode: stereo or 8-bit declarations fail loudly") {
+    val mono = Multimodal.wavBytesWithSamples(3L, 16000, 4)
+    val stereo = mono.clone()
+    stereo(22) = 2 // fmt channel count (offset 12+8+2)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.decodeWavStats(3L, stereo))
+    assert(e.getMessage.contains("mono 16-bit"))
+  }
+
   test("pq_adc: scores equal driver-side table lookups on the fused path") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.ensureRegistered(spark)
