@@ -298,6 +298,7 @@ object SparkEntry {
     "mm_wav_headers" -> ((s, d) => Multimodal.wavHeaders(s, Tables.documents(s, d))),
     "mm_pixel_stats" -> ((s, d) => Multimodal.pixelStats(s, Tables.documents(s, d))),
     "mm_ahash" -> ((s, d) => Multimodal.imageAHashes(s, Tables.documents(s, d))),
+    "mm_ahash_neardup" -> ((s, d) => Multimodal.imageNearDup(s, Tables.documents(s, d))),
     "mm_wav_stats" -> ((s, d) => Multimodal.wavSampleStats(s, Tables.documents(s, d))),
     // ---- as-of (temporal) joins (SURVEY §2.4 extension)
     "asof_purchase_last_view" -> ((s, d) => {
@@ -2354,6 +2355,34 @@ object SparkEntry {
         |    THEN 1::BIGINT << g.i ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM g JOIN t USING (doc_id)
         |GROUP BY g.doc_id ORDER BY media_id""".stripMargin,
+    // image near-dup: the oracle recomputes every aHash from the planted
+    // formula and verifies the pigeonhole-bucketed pairs against an
+    // EXHAUSTIVE hamming self-join (exact at verify scale; the Spark side
+    // never goes all-pairs)
+    "mm_ahash_neardup" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1 + (doc_id // 2) % 4 AS INT) AS w,
+        |    CAST(1 + ((doc_id // 2) * 3) % 4 AS INT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |g AS (SELECT d.doc_id, gy.y * 8 + gx.x AS i,
+        |      ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13) % 256
+        |    + ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13 + 5) % 256
+        |    + ((d.doc_id + 1) * 31 + ((gx.x * d.w) // 8) * 7 + ((gy.y * d.h) // 8) * 13 + 10) % 256
+        |    AS gray
+        |  FROM dims d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+        |t AS (SELECT doc_id, sum(gray) AS tot FROM g GROUP BY doc_id),
+        |hsh AS (SELECT g.doc_id,
+        |    CAST(sum(CASE WHEN g.gray * 64 > t.tot AND g.i >= 32
+        |      THEN 1::BIGINT << (g.i - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN g.gray * 64 > t.tot AND g.i < 32
+        |      THEN 1::BIGINT << g.i ELSE 0 END) AS BIGINT) AS lo
+        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+        |    AS hamming
+        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // REAL PCM decode: 16-bit LE samples from the data chunk; the oracle
     // replays the planted-sample formula for exact peak / L1 stats
     "mm_wav_stats" ->

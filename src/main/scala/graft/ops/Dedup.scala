@@ -26,7 +26,7 @@ object Dedup {
     * the bucket list so the upstream signature computation runs ONCE (a
     * self-join formulation recomputes the signature plan on both sides —
     * measured 3× the work). */
-  private def bucketPairs(bucketed: DataFrame, idsCol: String): DataFrame =
+  private[ops] def bucketPairs(bucketed: DataFrame, idsCol: String): DataFrame =
     bucketed
       .select(col(idsCol).as("_ids"))
       .select(col("_ids"), explode(col("_ids")).as("a"))

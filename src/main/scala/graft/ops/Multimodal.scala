@@ -422,6 +422,44 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Image near-dup pairs over the REAL-decoded aHash table — the pigeonhole
+    * pattern of [[graft.ops.Dedup.simhashNearDup]] applied to the image
+    * modality: a 64-bit hash splits into four 16-bit chunks, and any pair
+    * within `maxHamming` ≤ 3 differing bits must agree on at least one whole
+    * chunk, so candidate pairs are generated ONLY inside equal-chunk buckets
+    * (never an O(n²) cross join; buckets above [[Dedup.MaxBucket]] are the
+    * same observable skew cap as the text path). Hashes travel inside the
+    * bucket list, so the hamming verify is in-bucket column math — the
+    * decoded pixels are never revisited. */
+  def imageNearDup(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashes = pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => aHash64(id, payload) })
+      .toDF()
+    val chunks = hashes
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk",
+        when(col("chunk_idx") < 2,
+          call_function("shiftright", col("ahash_lo"), col("chunk_idx") * 16))
+          .otherwise(call_function("shiftright", col("ahash_hi"),
+            (col("chunk_idx") - 2) * 16))
+          .bitwiseAND(lit(0xFFFFL)))
+    val buckets = chunks.groupBy("chunk_idx", "chunk")
+      .agg(collect_list(struct(col("media_id"), col("ahash_hi"),
+        col("ahash_lo"))).as("ids"))
+      .where(size(col("ids")).between(2, Dedup.MaxBucket))
+    Dedup.bucketPairs(buckets, "ids")
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        (graft.functions.GraftFunctions.hamming64(
+            col("a.ahash_hi"), col("b.ahash_hi"))
+          + graft.functions.GraftFunctions.hamming64(
+            col("a.ahash_lo"), col("b.ahash_lo"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Even-doc_id documents as COMPLETE pixel-bearing PNGs (planted dims and
     * planted pixel values — tiny 1×1..4×4 images, the honest scope of a
     * codec-less container). */

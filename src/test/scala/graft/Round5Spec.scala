@@ -212,6 +212,25 @@ class Round5Spec extends AnyFunSuite {
     assert(got.ahash_hi == 0L && got.ahash_lo == 0L)
   }
 
+  test("imageNearDup: pigeonhole-bucketed pairs equal the brute-force hamming join") {
+    val docs = spark.range(0, 80).selectExpr("id AS doc_id",
+      "'x' AS text", "'web' AS source")
+    val got = Multimodal.imageNearDup(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the decoded hashes (the path the DuckDB oracle takes)
+    val hs = (0L until 80L by 2).map { id =>
+      val (w, h) = Multimodal.plantedDims(id)
+      Multimodal.aHash64(id, Multimodal.pngBytesWithPixels(id, w, h))
+    }
+    val want = (for {
+      a <- hs; b <- hs if a.media_id < b.media_id
+      d = java.lang.Long.bitCount(a.ahash_hi ^ b.ahash_hi) +
+        java.lang.Long.bitCount(a.ahash_lo ^ b.ahash_lo)
+      if d <= 3
+    } yield (a.media_id, b.media_id, d)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   // ---- Multimodal.decodeWavStats --------------------------------------------
 
   test("wav sample decode: peak/L1/first match the planted-sample formula") {
