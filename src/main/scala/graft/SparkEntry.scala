@@ -270,6 +270,8 @@ object SparkEntry {
     "text_token_entropy" -> ((s, d) => TextOps.tokenEntropy(Tables.documents(s, d))),
     "join_salted_skew" -> ((s, d) =>
       Relational.saltedFlagRollup(s, Tables.lineitem(s, d))),
+    "join_bloom_pruned" -> ((s, d) =>
+      Relational.bloomPrunedUrgentRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_quantized_cosine" -> ((s, d) =>
@@ -1703,6 +1705,15 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN dim d USING (l_returnflag)
         |GROUP BY 1, 2 ORDER BY l_returnflag""".stripMargin,
+    // the oracle runs the PLAIN join — equality proves the Bloom prefilter
+    // (a plan-literal bit array probed with codegen'd hashes before the
+    // join exchange) loses no true matches
+    "join_bloom_pruned" ->
+      """SELECT l.l_returnflag, count(*) AS n_items,
+        |  CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos

@@ -231,6 +231,25 @@ class Round5Spec extends AnyFunSuite {
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
 
+  // ---- Relational.bloomPrunedJoin --------------------------------------------
+
+  test("bloomPrunedJoin: equals the plain join; the prefilter actually prunes") {
+    import org.apache.spark.sql.functions.col
+    val fact = spark.range(0, 2000).selectExpr("id AS fk", "id % 7 AS v")
+    val dim = spark.range(0, 2000, 100).selectExpr("id AS dk")
+    val got = graft.ops.Relational.bloomPrunedJoin(fact, "fk", dim, "dk")
+      .select("fk").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 2000L by 100).toSeq)
+    // the prefilter alone: every true match survives (no false negatives),
+    // and the 20-of-2000 selective dim prunes the bulk of the fact side
+    val survivors = fact
+      .where(graft.ops.Relational.bloomMightContain(dim, "dk")(col("fk")))
+      .select("fk").as[Long].collect().toSet
+    assert((0L until 2000L by 100).forall(survivors.contains))
+    assert(survivors.size < 200,
+      s"bloom passed ${survivors.size} of 2000 rows — not pruning")
+  }
+
   // ---- Multimodal.decodeWavStats --------------------------------------------
 
   test("wav sample decode: peak/L1/first match the planted-sample formula") {
