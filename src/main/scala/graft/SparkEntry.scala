@@ -272,6 +272,8 @@ object SparkEntry {
       Relational.saltedFlagRollup(s, Tables.lineitem(s, d))),
     "join_bloom_pruned" -> ((s, d) =>
       Relational.bloomPrunedUrgentRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "agg_merge_partials" -> ((s, d) =>
+      Relational.mergePartialsRollup(Tables.orders(s, d))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_quantized_cosine" -> ((s, d) =>
@@ -1714,6 +1716,16 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT'
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // the oracle aggregates DIRECTLY — matching the two-stage
+    // partial-then-merge plan proves count/sum/min/max re-aggregability
+    "agg_merge_partials" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(min(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS min_price,
+        |  CAST(CAST(max(o_totalprice) AS DECIMAL(12,2)) AS DOUBLE) AS max_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    / count(*) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos

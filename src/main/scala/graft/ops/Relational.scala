@@ -713,6 +713,32 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Re-aggregable partial aggregates — the incremental-rollup pattern a
+    * 100 TB pipeline lives on (daily partials merged into monthly, per-file
+    * partials merged at query time, streaming state merged across batches):
+    * stage 1 computes mergeable states (count/sum/min/max) per (group,
+    * shard); stage 2 merges states into the final rollup, with avg derived
+    * from merged sum/count. Equality with the direct one-shot aggregate —
+    * what the oracle runs — is exactly the re-aggregability property. The
+    * partials table is groups × shards rows however big the fact is, so
+    * persisting it (the real-world use) costs nothing at any scale. */
+  def mergePartialsRollup(orders: DataFrame, shards: Int = 16): DataFrame = {
+    val partials = orders
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(12,2)").as("price"),
+        pmod(xxhash64(col("o_orderkey")), lit(shards)).as("shard"))
+      .groupBy("o_orderpriority", "shard")
+      .agg(count(lit(1)).as("n"), sum("price").as("s"),
+        min("price").as("mn"), max("price").as("mx"))
+    partials.groupBy("o_orderpriority")
+      .agg(sum("n").as("n_orders"),
+        sum("s").cast("decimal(18,2)").cast("double").as("sum_price"),
+        min("mn").cast("double").as("min_price"),
+        max("mx").cast("double").as("max_price"))
+      .withColumn("avg_price", col("sum_price") / col("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Statistical aggregate surface: sample stddev/variance, correlation and
     * covariance per group. One-pass (Welford-style) in both engines; rounded
     * to 4 decimals because the merge order of partial moments legitimately

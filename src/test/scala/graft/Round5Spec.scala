@@ -250,6 +250,17 @@ class Round5Spec extends AnyFunSuite {
       s"bloom passed ${survivors.size} of 2000 rows — not pruning")
   }
 
+  test("mergePartialsRollup: result is invariant to the shard count") {
+    val orders = spark.range(0, 500).selectExpr("id AS o_orderkey",
+      "CAST(concat(CAST(id % 5 AS STRING), '-P') AS STRING) AS o_orderpriority",
+      "CAST((id * 37) % 10000 AS DECIMAL(12,2)) AS o_totalprice")
+    val one = graft.ops.Relational.mergePartialsRollup(orders, shards = 1)
+      .collect().map(_.toSeq).toSeq
+    val many = graft.ops.Relational.mergePartialsRollup(orders, shards = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(one == many)
+  }
+
   // ---- Multimodal.decodeWavStats --------------------------------------------
 
   test("wav sample decode: peak/L1/first match the planted-sample formula") {
