@@ -282,6 +282,7 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) => SimSearch.lshTopK(Tables.embeddings(s, d))),
     "sim_ivf_topk" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     "sim_pq_topk" -> ((s, d) => SimSearch.pqTopK(Tables.embeddings(s, d))),
+    "sim_ivfpq_topk" -> ((s, d) => SimSearch.ivfPqTopK(Tables.embeddings(s, d))),
     // ---- text analysis (SURVEY §2.6)
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -1916,6 +1917,53 @@ object SparkEntry {
         |            sum(qd.d) AS adc
         |          FROM codes x JOIN dist qd ON qd.s = x.s AND qd.cid = x.cid
         |          WHERE qd.vec_id < 5 AND x.vec_id <> qd.vec_id
+        |          GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc, neighbor_id) AS rnk
+        |      FROM score)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
+        |  CAST(rnk AS INT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ replay: coarse cells (vec_id < 8) route by exact integer L2,
+    // each query probes its 3 nearest cells, and ONLY those cells' members
+    // are scored by the same PQ distance tables as sim_pq_topk
+    "sim_ivfpq_topk" ->
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |e AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM ex),
+        |sd AS (SELECT CAST(max(i) AS BIGINT) // 8 AS subdim FROM e),
+        |cinit AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |          FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 8)),
+        |cseed AS (SELECT cinit.cell, e.i, e.v FROM cinit JOIN e USING (vec_id)),
+        |cdist AS (SELECT x.vec_id, cseed.cell,
+        |            sum((x.v - cseed.v) * (x.v - cseed.v)) AS d
+        |          FROM e x JOIN cseed ON cseed.i = x.i GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM cdist) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM cdist WHERE vec_id < 5) WHERE rn <= 3),
+        |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |         FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 16)),
+        |seed AS (SELECT init.cid, e.i, e.v FROM init JOIN e USING (vec_id)),
+        |dist AS (SELECT x.vec_id, (x.i - 1) // sd.subdim AS s, seed.cid,
+        |           sum((x.v - seed.v) * (x.v - seed.v)) AS d
+        |         FROM e x JOIN seed ON seed.i = x.i CROSS JOIN sd
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+        |            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |          FROM dist) WHERE rn = 1),
+        |score AS (SELECT p.query_id, x.vec_id AS neighbor_id, sum(qd.d) AS adc
+        |          FROM codes x
+        |          JOIN assign a ON a.vec_id = x.vec_id
+        |          JOIN probes p ON p.cell = a.cell
+        |          JOIN dist qd ON qd.s = x.s AND qd.cid = x.cid
+        |            AND qd.vec_id = p.query_id
+        |          WHERE x.vec_id <> p.query_id
         |          GROUP BY 1, 2),
         |r AS (SELECT query_id, neighbor_id, adc,
         |        row_number() OVER (PARTITION BY query_id

@@ -306,4 +306,81 @@ object SimSearch {
       .select("query_id", "neighbor_id", "adc", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** IVF-PQ composed ANN — the two-level architecture embedding search
+    * actually ships at scale (Jégou et al., TPAMI 2011 §V, "IVFADC"): an
+    * inverted-file coarse quantizer routes each query to its `nProbe`
+    * nearest cells, and only those cells' members are scored — by PQ
+    * asymmetric distance over m-byte codes, never the raw vectors. The
+    * touched corpus fraction (≈ nProbe/nCells) AND the per-candidate cost
+    * (m table lookups) are both corpus-size-independent; driver/plan state
+    * is codebooks and probe/ADC tables, all parameter-bounded. Coarse
+    * assignment reuses the fused `pq_codes` expression degenerately (one
+    * full-dim subspace over the cell codebook), so routing and encoding are
+    * zero-shuffle per-row maps. Integer round(x·100) grid throughout — the
+    * oracle replays every distance exactly. */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nCells: Int = 8, nProbe: Int = 3, m: Int = 8,
+      nCentroids: Int = 16): DataFrame = {
+    GraftExtensions.ensureRegistered(embeddings.sparkSession)
+    val q = embeddings.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+    val cellSeeds = q.where(col("vec_id") < nCells).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val pqSeeds = q.where(col("vec_id") < nCentroids).orderBy("vec_id")
+      .collect().map(_.getSeq[Long](1).toArray)
+    if (cellSeeds.isEmpty || pqSeeds.isEmpty)
+      return q.select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0L).as("adc"),
+        lit(0).as("rank")).limit(0)
+    val dim = cellSeeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    // coarse route: pq_codes with ONE dim-wide subspace = nearest cell id
+    val assigned = q.withColumn("cell",
+      element_at(call_function("pq_codes", col("qv"), lit(dim),
+        lit(cellSeeds.length),
+        typedlit(cellSeeds.map(_.toSeq).toSeq)), 1))
+    val codebook: Array[Array[Array[Long]]] =
+      Array.tabulate(m, pqSeeds.length)((s, c) =>
+        pqSeeds(c).slice(s * subDim, (s + 1) * subDim))
+    val flatCodebook: Seq[Seq[Long]] =
+      (0 until m).flatMap(s => codebook(s).map(_.toSeq))
+    val encoded = assigned.withColumn("codes",
+      call_function("pq_codes", col("qv"), lit(subDim),
+        lit(pqSeeds.length), typedlit(flatCodebook)))
+    val queries = q.where(col("vec_id") < nQueries).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // per-query probe list: nProbe nearest cells by exact integer L2,
+    // ties to the smaller cell — the same order the assignment uses
+    val probeCells: Seq[Seq[Int]] = queries.toSeq.map { case (_, qv) =>
+      cellSeeds.indices.map(c => (sq(qv, cellSeeds(c)), c))
+        .sorted.take(nProbe).map(_._2)
+    }
+    val qdLit = typedlit(queries.toSeq.map { case (_, qv) =>
+      (0 until m).map(s => pqSeeds.indices.map(c =>
+        sq(qv.slice(s * subDim, (s + 1) * subDim), codebook(s)(c))))
+    })
+    val adc = call_function("pq_adc", col("codes"),
+      col("q_idx").cast("int"), qdLit)
+    encoded
+      .select(col("vec_id"), col("cell"), col("codes"),
+        posexplode(typedlit(queries.map(_._1).toSeq))
+          .as(Seq("q_idx", "query_id")))
+      .where(col("vec_id") =!= col("query_id")
+        && array_contains(
+          element_at(typedlit(probeCells), col("q_idx").cast("int") + 1),
+          col("cell")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc").asc_nulls_last, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -285,6 +285,39 @@ class Round5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("mono 16-bit"))
   }
 
+  test("ivfPqTopK: equals a plain-Scala replay of route -> encode -> ADC -> rank") {
+    // deterministic synthetic corpus: 40 vectors x 16 dims on the int grid
+    val dim = 16
+    val vecs = (0L until 40L).map(id =>
+      id -> Array.tabulate(dim)(j => (((id + 1) * 17 + j * 29) % 200 - 100) / 100.0f))
+    val emb = vecs.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val (nQ, k, nCells, nProbe, m, nCent) = (3, 5, 4, 2, 4, 8)
+    val got = graft.ops.SimSearch.ivfPqTopK(emb, nQ, k, nCells, nProbe, m, nCent)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // replay
+    val g = vecs.map { case (id, v) => id -> v.map(x => math.round(x * 100.0).toLong) }.toMap
+    def sq(a: Array[Long], b: Array[Long]) = a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val cells = (0L until nCells.toLong).map(g)
+    val seeds = (0L until nCent.toLong).map(g)
+    val subDim = dim / m
+    def cellOf(v: Array[Long]) = cells.indices.minBy(c => (sq(v, cells(c).toArray), c))
+    def codesOf(v: Array[Long]) = (0 until m).map(s => seeds.indices.minBy(c =>
+      (sq(v.slice(s * subDim, (s + 1) * subDim), seeds(c).slice(s * subDim, (s + 1) * subDim).toArray), c)))
+    val want = (0L until nQ.toLong).flatMap { qid =>
+      val qv = g(qid)
+      val probes = cells.indices.sortBy(c => (sq(qv, cells(c).toArray), c)).take(nProbe).toSet
+      val scored = g.toSeq.filter { case (id, v) => id != qid && probes(cellOf(v)) }
+        .map { case (id, v) =>
+          val adc = codesOf(v).zipWithIndex.map { case (c, s) =>
+            sq(qv.slice(s * subDim, (s + 1) * subDim), seeds(c).slice(s * subDim, (s + 1) * subDim).toArray) }.sum
+          (id, adc)
+        }.sortBy { case (id, adc) => (adc, id) }.take(k)
+      scored.zipWithIndex.map { case ((id, adc), i) => (qid, id, adc, i + 1) }
+    }
+    assert(got.toSeq.sorted == want.sorted, s"got ${got.length}, want ${want.length}")
+  }
+
   test("pq_adc: scores equal driver-side table lookups on the fused path") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.ensureRegistered(spark)
