@@ -291,6 +291,7 @@ object SparkEntry {
     "text_doc_frequency" -> ((s, d) => TextOps.docFrequency(Tables.documents(s, d))),
     "text_tfidf" -> ((s, d) => TextOps.tfIdf(Tables.documents(s, d))),
     "text_ngram_counts" -> ((s, d) => TextOps.ngramCounts(Tables.documents(s, d))),
+    "text_bpe_pairs" -> ((s, d) => TextOps.bpePairCensus(Tables.documents(s, d))),
     "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
@@ -2306,6 +2307,15 @@ object SparkEntry {
          |  END) AS gram FROM t)
          |SELECT gram, count(*) AS n FROM g GROUP BY gram
          |HAVING count(*) >= 3 ORDER BY gram""".stripMargin,
+    // first BPE training iteration: adjacent char-pair frequency inside
+    // words; the (n DESC, pair) tiebreak makes the top-20 cut deterministic
+    "text_bpe_pairs" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS word FROM t),
+         |p AS (SELECT substr(word, CAST(r.i AS INT), 2) AS pair
+         |      FROM w, unnest(range(1, len(word))) r(i))
+         |SELECT pair, count(*) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),

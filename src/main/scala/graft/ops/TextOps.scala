@@ -199,6 +199,26 @@ object TextOps {
       .orderBy("gram")
   }
 
+  /** BPE merge-pair census — the statistic one iteration of byte-pair-
+    * encoding tokenizer training maximizes: corpus-wide frequency of every
+    * adjacent character pair inside words, top `topK` as merge candidates.
+    * Pair extraction is a per-row generator (no shuffle until the tiny
+    * (pair, partial-count) rows), and the top-k plans as
+    * TakeOrderedAndProject — at 100 TB the exchange carries one row per
+    * distinct pair per partition, not the corpus. Ties break on the pair
+    * string so the candidate list is deterministic in any engine. */
+  def bpePairCensus(documents: DataFrame, topK: Int = 20): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .where(length(col("word")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => call_function("substring", col("word"), i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
   /** Regex redaction (quality-pipeline scrub step): mask digit runs and
     * email-shaped tokens, report per-doc replacement counts. Pure per-row
     * regex work — codegen'd, no shuffle. */

@@ -285,6 +285,14 @@ class Round5Spec extends AnyFunSuite {
     assert(e.getMessage.contains("mono 16-bit"))
   }
 
+  test("bpePairCensus: counts adjacent in-word char pairs, ranked n desc then pair") {
+    val docs = Seq((1L, "aab aab x"), (2L, "aba")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bpePairCensus(docs, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pairs: "aab" x2 -> aa,ab each x2; "aba" -> ab,ba; "x" too short
+    assert(got == Seq(("ab", 3L), ("aa", 2L), ("ba", 1L)))
+  }
+
   test("ivfPqTopK: equals a plain-Scala replay of route -> encode -> ADC -> rank") {
     // deterministic synthetic corpus: 40 vectors x 16 dims on the int grid
     val dim = 16
