@@ -96,10 +96,7 @@ object Corpus {
     // the shingle explode is CPU-bound: spread the rows first when the scan
     // yields fewer partitions than cores (single small file locally — one
     // parquet row group cannot split); never fires on a real many-split scan
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
-      else documents
+    val spread = Spread.toCores(documents)
     val gramSrcs = spread
       .select(col("source"), explode(array_distinct(shingles(tokens(col("text")), n)))
         .as("gram"))
@@ -171,10 +168,7 @@ object Corpus {
     // than cores (single small file locally — a parquet row group cannot be
     // split), spread the rows first; at real scale the scan already has
     // thousands of splits and this branch never fires
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores)
-      else corpus
+    val spread = Spread.toCores(corpus)
     spread
       .select(col("doc_id"), explode(grams).as("gram"))
       .join(broadcast(bench), "gram")
@@ -231,10 +225,7 @@ object Corpus {
     val bf = sizedBloom(bench, nGrams, fpp)
     val mightContain = udf((s: String) => s != null && bf.mightContain(s))
     val corpus = documents.where(col("doc_id") >= benchMaxDocId)
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores)
-      else corpus
+    val spread = Spread.toCores(corpus)
     spread
       .select(col("doc_id"), explode(grams).as("gram"))
       .where(mightContain(col("gram")))
@@ -377,21 +368,22 @@ object Corpus {
     * whole-document span (the `shingles` contract), so exact full-document
     * duplicates still count each other.
     *
-    * Scale shape: distinct spans per doc map-side, one groupBy for span
-    * df, one semi-join back — shuffle volume is the span stream, the same
-    * bound as [[Dedup.sharedGramPairs]]' index. */
+    * Scale shape: distinct spans per doc map-side, ONE shuffle on span (a
+    * whole-partition window counts each span's df in place — the original
+    * three-consumer formulation of span-df + per-doc + semi-join
+    * re-tokenized the corpus three times, the same smell as minhashLsh's
+    * r04 regression), one rollup shuffle on doc_id. Shuffle volume is the
+    * span stream, the same bound as [[Dedup.sharedGramPairs]]' index. */
   def duplicateSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
-    val spans = documents.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), spanTokens))).as("span"))
-    val dup = spans.groupBy("span").agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2)
-      .select("span")
-    val perDoc = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    val dupPerDoc = spans.join(dup, Seq("span"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
-    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+    import org.apache.spark.sql.expressions.Window
+    Spread.toCores(documents)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), spanTokens)))
+          .as("span"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("span")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("df") >= 2, true)).as("n_dup_spans"))
       .orderBy("doc_id")
   }
 

@@ -153,10 +153,7 @@ object Dedup {
     // yields fewer partitions than cores (single small file locally — a
     // parquet row group cannot be split); never fires on a real many-split
     // scan
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
-      else documents
+    val spread = Spread.toCores(documents)
     spread.select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
   }
@@ -212,10 +209,7 @@ object Dedup {
   def winnowedPairs(documents: DataFrame, shingleSize: Int = 4,
       window: Int = 3, minShared: Int = 2, maxFpDf: Int = 100): DataFrame = {
     GraftExtensions.ensureRegistered(documents.sparkSession)
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
-      else documents
+    val spread = Spread.toCores(documents)
     val fps = spread.select(col("doc_id"),
       explode(call_function("winnow_fps", tokens(col("text")),
         lit(shingleSize), lit(window))).as("fp"))

@@ -465,7 +465,8 @@ object Multimodal {
     * codec-less container). */
   def pngPixelBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+    Spread.toCores(documents.select(col("doc_id"))
+        .where(col("doc_id") % 2 === 0))
       .as[Long]
       .mapPartitions(_.map { id =>
         val (w, h) = plantedDims(id)
@@ -580,7 +581,8 @@ object Multimodal {
   /** Odd-doc_id documents as REAL-PCM WAV blobs (planted samples). */
   def wavPcmBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).where(col("doc_id") % 2 === 1)
+    Spread.toCores(documents.select(col("doc_id"))
+        .where(col("doc_id") % 2 === 1))
       .as[Long]
       .mapPartitions(_.map { id =>
         (id, wavBytesWithSamples(id, 16000, 64 + (id % 256).toInt))

@@ -674,17 +674,22 @@ object Relational {
       hashes: Int = 5)(probeCol: Column): Column = {
     val spark = dim.sparkSession
     import spark.implicits._
-    val nKeys = math.max(1L, dim.select(dimKey).distinct().count())
+    // one materialization feeds both the sizing count and the position
+    // collect (two dim scans + two distinct shuffles otherwise)
+    val keys = dim.select(dimKey).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = math.max(1L, keys.count())
     val mBits = math.min(1L << 24, math.max(1L << 12,
       java.lang.Long.highestOneBit(16L * nKeys) << 1)).toInt
     // bit position of probe i — the SAME expression on both sides (keys
     // cast to long so fact/dim physical types can't change the hash)
     def probe(c: Column, i: Int): Column =
       pmod(xxhash64(c.cast("long"), lit(i)), lit(mBits.toLong)).cast("int")
-    val positions = dim
+    val positions = keys
       .select(explode(array((0 until hashes).map(i =>
         probe(col(dimKey), i)): _*)).as("pos"))
       .distinct().as[Int].collect()
+    keys.unpersist()
     val words = new Array[Long](mBits / 64)
     positions.foreach(p => words(p >>> 6) |= 1L << (p & 63))
     val wordsLit = typedlit(words.toSeq)

@@ -208,7 +208,7 @@ object TextOps {
     * distinct pair per partition, not the corpus. Ties break on the pair
     * string so the candidate list is deterministic in any engine. */
   def bpePairCensus(documents: DataFrame, topK: Int = 20): DataFrame =
-    documents
+    Spread.toCores(documents)
       .select(explode(tokens(col("text"))).as("word"))
       .where(length(col("word")) >= 2)
       .select(explode(transform(
@@ -265,10 +265,7 @@ object TextOps {
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     // CPU-bound shingle explode: spread an under-split scan first (the
     // sharedGramPairs discipline; no-op on a real many-split scan)
-    val cores = documents.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (documents.rdd.getNumPartitions < cores) documents.repartition(cores)
-      else documents
+    val spread = Spread.toCores(documents)
     val grams = spread.select(col("doc_id"),
       explode(call_function("shingles", tokens(col("text")), lit(n))).as("gram"))
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
