@@ -378,6 +378,8 @@ object SparkEntry {
       TextOps.tokenRarity(Tables.documents(s, d))),
     "dedup_duplicate_spans" -> ((s, d) =>
       Corpus.duplicateSpans(Tables.documents(s, d))),
+    "corpus_strip_dup_spans" -> ((s, d) =>
+      Corpus.stripDuplicateSpans(Tables.documents(s, d))),
     "corpus_length_batches" -> ((s, d) =>
       Corpus.lengthBatches(Tables.documents(s, d))),
     "profile_events" -> ((s, d) =>
@@ -2125,6 +2127,37 @@ object SparkEntry {
          |SELECT t.doc_id, t.n_spans,
          |  CAST(coalesce(dup.n_dup_spans, 0) AS BIGINT) AS n_dup_spans
          |FROM tot t LEFT JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // span REMOVAL replay: positions covered by any df>=2 span occurrence
+    // drop; the doc reassembles from survivors in token order
+    "corpus_strip_dup_spans" ->
+      s"""WITH s0 AS (SELECT doc_id, toks, len(toks) AS n
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |sp AS (
+         |  SELECT doc_id, 0 AS pos, array_to_string(toks, ' ') AS span,
+         |    n AS span_len
+         |  FROM s0 WHERE n > 0 AND n < 8
+         |  UNION ALL
+         |  SELECT doc_id, CAST(gi.i AS INT) - 1 AS pos,
+         |    array_to_string(toks[gi.i:gi.i+7], ' ') AS span, 8 AS span_len
+         |  FROM s0, unnest(range(1, n - 6)) gi(i) WHERE n >= 8),
+         |dup AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM sp)
+         |        GROUP BY span HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.pos + gk.k AS p
+         |        FROM sp JOIN dup USING (span), generate_series(0, 7) gk(k)
+         |        WHERE gk.k < sp.span_len),
+         |tp AS (SELECT doc_id, CAST(gi.i AS INT) - 1 AS p, toks[gi.i] AS tok
+         |       FROM s0, unnest(range(1, n + 1)) gi(i)),
+         |ag AS (SELECT tp.doc_id,
+         |         count(CASE WHEN cov.p IS NOT NULL THEN 1 END) AS n_removed,
+         |         coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tp.tok END,
+         |           ' ' ORDER BY tp.p), '') AS clean_text
+         |       FROM tp LEFT JOIN cov
+         |         ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+         |       GROUP BY 1)
+         |SELECT s0.doc_id, CAST(s0.n AS INT) AS n_tokens,
+         |  CAST(coalesce(ag.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(ag.clean_text, '') AS clean_text
+         |FROM s0 LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin,
     // power-of-two length bands (explicit thresholds, no float log);
     // batches of 8 docs cut in doc_id order within each band
     "corpus_length_batches" ->

@@ -387,6 +387,54 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-span REMOVAL — the surgery [[duplicateSpans]] is the census
+    * for (Lee et al. 2021's "dedup the substring, keep the document"): every
+    * token position covered by an occurrence of a cross-document span
+    * (df ≥ 2, the census's definition) is dropped, and the document is
+    * reassembled from the surviving tokens in order. Documents shorter than
+    * `spanTokens` collapse to one whole-document span (the `shingles`
+    * contract), so exact short duplicates strip to empty.
+    *
+    * Scale shape: positions ride the span stream (posexplode — no second
+    * tokenize), the df filter is one span-keyed shuffle, coverage expands
+    * each duplicated occurrence by ≤ `spanTokens` rows, and reassembly is
+    * an in-array sort per doc (collect_list + array_sort — never a global
+    * window). The token projection feeds three consumers on different keys,
+    * so it persists once, the minhashLsh discipline. */
+  def stripDuplicateSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
+    val toksDf = Spread.toCores(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = toksDf.select(col("doc_id"),
+      least(lit(spanTokens), size(col("toks"))).as("span_len"),
+      posexplode(shingles(col("toks"), spanTokens)).as(Seq("pos", "span")))
+    val dup = spans.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select("span")
+    val covered = spans.join(dup, Seq("span"), "left_semi")
+      // empty docs shingle to one "" span with span_len 0; guard the
+      // sequence (start > stop would generate a DESCENDING range)
+      .where(col("span_len") > 0)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("span_len") - 1)).as("p"))
+      .distinct()
+    val aggs = toksDf
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered.withColumn("c", lit(1)), Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("c")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("c").isNull,
+            struct(col("p"), col("tok"))))),
+          s => s.getField("tok"))).as("clean_text"))
+    toksDf.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+      .join(aggs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Length-bucketed batch assignment — the padding-efficiency discipline
     * of sequence batching: documents are banded by token length (explicit
     * power-of-two thresholds — no float log on the data path), and within

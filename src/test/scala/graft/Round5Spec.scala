@@ -250,6 +250,30 @@ class Round5Spec extends AnyFunSuite {
       s"bloom passed ${survivors.size} of 2000 rows — not pruning")
   }
 
+  test("stripDuplicateSpans: planted cross-doc span drops; unique text survives") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")  // one exact 8-gram
+    val docs = Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"$shared gamma delta"),
+      (3L, "all unique words here none repeat")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.stripDuplicateSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((10, 8L, "alpha beta")))
+    assert(got(2L) == ((10, 8L, "gamma delta")))
+    assert(got(3L) == ((6, 0L, "all unique words here none repeat")))
+  }
+
+  test("stripDuplicateSpans: exact short duplicates strip to empty") {
+    val docs = Seq((1L, "tiny dup doc"), (2L, "tiny dup doc"),
+      (3L, "another text")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.stripDuplicateSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3, 3L, "")) && got(2L) == ((3, 3L, "")))
+    assert(got(3L) == ((2, 0L, "another text")))
+  }
+
   test("mergePartialsRollup: result is invariant to the shard count") {
     val orders = spark.range(0, 500).selectExpr("id AS o_orderkey",
       "CAST(concat(CAST(id % 5 AS STRING), '-P') AS STRING) AS o_orderpriority",
