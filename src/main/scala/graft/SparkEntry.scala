@@ -274,6 +274,8 @@ object SparkEntry {
       Relational.bloomPrunedUrgentRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
     "agg_merge_partials" -> ((s, d) =>
       Relational.mergePartialsRollup(Tables.orders(s, d))),
+    "agg_winsorized_prices" -> ((s, d) =>
+      Relational.winsorizedPrices(Tables.lineitem(s, d))),
     // ---- similarity search (SURVEY §2.6)
     "sim_bruteforce_topk" -> ((s, d) => SimSearch.bruteForceTopK(Tables.embeddings(s, d))),
     "sim_quantized_cosine" -> ((s, d) =>
@@ -1730,6 +1732,25 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE)
         |    / count(*) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // DISCRETE percentiles (order statistics) make the bounds exact data
+    // values, so the clamp census and decimal sum replay exactly
+    "agg_winsorized_prices" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    CAST(quantile_disc(l_extendedprice, 0.01) AS DECIMAL(12,2)) AS p_lo,
+        |    CAST(quantile_disc(l_extendedprice, 0.99) AS DECIMAL(12,2)) AS p_hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(min(b.p_lo) AS DOUBLE) AS p_lo,
+        |  CAST(min(b.p_hi) AS DOUBLE) AS p_hi,
+        |  count(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(12,2)) < b.p_lo
+        |    THEN 1 END) AS n_clamped_lo,
+        |  count(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(12,2)) > b.p_hi
+        |    THEN 1 END) AS n_clamped_hi,
+        |  CAST(CAST(sum(greatest(least(
+        |      CAST(l.l_extendedprice AS DECIMAL(12,2)), b.p_hi), b.p_lo))
+        |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_winsorized
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a.emb", "b.emb")} AS cos

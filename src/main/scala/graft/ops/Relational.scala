@@ -718,6 +718,34 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Percentile winsorization — the outlier-clamp cleaning pass run before
+    * any mean-sensitive statistic: per-group [p1, p99] bounds from DISCRETE
+    * percentiles (order statistics — exact data values, so no cross-engine
+    * float-interpolation edge exists), then a clamp + census. The bounds
+    * table is one row per group (broadcast back); the clamp pass is
+    * zero-shuffle column math and every comparison and the clamped sum run
+    * in exact decimal. */
+  def winsorizedPrices(lineitem: DataFrame): DataFrame = {
+    val bounds = lineitem.groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("decimal(12,2)").as("p_lo"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .cast("decimal(12,2)").as("p_hi"))
+    lineitem.select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      .join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).cast("double").as("p_lo"),
+        min(col("p_hi")).cast("double").as("p_hi"),
+        count(when(col("price") < col("p_lo"), 1)).as("n_clamped_lo"),
+        count(when(col("price") > col("p_hi"), 1)).as("n_clamped_hi"),
+        sum(greatest(least(col("price"), col("p_hi")), col("p_lo")))
+          .cast("decimal(18,2)").cast("double").as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
   /** Re-aggregable partial aggregates — the incremental-rollup pattern a
     * 100 TB pipeline lives on (daily partials merged into monthly, per-file
     * partials merged at query time, streaming state merged across batches):
