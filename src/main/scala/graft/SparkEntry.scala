@@ -161,6 +161,11 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) =>
       Graph.nationTriangles(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "graph_degree_census" -> ((s, d) =>
+      Graph.nationDegrees(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "corpus_mixture_weights" -> ((s, d) =>
+      Corpus.mixtureWeights(Tables.documents(s, d))),
     "join_fuzzy_blocked" -> ((s, d) =>
       Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
     "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
@@ -964,6 +969,46 @@ object SparkEntry {
         |v AS (SELECT unnest([a, b, c]) AS n_name FROM t)
         |SELECT n_name, count(*) AS n_triangles FROM v
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    "graph_degree_census" ->
+      """WITH edges AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2 HAVING src <> dst),
+        |o AS (SELECT src AS n_name, count(*) AS out_deg,
+        |        CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+        |i AS (SELECT dst AS n_name, count(*) AS in_deg,
+        |        CAST(sum(w) AS BIGINT) AS in_w FROM edges GROUP BY 1),
+        |r AS (SELECT e1.src AS n_name, count(*) AS n_reciprocal
+        |      FROM edges e1 JOIN edges e2
+        |        ON e1.src = e2.dst AND e1.dst = e2.src GROUP BY 1)
+        |SELECT coalesce(o.n_name, i.n_name) AS n_name,
+        |  CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+        |  CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+        |  CAST(coalesce(out_w, 0) AS BIGINT) AS out_w,
+        |  CAST(coalesce(in_w, 0) AS BIGINT) AS in_w,
+        |  CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal
+        |FROM o FULL JOIN i ON o.n_name = i.n_name
+        |LEFT JOIN r ON coalesce(o.n_name, i.n_name) = r.n_name
+        |ORDER BY n_name""".stripMargin,
+    // integer micro-unit mixture design: share and equalizing weight are
+    // exact `x*1e6 div y` arithmetic; zero-token sources get NULL weight
+    "corpus_mixture_weights" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+         |        count(*) AS n_sources FROM per)
+         |SELECT source, n_tokens,
+         |  n_tokens * 1000000 // t.total AS share_micro,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |    ELSE t.total * 1000000 // (t.n_sources * n_tokens) END
+         |    AS weight_micro
+         |FROM per, t ORDER BY source""".stripMargin,
     // SemDeDup census: one assignment round vs the seed codebook, then the
     // exact cross-multiplied cosine test (cos² ≥ 49/400 ⇔ cos ≥ 0.35)
     // against each cluster's lowest-id representative

@@ -387,6 +387,30 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Source-mixture sampling weights — the knob a pretraining mixture
+    * designer sets from the corpus census: per source, its token share and
+    * the sampling weight that would equalize shares (weight_micro > 10⁶ ⇒
+    * upsample). All integer micro-unit arithmetic (`x·10⁶ div y`), exact in
+    * any engine; sources with zero tokens get NULL weight rather than a
+    * division error. The per-source census is one aggregate; the scalar
+    * totals broadcast back as a 1-row cross join (the revenueShare
+    * pattern). Range contract: exact up to ~9·10¹² total tokens
+    * (10⁶ · total must fit int64) — past that ANSI mode fails loudly
+    * rather than wrapping. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val per = documents.groupBy("source")
+      .agg(sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("long").as("total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000L div total").as("share_micro"),
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(expr("total * 1000000L div (n_sources * n_tokens)"))
+          .as("weight_micro"))
+      .orderBy("source")
+  }
+
   /** Duplicate-span REMOVAL — the surgery [[duplicateSpans]] is the census
     * for (Lee et al. 2021's "dedup the substring, keep the document"): every
     * token position covered by an occurrence of a cross-document span

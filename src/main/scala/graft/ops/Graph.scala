@@ -111,4 +111,38 @@ object Graph {
       supplier: DataFrame, nation: DataFrame): DataFrame =
     triangleCounts(
       nationTradeEdges(lineitem, orders, customer, supplier, nation))
+
+  /** Per-vertex degree/strength/reciprocity census — the first profile run
+    * on any graph before paying for iterative algorithms: out/in degree
+    * (distinct partners), out/in strength (edge-weight sums), and the
+    * reciprocated-partner count. The aggregated edge list is vertex²-bounded
+    * however big the fact tables are, and checkpoints once for its four
+    * consumers (each would otherwise replay the full fact joins). */
+  def degreeCensus(edges0: DataFrame): DataFrame = {
+    val edges = edges0.where(col("src") =!= col("dst"))
+      .localCheckpoint(true)
+    val out = edges.groupBy(col("src").as("n_name"))
+      .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
+    val in = edges.groupBy(col("dst").as("n_name"))
+      .agg(count(lit(1)).as("in_deg"), sum("w").as("in_w"))
+    val rec = edges.as("e1")
+      .join(edges.as("e2"),
+        col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+      .groupBy(col("e1.src").as("n_name"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    out.join(in, Seq("n_name"), "full")
+      .join(rec, Seq("n_name"), "left")
+      .select(col("n_name"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+      .orderBy("n_name")
+  }
+
+  def nationDegrees(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame =
+    degreeCensus(
+      nationTradeEdges(lineitem, orders, customer, supplier, nation))
 }

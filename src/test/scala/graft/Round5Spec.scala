@@ -274,6 +274,25 @@ class Round5Spec extends AnyFunSuite {
     assert(got(3L) == ((2, 0L, "another text")))
   }
 
+  test("degreeCensus: planted graph degrees, strengths, and reciprocity") {
+    val edges = Seq(("A", "B", 3L), ("B", "A", 2L), ("A", "C", 1L),
+      ("C", "C", 9L)).toDF("src", "dst", "w")  // self-loop dropped
+    val got = graft.ops.Graph.degreeCensus(edges).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got("A") == Seq(2L, 1L, 4L, 2L, 1L)) // out 2, in 1 (B->A), recip B
+    assert(got("B") == Seq(1L, 1L, 2L, 3L, 1L))
+    assert(got("C") == Seq(0L, 1L, 0L, 1L, 0L)) // only in-edge A->C
+  }
+
+  test("mixtureWeights: zero-token source gets NULL weight, not a crash") {
+    val docs = Seq((1L, "five words in this doc", "big"),
+      (2L, "two words", "big"), (3L, "", "empty")).toDF("doc_id", "text", "source")
+    val got = graft.ops.Corpus.mixtureWeights(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.isNullAt(3))).toMap
+    assert(got("big") == ((7L, false)))
+    assert(got("empty") == ((0L, true)))
+  }
+
   test("mergePartialsRollup: result is invariant to the shard count") {
     val orders = spark.range(0, 500).selectExpr("id AS o_orderkey",
       "CAST(concat(CAST(id % 5 AS STRING), '-P') AS STRING) AS o_orderpriority",
