@@ -166,6 +166,8 @@ object SparkEntry {
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "corpus_mixture_weights" -> ((s, d) =>
       Corpus.mixtureWeights(Tables.documents(s, d))),
+    "corpus_contrastive_pairs" -> ((s, d) =>
+      Corpus.contrastivePairs(Tables.documents(s, d))),
     "join_fuzzy_blocked" -> ((s, d) =>
       Dedup.fuzzyLinkBlocked(Tables.customer(s, d))),
     "ml_semdedup" -> ((s, d) => Ml.semDedup(Tables.embeddings(s, d))),
@@ -891,6 +893,19 @@ object SparkEntry {
         |  substring(text, CAST(chunk_id*90+1 AS INT), 120) AS chunk_text,
         |  length(substring(text, CAST(chunk_id*90+1 AS INT), 120)) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // adjacent same-doc chunk pairs — the contrastive positive miner
+    "corpus_contrastive_pairs" ->
+      """WITH c AS (SELECT doc_id, text,
+        |    unnest(range(0, (length(text)-1)//90 + 1)) AS chunk_id
+        |  FROM documents),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |    substring(text, CAST(chunk_id*90+1 AS INT), 120) AS chunk_text
+        |  FROM c)
+        |SELECT a.doc_id, a.chunk_id AS chunk_a, b.chunk_id AS chunk_b,
+        |  a.chunk_text AS text_a, b.chunk_text AS text_b
+        |FROM ch a JOIN ch b
+        |  ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 1
+        |ORDER BY a.doc_id, chunk_a""".stripMargin,
     // the full 2-round Lloyd trajectory replayed relationally: quantize to
     // the round(x·1000) integer grid, exact int64 distances, round-half-up
     // centroid updates — every intermediate integer, so the trajectory is

@@ -21,6 +21,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_partkey"))
   }
 
+  test("bloom-pruned join: the probe filter evaluates BELOW the join exchange") {
+    val p = plan(Relational.bloomPrunedUrgentRevenue(
+      Tables.orders(spark, TestSpark.sf0001),
+      Tables.lineitem(spark, TestSpark.sf0001)))
+    // the xxhash64 probe must appear in a Filter on the fact scan side —
+    // i.e. somewhere below the join — not above it (which would shuffle
+    // every fact row first and prune nothing)
+    assert(p.contains("xxhash64"), s"bloom probe missing from plan:\n$p")
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("xxhash64")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe filter should sit under the join in the plan tree:\n$p")
+  }
+
   test("q3: dimension side broadcasts; top-10 is TakeOrderedAndProject, not global sort") {
     val p = plan(Relational.topUrgentOrders(
       Tables.customer(spark, TestSpark.sf0001),

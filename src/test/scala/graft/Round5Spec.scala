@@ -274,6 +274,19 @@ class Round5Spec extends AnyFunSuite {
     assert(got(3L) == ((2, 0L, "another text")))
   }
 
+  test("contrastivePairs: adjacent same-doc chunks pair; the overlap is shared text") {
+    val text = ('a' to 'z').mkString * 12 // 312 chars -> 4 chunks (stride 90)
+    val docs = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.contrastivePairs(docs).collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq((1L, 0, 1), (1L, 1, 2), (1L, 2, 3)))
+    // positive-pair property: anchor's tail 30 chars == positive's head 30
+    got.foreach { r =>
+      val (a, b) = (r.getString(3), r.getString(4))
+      assert(a.substring(90) == b.substring(0, a.length - 90))
+    }
+  }
+
   test("degreeCensus: planted graph degrees, strengths, and reciprocity") {
     val edges = Seq(("A", "B", 3L), ("B", "A", 2L), ("A", "C", 1L),
       ("C", "C", 9L)).toDF("src", "dst", "w")  // self-loop dropped
