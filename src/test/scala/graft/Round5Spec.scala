@@ -382,6 +382,32 @@ class Round5Spec extends AnyFunSuite {
     assert(got.toSeq.sorted == want.sorted, s"got ${got.length}, want ${want.length}")
   }
 
+  // ---- degenerate inputs: every new operator survives an empty world ------
+
+  test("round-5 operators: empty inputs yield empty (or guarded) results, not crashes") {
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Multimodal.imageNearDup(spark, emptyDocs).count() == 0)
+    assert(Multimodal.imageAHashes(spark, emptyDocs).count() == 0)
+    assert(Multimodal.wavSampleStats(spark, emptyDocs).count() == 0)
+    assert(graft.ops.TextOps.bpePairCensus(emptyDocs).count() == 0)
+    assert(graft.ops.Corpus.stripDuplicateSpans(emptyDocs).count() == 0)
+    assert(graft.ops.Corpus.mixtureWeights(emptyDocs).count() == 0)
+    assert(graft.ops.Corpus.contrastivePairs(emptyDocs).count() == 0)
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.SimSearch.ivfPqTopK(emptyEmb).count() == 0)
+    val fact = spark.range(0, 10).selectExpr("id AS fk")
+    val emptyDim = spark.range(0, 0).selectExpr("id AS dk")
+    // empty dim: the bloom rejects everything, matching the plain join
+    assert(graft.ops.Relational.bloomPrunedJoin(fact, "fk", emptyDim, "dk")
+      .count() == 0)
+    val emptyEdges = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(graft.ops.Graph.degreeCensus(emptyEdges).count() == 0)
+    val emptyOrders = Seq.empty[(Long, String, java.math.BigDecimal)]
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    assert(graft.ops.Relational.mergePartialsRollup(emptyOrders).count() == 0)
+  }
+
   test("pq_adc: scores equal driver-side table lookups on the fused path") {
     import org.apache.spark.sql.functions._
     graft.plans.GraftExtensions.ensureRegistered(spark)
