@@ -164,6 +164,9 @@ object SparkEntry {
     "graph_degree_census" -> ((s, d) =>
       Graph.nationDegrees(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "graph_bfs_hops" -> ((s, d) =>
+      Graph.nationHops(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "corpus_mixture_weights" -> ((s, d) =>
       Corpus.mixtureWeights(Tables.documents(s, d))),
     "corpus_contrastive_pairs" -> ((s, d) =>
@@ -984,6 +987,27 @@ object SparkEntry {
         |v AS (SELECT unnest([a, b, c]) AS n_name FROM t)
         |SELECT n_name, count(*) AS n_triangles FROM v
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
+    // BFS distances via recursive CTE: UNION dedups per layer, min(hops)
+    // is the shortest distance within the same 6-hop bound the Spark
+    // frontier loop runs
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  WHERE sn.n_name <> cn.n_name),
+        |bfs(n_name, hops) AS (
+        |  SELECT 'NATION_0', 0
+        |  UNION
+        |  SELECT e.dst, bfs.hops + 1
+        |  FROM bfs JOIN edges e ON e.src = bfs.n_name
+        |  WHERE bfs.hops < 6)
+        |SELECT n_name, CAST(min(hops) AS INT) AS hops
+        |FROM bfs GROUP BY 1 ORDER BY n_name""".stripMargin,
     "graph_degree_census" ->
       """WITH edges AS (
         |  SELECT sn.n_name AS src, cn.n_name AS dst, count(*) AS w

@@ -145,4 +145,45 @@ object Graph {
       supplier: DataFrame, nation: DataFrame): DataFrame =
     degreeCensus(
       nationTradeEdges(lineitem, orders, customer, supplier, nation))
+
+  /** Frontier-based BFS shortest hops from `source` — the textbook
+    * distributed traversal: each round joins ONLY the current frontier
+    * against the edge list, anti-joins out already-settled vertices, and
+    * unions the new layer in. Work per round is O(frontier · out-degree),
+    * the settled set grows monotonically, and `localCheckpoint` truncates
+    * the union lineage each round (the [[pagerank]] discipline). Rounds are
+    * bounded by `maxHops`; a vertex's first discovery IS its minimum
+    * distance, so the result equals the oracle's recursive-CTE min(hops)
+    * for every vertex within the bound. */
+  def shortestHops(edges0: DataFrame, source: String,
+      maxHops: Int = 6): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = edges0.select("src", "dst").where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    var dist = Seq((source, 0)).toDF("n_name", "hops")
+      .localCheckpoint(true)
+    var frontier = dist.select("n_name")
+    var i = 1
+    var grown = true
+    while (grown && i <= maxHops) {
+      val next = frontier.join(edges, frontier("n_name") === edges("src"))
+        .select(col("dst").as("n_name")).distinct()
+        .join(dist, Seq("n_name"), "left_anti")
+        .withColumn("hops", lit(i))
+        .localCheckpoint(true)
+      grown = !next.isEmpty
+      if (grown) {
+        dist = dist.union(next).localCheckpoint(true)
+        frontier = next.select("n_name")
+      }
+      i += 1
+    }
+    dist.orderBy("n_name")
+  }
+
+  def nationHops(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, source: String = "NATION_0"): DataFrame =
+    shortestHops(
+      nationTradeEdges(lineitem, orders, customer, supplier, nation), source)
 }

@@ -287,6 +287,16 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("shortestHops: chain distances, unreachable vertices absent, cycles safe") {
+    val edges = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L),
+      ("C", "A", 1L), // back-edge cycle must not loop forever
+      ("E", "F", 1L)  // disconnected from A
+    ).toDF("src", "dst", "w")
+    val got = graft.ops.Graph.shortestHops(edges, "A")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3))
+  }
+
   test("degreeCensus: planted graph degrees, strengths, and reciprocity") {
     val edges = Seq(("A", "B", 3L), ("B", "A", 2L), ("A", "C", 1L),
       ("C", "C", 9L)).toDF("src", "dst", "w")  // self-loop dropped
