@@ -791,7 +791,10 @@ object Relational {
     * map explode, the dynamic-schema path next to the static
     * `get_json_object` extraction in [[jsonExtract]]. */
   def explodeProps(events: DataFrame): DataFrame =
-    events
+    // JSON parsing is CPU-bound row-local work: spread an under-split scan
+    // first (a single local file is ONE partition — one core would parse
+    // the whole table; no-op on a real many-split scan)
+    Spread.toCores(events.select("event_id", "props"))
       .select(col("event_id"),
         explode(from_json(col("props"), org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
