@@ -259,6 +259,8 @@ object SparkEntry {
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
+    "corpus_hard_negatives" -> ((s, d) =>
+      Corpus.hardNegatives(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cap_census" -> ((s, d) => Dedup.capCensus(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
@@ -473,6 +475,50 @@ object SparkEntry {
   private val districtSql = "'D' || lpad(CAST(user_id % 10 AS VARCHAR), 2, '0')"
 
   /** Whitespace tokens with empties dropped — GraftFunctions.tokens. */
+  /** Shared by dedup_minhash_lsh and corpus_hard_negatives. */
+  /** Candidate-pair SQL for the MinHash pipeline, parameterized by band
+    * structure (8 bands x 4 rows = the near-dup miner; 32 x 1 = the loose
+    * single-slot collisions hard-negative mining wants). Shared by
+    * dedup_minhash_lsh and corpus_hard_negatives. */
+  private def minhashCandidatesSql(bands: Int, rowsPerBand: Int): String = {
+      val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
+      val sigCols = (0 until 32)
+        .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
+        .mkString(",\n  ")
+      val bandSelects = (0 until bands).map { j =>
+        val fold = (0 until rowsPerBand).map(r => s"s${j * rowsPerBand + r}")
+          .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
+            s"(($acc * 1000003 + $s) % 2147483647)")
+        s"SELECT doc_id, $j AS band_idx, $fold AS bh FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
+         |       FROM t),
+         |hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         [ord(s[i:i]) for i in range(1, length(s)+1)]),
+         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |  FROM hb GROUP BY doc_id),
+         |band AS (
+         |  $bandSelects),
+         |bkt AS (SELECT band_idx, bh FROM band GROUP BY band_idx, bh
+         |        HAVING count(*) BETWEEN 2 AND 1024),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM band x JOIN bkt USING (band_idx, bh)
+         |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
+         |                         AND y.doc_id > x.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(len(list_distinct(list_intersect(ta.toks, tb.toks))) AS INT) AS n_common,
+         |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS INT) AS n_union
+         |FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
+         |            JOIN t tb ON tb.doc_id = c.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private lazy val minhashLshSql: String = minhashCandidatesSql(8, 4)
+
   private val toksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
 
   /** revenue term: extendedprice * (1 - discount) in exact decimal. */
@@ -1508,42 +1554,15 @@ object SparkEntry {
     // slot family (coefficients embedded as literals), band fold, bucket
     // pairing with the size cap, exact token-set intersect/union on the
     // candidates — re-derived end-to-end in DuckDB SQL
-    "dedup_minhash_lsh" -> {
-      val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
-      val sigCols = (0 until 32)
-        .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
-        .mkString(",\n  ")
-      val bandSelects = (0 until 8).map { j =>
-        val fold = (0 until 4).map(r => s"s${j * 4 + r}")
-          .foldLeft("CAST(0 AS BIGINT)")((acc, s) =>
-            s"(($acc * 1000003 + $s) % 2147483647)")
-        s"SELECT doc_id, $j AS band_idx, $fold AS bh FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
-         |       FROM t),
-         |hb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |         [ord(s[i:i]) for i in range(1, length(s)+1)]),
-         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
-         |sig AS (SELECT doc_id,
-         |  $sigCols
-         |  FROM hb GROUP BY doc_id),
-         |band AS (
-         |  $bandSelects),
-         |bkt AS (SELECT band_idx, bh FROM band GROUP BY band_idx, bh
-         |        HAVING count(*) BETWEEN 2 AND 1024),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM band x JOIN bkt USING (band_idx, bh)
-         |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
-         |                         AND y.doc_id > x.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(len(list_distinct(list_intersect(ta.toks, tb.toks))) AS INT) AS n_common,
-         |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS INT) AS n_union
-         |FROM cand c JOIN t ta ON ta.doc_id = c.doc_a
-         |            JOIN t tb ON tb.doc_id = c.doc_b
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dedup_minhash_lsh" -> minhashLshSql,
+    // bucket-collided pairs with jaccard <= 1/2: the hard-negative miner
+    // is one integer filter over the same candidate pipeline
+    "corpus_hard_negatives" ->
+      s"""WITH base AS (${minhashCandidatesSql(32, 1)})
+         |SELECT doc_a, doc_b, n_common, n_union FROM base
+         |WHERE n_common * 2 <= n_union
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     // SimHash: dual-residue polynomial token hash, 64-slot bit votes,
     // 16-bit chunk pigeonhole buckets, hamming verify — all integer
     // arithmetic, re-derived in DuckDB

@@ -297,6 +297,19 @@ class Round5Spec extends AnyFunSuite {
     assert(got == Map("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3))
   }
 
+  test("hardNegatives: collided-but-dissimilar pairs kept, near-dups excluded") {
+    val half = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${(1 to 8).map(i => s"a$i").mkString(" ")} $half"), // j(1,2)=1/3
+      (2L, s"${(1 to 8).map(i => s"b$i").mkString(" ")} $half"),
+      (3L, "identical twin text body"),
+      (4L, "identical twin text body")).toDF("doc_id", "text") // j=1
+    val got = graft.ops.Corpus.hardNegatives(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "shared-half pair should be a hard negative")
+    assert(!got.contains((3L, 4L)), "exact duplicates are positives, not negatives")
+  }
+
   test("degreeCensus: planted graph degrees, strengths, and reciprocity") {
     val edges = Seq(("A", "B", 3L), ("B", "A", 2L), ("A", "C", 1L),
       ("C", "C", 9L)).toDF("src", "dst", "w")  // self-loop dropped
