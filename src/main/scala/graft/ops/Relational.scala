@@ -669,9 +669,13 @@ object Relational {
 
   /** The Bloom-probe predicate of [[bloomPrunedJoin]]: builds the filter
     * from `dim`'s keys (distributed; driver holds only the m-bit word
-    * array) and returns the codegen'd membership test over `probeCol`. */
+    * array) and returns the codegen'd membership test over `probeCol`.
+    * `castKeyTo` pins the hash input type on BOTH sides (numeric keys of
+    * different physical widths must hash identically); pass None for
+    * string keys, which hash as-is. */
   private[graft] def bloomMightContain(dim: DataFrame, dimKey: String,
-      hashes: Int = 5)(probeCol: Column): Column = {
+      hashes: Int = 5, castKeyTo: Option[String] = Some("long"))
+      (probeCol: Column): Column = {
     val spark = dim.sparkSession
     import spark.implicits._
     // one materialization feeds both the sizing count and the position
@@ -681,10 +685,11 @@ object Relational {
     val nKeys = math.max(1L, keys.count())
     val mBits = math.min(1L << 24, math.max(1L << 12,
       java.lang.Long.highestOneBit(16L * nKeys) << 1)).toInt
-    // bit position of probe i — the SAME expression on both sides (keys
-    // cast to long so fact/dim physical types can't change the hash)
-    def probe(c: Column, i: Int): Column =
-      pmod(xxhash64(c.cast("long"), lit(i)), lit(mBits.toLong)).cast("int")
+    // bit position of probe i — the SAME expression on both sides
+    def probe(c0: Column, i: Int): Column = {
+      val c = castKeyTo.map(c0.cast).getOrElse(c0)
+      pmod(xxhash64(c, lit(i)), lit(mBits.toLong)).cast("int")
+    }
     val positions = keys
       .select(explode(array((0 until hashes).map(i =>
         probe(col(dimKey), i)): _*)).as("pos"))
