@@ -358,6 +358,8 @@ object SparkEntry {
     "samp_hash_10pct" -> ((s, d) =>
       Sampling.sampleByHash(Tables.documents(s, d), "doc_id", 10)
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    "samp_weighted_orders" -> ((s, d) =>
+      Sampling.weightedOrderSample(Tables.orders(s, d))),
     "samp_split_counts" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", 80, 10)
         .groupBy("split").agg(count(lit(1)).as("n")).orderBy("split")),
@@ -1940,6 +1942,15 @@ object SparkEntry {
     "samp_hash_10pct" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $bucketSql < 10 ORDER BY doc_id""".stripMargin,
+    // probability-proportional-to-size keep: micro-bucket vs price in
+    // cents, all int64 products bounded — RNG-free importance sampling
+    "samp_weighted_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_kept,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_kept
+        |FROM orders
+        |WHERE (((o_orderkey % 2147483647) * 1103515245) % 2147483647) % 1000000 * 20000000
+        |  < CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "samp_split_counts" ->
       s"""WITH b AS (SELECT $bucketSql AS bkt FROM documents)
          |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val'

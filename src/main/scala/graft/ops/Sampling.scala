@@ -69,6 +69,37 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
   }
 
+  /** Micro-unit bucket in [0, 10⁶) — the fine-grained sibling of
+    * [[hashBucket]] for probability-proportional decisions. */
+  def hashMicro(key: Column): Column =
+    ((key % P) * A % P) % 1000000L
+
+  /** Probability-proportional-to-size sampling, RNG-free: keep a row iff
+    * `hashMicro(key) · cap < value · 10⁶`, i.e. with probability
+    * min(1, value/cap) — the importance-sampling step that overweights
+    * high-value rows (big orders, long documents) without an RNG, so
+    * reruns, late data, and other engines agree row-by-row. Pure integer
+    * comparisons (value in cents, caps bounded so products stay far inside
+    * int64), zero shuffle, pushes to the scan. */
+  def sampleProportional(df: DataFrame, keyCol: String, valueCents: Column,
+      capCents: Long): DataFrame = {
+    require(capCents > 0 && capCents <= 1000000000L,
+      s"capCents must be in (0, 1e9], got $capCents") // 1e9·1e6 << int64 max
+    df.where(hashMicro(col(keyCol)) * capCents < valueCents * 1000000L)
+  }
+
+  /** [[sampleProportional]] exercised end-to-end: orders kept with
+    * probability min(1, price/200000), rolled up by priority. */
+  def weightedOrderSample(orders: DataFrame): DataFrame =
+    sampleProportional(
+        orders.select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(12,2)").as("price")),
+        "o_orderkey", (col("price") * 100).cast("long"), 20000000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("price").cast("decimal(18,2)").cast("double").as("sum_kept"))
+      .orderBy("o_orderpriority")
+
   /** Weighted corpus mixing: each named corpus sampled at its percent, then
     * unioned with a `corpus` tag — the blend step that builds a training
     * mixture from heterogeneous sources. A union of deterministic

@@ -297,6 +297,23 @@ class Round5Spec extends AnyFunSuite {
     assert(got == Map("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3))
   }
 
+  test("sampleProportional: value >= cap always kept; keep rate tracks value") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.range(0, 10000).selectExpr("id AS k",
+      "CAST(id % 100 AS BIGINT) AS v") // values 0..99 cents, cap 100
+    val kept = graft.ops.Sampling.sampleProportional(df, "k", col("v") * 1, 100L)
+      .selectExpr("v").as[Long].collect()
+    val rate = kept.groupBy(identity).view.mapValues(_.length / 100.0).toMap
+    assert(!kept.contains(0L), "zero-value rows can never be kept")
+    // monotone-ish: high-value band keeps far more than low-value band
+    val lo = (1L to 20L).map(v => rate.getOrElse(v, 0.0)).sum / 20
+    val hi = (80L to 99L).map(v => rate.getOrElse(v, 0.0)).sum / 20
+    assert(hi > lo * 2, s"keep rate should track value: lo=$lo hi=$hi")
+    val always = graft.ops.Sampling.sampleProportional(
+      df.withColumn("v", lit(100L)), "k", col("v"), 100L).count()
+    assert(always == 10000, "value == cap must always keep")
+  }
+
   test("hardNegatives: collided-but-dissimilar pairs kept, near-dups excluded") {
     val half = (1 to 8).map(i => s"c$i").mkString(" ")
     val docs = Seq(
