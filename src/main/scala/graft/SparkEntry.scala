@@ -233,6 +233,7 @@ object SparkEntry {
     "ts_rolling_7d_users" -> ((s, d) =>
       Relational.rollingDistinctUsers(Tables.events(s, d))),
     "ts_ewma_price" -> ((s, d) => Relational.ewmaPrice(Tables.orders(s, d))),
+    "ts_holt_price" -> ((s, d) => Relational.holtPrice(Tables.orders(s, d))),
     "text_normalize" -> ((s, d) => TextOps.normalize(Tables.documents(s, d))),
     // ---- event-time windows (batch form of the streaming ops, SURVEY §2.6)
     "win_tumbling_daily" -> ((s, d) => Relational.tumblingDailyCounts(Tables.events(s, d))),
@@ -1525,6 +1526,30 @@ object SparkEntry {
         |  floor(list_reduce(v, (acc, x) -> 0.25 * x + 0.75 * acc) * 1000000) / 1000000
         |    AS ewma_price
         |FROM xs ORDER BY o_custkey""".stripMargin,
+    // Holt level+trend recurrence stepped via RECURSIVE CTE — every float
+    // op written with the same association as the Spark fold. (NOT
+    // list_reduce: DuckDB 1.0's struct-accumulator fold evaluates the
+    // struct fields sequentially in place, so a later field referencing an
+    // earlier one silently reads the NEW value — state corruption, found
+    // the hard way.)
+    "ts_holt_price" ->
+      """WITH RECURSIVE o2 AS (SELECT o_custkey,
+        |    CAST(o_totalprice AS DOUBLE) AS p,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS i
+        |  FROM orders),
+        |n AS (SELECT o_custkey, max(i) AS n FROM o2 GROUP BY 1),
+        |st(o_custkey, i, l, b) AS (
+        |  SELECT o_custkey, 1, p, CAST(0 AS DOUBLE) FROM o2 WHERE i = 1
+        |  UNION ALL
+        |  SELECT o2.o_custkey, st.i + 1,
+        |    0.25 * o2.p + 0.75 * (st.l + st.b),
+        |    0.2 * (0.25 * o2.p + 0.75 * (st.l + st.b) - st.l) + 0.8 * st.b
+        |  FROM st JOIN o2 ON o2.o_custkey = st.o_custkey AND o2.i = st.i + 1)
+        |SELECT st.o_custkey, CAST(n.n AS INT) AS n_orders,
+        |  floor((st.l + st.b) * 1000000) / 1000000 AS holt_forecast
+        |FROM st JOIN n ON n.o_custkey = st.o_custkey AND st.i = n.n
+        |ORDER BY st.o_custkey""".stripMargin,
     "text_normalize" ->
       raw"""SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
         |  substring(text, 1, 20) AS head20,

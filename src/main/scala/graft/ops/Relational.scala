@@ -1069,6 +1069,38 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Holt double-exponential smoothing — [[ewmaPrice]] plus a TREND state,
+    * the one-step forecaster a capacity planner actually runs (EWMA alone
+    * lags any drifting series): l' = α·x + (1-α)(l+b), b' = β(l'-l) +
+    * (1-β)b, forecast = l+b. The two-variable state folds as a struct
+    * accumulator over each customer's date-ordered price array — same
+    * per-group collect + sequential in-array fold as EWMA (deterministic
+    * order, no partition-order dependence), and every float op is written
+    * with the exact association the oracle's `list_reduce` replays, so the
+    * doubles match bit-for-bit before the 10⁻⁶ floor. */
+  def holtPrice(orders: DataFrame, alpha: Double = 0.25,
+      beta: Double = 0.2): DataFrame = {
+    def lNew(acc: Column, e: Column): Column =
+      lit(alpha) * e.getField("l") +
+        lit(1 - alpha) * (acc.getField("l") + acc.getField("b"))
+    val fold = aggregate(col("xs"),
+      lit(null).cast("struct<l:double,b:double>"),
+      (acc, e) => when(acc.isNull, e).otherwise(struct(
+        lNew(acc, e).as("l"),
+        (lit(beta) * (lNew(acc, e) - acc.getField("l")) +
+          lit(1 - beta) * acc.getField("b")).as("b"))))
+    orders
+      .groupBy("o_custkey")
+      .agg(array_sort(collect_list(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("p")))).as("xs0"))
+      .withColumn("xs", transform(col("xs0"),
+        x => struct(x.getField("p").as("l"), lit(0.0d).as("b"))))
+      .select(col("o_custkey"), size(col("xs")).as("n_orders"),
+        (floor((fold.getField("l") + fold.getField("b")) * 1000000d) / 1000000d)
+          .as("holt_forecast"))
+      .orderBy("o_custkey")
+  }
+
   /** rank() and dense_rank() with ties, formulated aggregate-first: counts
     * per (priority, price-bucket) collapse the fact table BEFORE any window
     * runs, so the windows see only dimension-cardinality rows (priorities ×

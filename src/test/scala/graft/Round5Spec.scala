@@ -297,6 +297,24 @@ class Round5Spec extends AnyFunSuite {
     assert(got == Map("A" -> 0, "B" -> 1, "C" -> 2, "D" -> 3))
   }
 
+  test("holtPrice: fold equals a plain-Scala replay; the trend term leads on a ramp") {
+    val orders = (1 to 12).map(i =>
+      (1L, i.toLong, f"2024-01-$i%02d", BigDecimal(i * 100)))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = graft.ops.Relational.holtPrice(orders).collect().head
+    var l = 100.0; var b = 0.0
+    for (i <- 2 to 12) {
+      val l2 = 0.25 * (i * 100.0) + 0.75 * (l + b)
+      b = 0.2 * (l2 - l) + 0.8 * b
+      l = l2
+    }
+    assert(got.getDouble(2) == math.floor((l + b) * 1e6) / 1e6)
+    // on a strictly increasing series the trend term must push the
+    // forecast ABOVE the level-only EWMA
+    val ewma = graft.ops.Relational.ewmaPrice(orders).collect().head.getDouble(2)
+    assert(got.getDouble(2) > ewma, s"holt ${got.getDouble(2)} <= ewma $ewma")
+  }
+
   test("sampleProportional: value >= cap always kept; keep rate tracks value") {
     import org.apache.spark.sql.functions.{col, lit}
     val df = spark.range(0, 10000).selectExpr("id AS k",
