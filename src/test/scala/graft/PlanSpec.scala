@@ -212,6 +212,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"map-side combine lost:\n$p")
   }
 
+  test("ivf-pq: route and encode are per-row maps; only the rank windows shuffle") {
+    val p = plan(SimSearch.ivfPqTopK(Tables.embeddings(spark, TestSpark.sf0001)))
+    // pq_codes appears for BOTH the coarse route and the encode, fused in
+    // the row-local projection — no join anywhere in the plan (codebooks
+    // and probe lists are literals), and the only exchanges are the
+    // per-query rank window's hash partitioning (+ its final sort)
+    assert(p.contains("pq_codes"), s"fused encode missing:\n$p")
+    assert(!p.contains("Join"), s"IVFPQ must not join — literals only:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"only the rank window may hash-partition:\n$p")
+  }
+
   test("kmeans assignment is zero-shuffle: argmin over broadcast literals") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
     // one full run triggers the internal collects; then re-derive the final
