@@ -483,7 +483,8 @@ object SparkEntry {
     * structure (8 bands x 4 rows = the near-dup miner; 32 x 1 = the loose
     * single-slot collisions hard-negative mining wants). Shared by
     * dedup_minhash_lsh and corpus_hard_negatives. */
-  private def minhashCandidatesSql(bands: Int, rowsPerBand: Int): String = {
+  private def minhashCandidatesSql(bands: Int, rowsPerBand: Int,
+      estPrefilter: Option[(Int, Int)] = None): String = {
       val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
       val sigCols = (0 until 32)
         .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
@@ -494,6 +495,25 @@ object SparkEntry {
             s"(($acc * 1000003 + $s) % 2147483647)")
         s"SELECT doc_id, $j AS band_idx, $fold AS bh FROM sig"
       }.mkString("\n  UNION ALL ")
+      // signature-slot estimate prefilter (Corpus.hardNegatives): with
+      // single-slot bands a pair's collision count across surviving
+      // buckets IS its matching-slot count, so the DISTINCT becomes a
+      // GROUP BY + HAVING — candidates with estimate > num/den never
+      // reach the token-array verify, exactly as the engine runs it
+      val candSql = estPrefilter match {
+        case None =>
+          """cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            |         FROM band x JOIN bkt USING (band_idx, bh)
+            |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
+            |                         AND y.doc_id > x.doc_id)""".stripMargin
+        case Some((num, den)) =>
+          s"""cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |         FROM band x JOIN bkt USING (band_idx, bh)
+             |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
+             |                         AND y.doc_id > x.doc_id
+             |         GROUP BY 1, 2
+             |         HAVING count(*) * $den <= 32 * $num)""".stripMargin
+      }
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |         ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)] END) AS s
@@ -508,10 +528,7 @@ object SparkEntry {
          |  $bandSelects),
          |bkt AS (SELECT band_idx, bh FROM band GROUP BY band_idx, bh
          |        HAVING count(*) BETWEEN 2 AND 1024),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM band x JOIN bkt USING (band_idx, bh)
-         |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
-         |                         AND y.doc_id > x.doc_id)
+         |$candSql
          |SELECT c.doc_a, c.doc_b,
          |  CAST(len(list_distinct(list_intersect(ta.toks, tb.toks))) AS INT) AS n_common,
          |  CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS INT) AS n_union
@@ -1583,9 +1600,11 @@ object SparkEntry {
     // candidates — re-derived end-to-end in DuckDB SQL
     "dedup_minhash_lsh" -> minhashLshSql,
     // bucket-collided pairs with jaccard <= 1/2: the hard-negative miner
-    // is one integer filter over the same candidate pipeline
+    // is one integer filter over the same candidate pipeline, with the
+    // signature-slot estimate prefilter (est <= 3/4) replayed before the
+    // token-array verify exactly as the engine runs it
     "corpus_hard_negatives" ->
-      s"""WITH base AS (${minhashCandidatesSql(32, 1)})
+      s"""WITH base AS (${minhashCandidatesSql(32, 1, Some((3, 4)))})
          |SELECT doc_a, doc_b, n_common, n_union FROM base
          |WHERE n_common * 2 <= n_union
          |ORDER BY doc_a, doc_b""".stripMargin,

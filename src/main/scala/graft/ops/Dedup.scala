@@ -26,11 +26,26 @@ object Dedup {
     * the bucket list so the upstream signature computation runs ONCE (a
     * self-join formulation recomputes the signature plan on both sides —
     * measured 3× the work). */
-  private[ops] def bucketPairs(bucketed: DataFrame, idsCol: String): DataFrame =
-    bucketed
-      .select(col(idsCol).as("_ids"))
+  private[ops] def bucketPairs(bucketed: DataFrame, idsCol: String,
+      dedupeContent: Boolean = false): DataFrame = {
+    val lists0 = bucketed.select(col(idsCol).as("_ids"))
+    // Identical member lists in different buckets emit identical pair sets.
+    // A near-dup CLUSTER collides in EVERY band with the same member list,
+    // so each band re-emits the cluster's full B(B-1)/2 pairs — with 32
+    // single-slot bands that's 32× the explode volume for rows the final
+    // `distinct` throws away anyway. Canonicalize (sort) + distinct the
+    // lists first for consumers that dedupe pairs afterwards; pair-COUNTING
+    // consumers (sharedGramPairs, winnowedPairs: n_shared = buckets shared)
+    // must keep every bucket and pass false. Set-identical output either
+    // way, so no oracle change.
+    val lists =
+      if (dedupeContent)
+        lists0.select(array_sort(col("_ids")).as("_ids")).distinct()
+      else lists0
+    lists
       .select(col("_ids"), explode(col("_ids")).as("a"))
       .select(col("a"), explode(filter(col("_ids"), x => x > col("a"))).as("b"))
+  }
 
   /** Exact dedup: canonical representative (min doc_id) per distinct text.
     * Equivalent to `dropDuplicates("text")` but with a deterministic survivor,
@@ -93,7 +108,7 @@ object Dedup {
       .groupBy("band_idx", "band_hash")
       .agg(collect_list("doc_id").as("ids"))
       .where(size(col("ids")).between(2, MaxBucket))
-    val cand = bucketPairs(buckets, "ids")
+    val cand = bucketPairs(buckets, "ids", dedupeContent = true)
       .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
     cand
@@ -132,7 +147,7 @@ object Dedup {
     val buckets = fp.groupBy("chunk_idx", "chunk")
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("ids"))
       .where(size(col("ids")).between(2, MaxBucket))
-    bucketPairs(buckets, "ids")
+    bucketPairs(buckets, "ids", dedupeContent = true)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .distinct()

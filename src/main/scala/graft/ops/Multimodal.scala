@@ -449,7 +449,7 @@ object Multimodal {
       .agg(collect_list(struct(col("media_id"), col("ahash_hi"),
         col("ahash_lo"))).as("ids"))
       .where(size(col("ids")).between(2, Dedup.MaxBucket))
-    Dedup.bucketPairs(buckets, "ids")
+    Dedup.bucketPairs(buckets, "ids", dedupeContent = true)
       .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
         (graft.functions.GraftFunctions.hamming64(
             col("a.ahash_hi"), col("b.ahash_hi"))

@@ -191,8 +191,15 @@ class PlanSpec extends AnyFunSuite {
     val distinctAt = p.indexOf("keys=[doc_a")
     assert(bucketAt >= 0 && distinctAt >= 0 && distinctAt < bucketAt,
       s"pair distinct must sit above the bucket aggregate:\n$p")
-    // exactly two hash exchanges: bucket groupBy + candidate-pair distinct
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+    // the bucket-content dedupe (identical member lists collapse before the
+    // pair explode — the cluster-flood guard) sits between them
+    val listsAt = p.indexOf("keys=[_ids")
+    assert(listsAt >= 0 && distinctAt < listsAt && listsAt < bucketAt,
+      s"bucket-content dedupe missing or misplaced:\n$p")
+    // exactly three hash exchanges: bucket groupBy + content dedupe +
+    // candidate-pair distinct (the dedupe shuffles one row per BUCKET —
+    // strictly smaller than the pair stream it prunes)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
       s"extra shuffle appeared in the candidate path:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate generation exploded into a product join:\n$p")
