@@ -130,6 +130,15 @@ object SparkEntry {
       Relational.lastShipperCounts(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q19_disjunctive_revenue" -> ((s, d) =>
       Relational.disjunctiveRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q2_min_cost_supplier" -> ((s, d) =>
+      Relational.minCostSuppliers(Tables.partsupp(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q11_important_stock" -> ((s, d) =>
+      Relational.importantStock(Tables.partsupp(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d))),
+    "q20_promo_suppliers" -> ((s, d) =>
+      Relational.promoSuppliers(Tables.partsupp(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.lineitem(s, d))),
     "q6_forecast_revenue" -> ((s, d) =>
       Tpch.forecastRevenue(Tables.lineitem(s, d))),
     "q7_volume_shipping" -> ((s, d) =>
@@ -541,6 +550,19 @@ object SparkEntry {
 
   private val toksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
 
+  /** Tables.partsupp re-derived in DuckDB: same dbgen supplier assignment,
+    * same integer availqty/supplycost formulas. Prepend inside a WITH. */
+  private val partsuppSql =
+    """ps0 AS (SELECT p_partkey,
+      |          (p_partkey + i * (n_supp // 4 + p_partkey // n_supp)) % n_supp AS ps_suppkey
+      |        FROM part
+      |        CROSS JOIN (SELECT count(*) AS n_supp FROM supplier)
+      |        CROSS JOIN (SELECT unnest(range(4)) AS i)),
+      |partsupp AS (SELECT p_partkey AS ps_partkey, ps_suppkey,
+      |          (p_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+      |          (p_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS ps_supplycost_cents
+      |        FROM ps0)""".stripMargin
+
   /** revenue term: extendedprice * (1 - discount) in exact decimal. */
   private val revSql =
     "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
@@ -815,6 +837,53 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem l
         |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the three partsupp-built shapes: partsupp is re-DERIVED in the WITH
+    // (see partsuppSql) — both engines compute the identical integer table
+    "q2_min_cost_supplier" ->
+      s"""WITH $partsuppSql,
+         |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |            JOIN region ON n_regionkey = r_regionkey
+         |       WHERE r_name = 'EUROPE'),
+         |pr AS (SELECT ps_partkey, ps_supplycost_cents, s_name, s_acctbal, n_name
+         |       FROM partsupp JOIN rs ON ps_suppkey = s_suppkey),
+         |mc AS (SELECT ps_partkey, min(ps_supplycost_cents) AS min_cost
+         |       FROM pr GROUP BY 1)
+         |SELECT pr.s_acctbal, pr.s_name, pr.n_name, p.p_partkey,
+         |       pr.ps_supplycost_cents
+         |FROM pr JOIN mc ON pr.ps_partkey = mc.ps_partkey
+         |              AND pr.ps_supplycost_cents = mc.min_cost
+         |     JOIN part p ON pr.ps_partkey = p.p_partkey
+         |WHERE p.p_size <= 25 AND p.p_type = 'ECONOMY'
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH $partsuppSql,
+         |ns AS (SELECT s_suppkey FROM supplier
+         |       JOIN nation ON s_nationkey = n_nationkey
+         |       WHERE n_name = 'NATION_7'),
+         |pp AS (SELECT ps_partkey,
+         |         CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+         |       FROM partsupp JOIN ns ON ps_suppkey = s_suppkey GROUP BY 1)
+         |SELECT ps_partkey, value_cents
+         |FROM pp CROSS JOIN (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+         |                    FROM pp) t
+         |WHERE value_cents * 1000 > total_cents * 1
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+    "q20_promo_suppliers" ->
+      s"""WITH $partsuppSql,
+         |sh AS (SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+         |       FROM lineitem
+         |       WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2001-01-01'
+         |       GROUP BY 1, 2),
+         |q AS (SELECT DISTINCT ps_suppkey FROM partsupp
+         |      JOIN sh ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |      WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |        AND ps_availqty * 2 > qty)
+         |SELECT s_suppkey, s_name FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE n_name = 'NATION_7' AND s_suppkey IN (SELECT ps_suppkey FROM q)
+         |ORDER BY s_suppkey""".stripMargin,
     "q12_linestatus_priority" ->
       """SELECT l_linestatus,
         |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,

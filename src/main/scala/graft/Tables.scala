@@ -40,6 +40,39 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** Derived `partsupp` — the TESTDATA layout ships 8 TPC-H-ish tables
+    * WITHOUT partsupp, which blocks the three classic join shapes built on
+    * it (Q2 correlated min, Q11 share-of-total HAVING, Q20 nested semi).
+    * Rather than synthesizing a parquet file the read-only oracle can't
+    * see, the table is DERIVED deterministically from part × supplier with
+    * pure integer arithmetic both engines replay exactly:
+    *
+    *   - each part gets 4 suppliers via the published TPC-H dbgen
+    *     assignment `(p + i·(S/4 + p/S)) mod S`, i ∈ 0..3 (keys here are
+    *     0-based, matching the TESTDATA keyspace);
+    *   - `ps_availqty`       = (p·7 + s·3) mod 9999 + 1
+    *   - `ps_supplycost_cents` = (p·31 + s·17) mod 99900 + 100
+    *     (integer cents, 1.00..1000.00 — money stays on the integer grid,
+    *     the oracle-parity discipline).
+    *
+    * The supplier count S is read from the supplier table (scales with sf),
+    * carried by a broadcast 1-row cross join — the scalar-total pattern.
+    * RNG-free, so a 100 TB re-derivation is reproducible shard by shard. */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    val s = supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
+    part(spark, dir).select("p_partkey")
+      .crossJoin(broadcast(s))
+      .withColumn("i", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("ps_suppkey",
+        expr("(p_partkey + i * (n_supp div 4 + p_partkey div n_supp)) % n_supp"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        expr("(p_partkey * 7 + ps_suppkey * 3) % 9999 + 1").as("ps_availqty"),
+        expr("(p_partkey * 31 + ps_suppkey * 17) % 99900 + 100")
+          .as("ps_supplycost_cents"))
+  }
+
   /** `events` with `ts` as a microsecond TimestampType column (see scaladoc).
     *
     * NOTE: setting `nanosAsLong` is a SESSION-level conf — after this call,

@@ -1150,4 +1150,103 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"))
       .orderBy("user_id", "session_start")
+
+  /** TPC-H Q2-shaped min-cost supplier: for parts of one size/type, the
+    * supplier(s) in a region offering the minimum supply cost. The classic
+    * correlated-min subquery DECORRELATES to a per-part min aggregate over
+    * the region-filtered partsupp joined back on (partkey, min cost) — the
+    * Spark-first form: one shuffle on partkey for the min, one for the
+    * join-back, every dimension (supplier⋈nation⋈region, part) a broadcast.
+    * Cost stays integer cents end-to-end, so min and equality are exact. */
+  def minCostSuppliers(partsupp: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "EUROPE", maxSize: Int = 25,
+      ptype: String = "ECONOMY"): DataFrame = {
+    val regionSupp = supplier
+      .join(broadcast(nation.join(
+          broadcast(region.where(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val psRegion = partsupp
+      .join(broadcast(regionSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select("ps_partkey", "ps_supplycost_cents", "s_name", "s_acctbal", "n_name")
+    // aggregate under a renamed key: minCost derives from psRegion, and a
+    // same-name equi-join on the shared lineage trips the ambiguous-
+    // self-join check
+    val minCost = psRegion.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min("ps_supplycost_cents").as("min_cost_cents"))
+    psRegion
+      .join(minCost,
+        col("ps_partkey") === col("mc_partkey")
+          && col("ps_supplycost_cents") === col("min_cost_cents"))
+      .join(broadcast(part.where(col("p_size") <= maxSize
+          && col("p_type") === ptype)),
+        col("ps_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("ps_supplycost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11-shaped important stock: per part, the total stock value held
+    * by one nation's suppliers, kept only when it exceeds `permille`/1000 of
+    * that nation's grand total — the group-HAVING-over-global-share shape.
+    * Value = supplycost_cents · availqty, summed as int64 (exact in any
+    * engine); the grand total rides a broadcast 1-row cross join and the
+    * share test is the cross-multiplied integer form (value·1000 > total·p)
+    * — no division anywhere. */
+  def importantStock(partsupp: DataFrame, supplier: DataFrame,
+      nation: DataFrame, nationName: String = "NATION_7",
+      permille: Int = 1): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.where(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val psNat = partsupp
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+    val perPart = psNat.groupBy("ps_partkey")
+      .agg(sum("v").as("value_cents"))
+    val total = perPart.agg(sum("value_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("value_cents") * 1000 > col("total_cents") * permille)
+      .select("ps_partkey", "value_cents")
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q20-shaped promo suppliers: suppliers in one nation holding more
+    * stock of name-prefixed parts than half of what they actually shipped
+    * in a year — the double-nested-semi-join shape. The correlated quantity
+    * subquery decorrelates to a (partkey, suppkey) aggregate over the
+    * year-sliced lineitem (slice pushed to the scan as a closed-open range);
+    * the half test is the integer cross-multiplied form 2·availqty > qty
+    * (quantities are integral). Inner join = TPC-H's correlated-subquery
+    * semantics: a (part, supplier) pair that shipped nothing has a NULL
+    * subquery sum and is excluded. */
+  def promoSuppliers(partsupp: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+      nationName: String = "NATION_7", namePrefix: String = "red",
+      yearSlice: Int = 2000): DataFrame = {
+    val prefixParts = part.where(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    val shipped = lineitem.where(inYear(col("l_shipdate"), yearSlice))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").cast("long").as("qty"))
+    val qualifying = partsupp
+      .join(broadcast(prefixParts),
+        col("ps_partkey") === col("p_partkey"), "left_semi")
+      .join(shipped, col("ps_partkey") === col("l_partkey")
+        && col("ps_suppkey") === col("l_suppkey"))
+      .where(col("ps_availqty") * 2 > col("qty"))
+      .select("ps_suppkey")
+    supplier
+      .join(broadcast(nation.where(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
 }

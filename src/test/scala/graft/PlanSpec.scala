@@ -35,6 +35,30 @@ class PlanSpec extends AnyFunSuite {
       s"probe filter should sit under the join in the plan tree:\n$p")
   }
 
+  test("q2: correlated min decorrelates — dims broadcast, top-100 is TakeOrdered") {
+    val p = plan(Relational.minCostSuppliers(
+      Tables.partsupp(spark, TestSpark.sf0001),
+      Tables.part(spark, TestSpark.sf0001),
+      Tables.supplier(spark, TestSpark.sf0001),
+      Tables.nation(spark, TestSpark.sf0001),
+      Tables.region(spark, TestSpark.sf0001)))
+    // supplier⋈nation⋈region and part ride broadcast joins; only the
+    // per-part min aggregate and its join-back shuffle on partkey
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"dimension joins lost their broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a TakeOrdered, not a global sort + limit:\n$p")
+    // the only nested-loop joins allowed are the broadcast 1-row n_supp
+    // scalars in Tables.partsupp (one per derivation side — the min
+    // aggregate and its join-back each re-derive partsupp; a cross join
+    // with a single row is the right plan for a scalar); anything else
+    // means the decorrelation failed
+    val bnlj = "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size
+    assert(!p.contains("CartesianProduct")
+        && bnlj == "BroadcastNestedLoopJoin".r.findAllIn(p).size && bnlj <= 2,
+      s"decorrelation failed into a product join:\n$p")
+  }
+
   test("q3: dimension side broadcasts; top-10 is TakeOrderedAndProject, not global sort") {
     val p = plan(Relational.topUrgentOrders(
       Tables.customer(spark, TestSpark.sf0001),
