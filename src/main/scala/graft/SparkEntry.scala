@@ -307,6 +307,7 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     "sim_pq_topk" -> ((s, d) => SimSearch.pqTopK(Tables.embeddings(s, d))),
     "sim_ivfpq_topk" -> ((s, d) => SimSearch.ivfPqTopK(Tables.embeddings(s, d))),
+    "sim_recall_census" -> ((s, d) => SimSearch.recallCensus(Tables.embeddings(s, d))),
     // ---- text analysis (SURVEY §2.6)
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -549,6 +550,118 @@ object SparkEntry {
   private lazy val minhashLshSql: String = minhashCandidatesSql(8, 4)
 
   private val toksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
+
+  private lazy val simBruteSql: String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qe", "e.emb")} AS cos
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin
+
+  private lazy val simLshSql: String = {
+      val signsValues = (0 until 8).flatMap { t =>
+        val signs = ops.SimSearch.srpSigns(t, bits = 4, dim = 64)
+        (0 until 4).map { i =>
+          val arr = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+          s"($t, $i, CAST([$arr] AS DOUBLE[]))"
+        }
+      }.mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |s(tbl, bit, signs) AS (VALUES
+         |  $signsValues),
+         |p AS (SELECT e.vec_id, s.tbl, s.bit,
+         |        list_reduce(list_prepend(0.0,
+         |          list_transform(range(1, 65), i -> e.emb[i] * s.signs[i])),
+         |          (a, b) -> a + b) AS proj
+         |      FROM e CROSS JOIN s),
+         |b AS (SELECT vec_id, tbl,
+         |        sum(CASE WHEN proj > 0 THEN 1 << bit ELSE 0 END) AS bucket
+         |      FROM p GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+         |         FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |         WHERE c.vec_id <> q.query_id),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${cosSql("qe.emb", "ne.emb")} AS cos
+         |       FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |                 JOIN e ne ON ne.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM sc)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin
+  }
+
+  private lazy val simIvfSql: String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.emb, c.cell, row_number() OVER (
+         |         PARTITION BY e.vec_id
+         |         ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cell) AS rn
+         |       FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, emb, cell FROM a0 WHERE rn = 1),
+         |p0 AS (SELECT q.vec_id AS query_id, q.emb AS qe, c.cell,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${cosSql("q.emb", "c.ce")} DESC, c.cell) AS cr
+         |       FROM e q CROSS JOIN c WHERE q.vec_id < 5),
+         |p AS (SELECT query_id, qe, cell FROM p0 WHERE cr <= 4),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |        ${cosSql("p.qe", "a.emb")} AS cos
+         |      FROM a JOIN p ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
+         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
+         |ORDER BY query_id, "rank"""".stripMargin
+
+  private lazy val simIvfpqSql: String =
+      """WITH ex AS (SELECT vec_id, embedding,
+        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |e AS (SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
+        |  FROM ex),
+        |sd AS (SELECT CAST(max(i) AS BIGINT) // 8 AS subdim FROM e),
+        |cinit AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |          FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 8)),
+        |cseed AS (SELECT cinit.cell, e.i, e.v FROM cinit JOIN e USING (vec_id)),
+        |cdist AS (SELECT x.vec_id, cseed.cell,
+        |            sum((x.v - cseed.v) * (x.v - cseed.v)) AS d
+        |          FROM e x JOIN cseed ON cseed.i = x.i GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM cdist) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |           FROM cdist WHERE vec_id < 5) WHERE rn <= 3),
+        |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+        |         FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 16)),
+        |seed AS (SELECT init.cid, e.i, e.v FROM init JOIN e USING (vec_id)),
+        |dist AS (SELECT x.vec_id, (x.i - 1) // sd.subdim AS s, seed.cid,
+        |           sum((x.v - seed.v) * (x.v - seed.v)) AS d
+        |         FROM e x JOIN seed ON seed.i = x.i CROSS JOIN sd
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+        |            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |          FROM dist) WHERE rn = 1),
+        |score AS (SELECT p.query_id, x.vec_id AS neighbor_id, sum(qd.d) AS adc
+        |          FROM codes x
+        |          JOIN assign a ON a.vec_id = x.vec_id
+        |          JOIN probes p ON p.cell = a.cell
+        |          JOIN dist qd ON qd.s = x.s AND qd.cid = x.cid
+        |            AND qd.vec_id = p.query_id
+        |          WHERE x.vec_id <> p.query_id
+        |          GROUP BY 1, 2),
+        |r AS (SELECT query_id, neighbor_id, adc,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY adc, neighbor_id) AS rnk
+        |      FROM score)
+        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
+        |  CAST(rnk AS INT) AS rank
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Tables.partsupp re-derived in DuckDB: same dbgen supplier assignment,
     * same integer availqty/supplycost formulas. Prepend inside a WITH. */
@@ -2015,16 +2128,7 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(hr) AS BIGINT) AS checksum,
         |  min(hr) AS h_min, max(hr) AS h_max
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
-    "sim_bruteforce_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
-         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id, ${cosSql("q.qe", "e.emb")} AS cos
-         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
-         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "sim_bruteforce_topk" -> simBruteSql,
     // as-of joins: DuckDB has native ASOF JOIN; equal-time right rows are
     // deduped on both sides so the match is engine-independent
     "asof_purchase_last_view" ->
@@ -2087,63 +2191,11 @@ object SparkEntry {
     // below as literals, so the full LSH path (projection signs, per-table
     // buckets, candidate union, exact re-rank) is hash-verified cross-engine;
     // the fold order of the projection sum matches the engine's exactly
-    "sim_lsh_topk" -> {
-      val signsValues = (0 until 8).flatMap { t =>
-        val signs = ops.SimSearch.srpSigns(t, bits = 4, dim = 64)
-        (0 until 4).map { i =>
-          val arr = signs(i).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
-          s"($t, $i, CAST([$arr] AS DOUBLE[]))"
-        }
-      }.mkString(",\n  ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |s(tbl, bit, signs) AS (VALUES
-         |  $signsValues),
-         |p AS (SELECT e.vec_id, s.tbl, s.bit,
-         |        list_reduce(list_prepend(0.0,
-         |          list_transform(range(1, 65), i -> e.emb[i] * s.signs[i])),
-         |          (a, b) -> a + b) AS proj
-         |      FROM e CROSS JOIN s),
-         |b AS (SELECT vec_id, tbl,
-         |        sum(CASE WHEN proj > 0 THEN 1 << bit ELSE 0 END) AS bucket
-         |      FROM p GROUP BY 1, 2),
-         |q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < 5),
-         |cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
-         |         FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
-         |         WHERE c.vec_id <> q.query_id),
-         |sc AS (SELECT cand.query_id, cand.neighbor_id,
-         |         ${cosSql("qe.emb", "ne.emb")} AS cos
-         |       FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-         |                 JOIN e ne ON ne.vec_id = cand.neighbor_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM sc)
-         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin
-    },
+    "sim_lsh_topk" -> simLshSql,
     // IVF is fully deterministic (seeded centroids, rounded cosines, total
     // tie-breaks), so the whole index path — assignment argmax, probe
     // selection, in-cell re-rank — is SQL-expressible and oracled
-    "sim_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c AS (SELECT vec_id AS cell, emb AS ce FROM e WHERE vec_id < 16),
-         |a0 AS (SELECT e.vec_id, e.emb, c.cell, row_number() OVER (
-         |         PARTITION BY e.vec_id
-         |         ORDER BY ${cosSql("e.emb", "c.ce")} DESC, c.cell) AS rn
-         |       FROM e CROSS JOIN c),
-         |a AS (SELECT vec_id, emb, cell FROM a0 WHERE rn = 1),
-         |p0 AS (SELECT q.vec_id AS query_id, q.emb AS qe, c.cell,
-         |         row_number() OVER (PARTITION BY q.vec_id
-         |           ORDER BY ${cosSql("q.emb", "c.ce")} DESC, c.cell) AS cr
-         |       FROM e q CROSS JOIN c WHERE q.vec_id < 5),
-         |p AS (SELECT query_id, qe, cell FROM p0 WHERE cr <= 4),
-         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
-         |        ${cosSql("p.qe", "a.emb")} AS cos
-         |      FROM a JOIN p ON a.cell = p.cell WHERE a.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY cos DESC, neighbor_id) AS INT) AS "rank" FROM s)
-         |SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 10
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "sim_ivf_topk" -> simIvfSql,
     // PQ/ADC on the x100 integer grid: subspace = (i-1) // (dim/8); codes
     // = per-subspace argmin vs the 16 seed subvectors; ADC = sum of the
     // query's per-subspace distances to each code's centroid — all int64
@@ -2179,50 +2231,33 @@ object SparkEntry {
     // IVF-PQ replay: coarse cells (vec_id < 8) route by exact integer L2,
     // each query probes its 3 nearest cells, and ONLY those cells' members
     // are scored by the same PQ distance tables as sim_pq_topk
-    "sim_ivfpq_topk" ->
-      """WITH ex AS (SELECT vec_id, embedding,
-        |    unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
-        |e AS (SELECT vec_id, i,
-        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT) AS v
-        |  FROM ex),
-        |sd AS (SELECT CAST(max(i) AS BIGINT) // 8 AS subdim FROM e),
-        |cinit AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-        |          FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 8)),
-        |cseed AS (SELECT cinit.cell, e.i, e.v FROM cinit JOIN e USING (vec_id)),
-        |cdist AS (SELECT x.vec_id, cseed.cell,
-        |            sum((x.v - cseed.v) * (x.v - cseed.v)) AS d
-        |          FROM e x JOIN cseed ON cseed.i = x.i GROUP BY 1, 2),
-        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        |           FROM cdist) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT vec_id, cell,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
-        |           FROM cdist WHERE vec_id < 5) WHERE rn <= 3),
-        |init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-        |         FROM (SELECT DISTINCT vec_id FROM e WHERE vec_id < 16)),
-        |seed AS (SELECT init.cid, e.i, e.v FROM init JOIN e USING (vec_id)),
-        |dist AS (SELECT x.vec_id, (x.i - 1) // sd.subdim AS s, seed.cid,
-        |           sum((x.v - seed.v) * (x.v - seed.v)) AS d
-        |         FROM e x JOIN seed ON seed.i = x.i CROSS JOIN sd
-        |         GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
-        |            row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-        |          FROM dist) WHERE rn = 1),
-        |score AS (SELECT p.query_id, x.vec_id AS neighbor_id, sum(qd.d) AS adc
-        |          FROM codes x
-        |          JOIN assign a ON a.vec_id = x.vec_id
-        |          JOIN probes p ON p.cell = a.cell
-        |          JOIN dist qd ON qd.s = x.s AND qd.cid = x.cid
-        |            AND qd.vec_id = p.query_id
-        |          WHERE x.vec_id <> p.query_id
-        |          GROUP BY 1, 2),
-        |r AS (SELECT query_id, neighbor_id, adc,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY adc, neighbor_id) AS rnk
-        |      FROM score)
-        |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
-        |  CAST(rnk AS INT) AS rank
-        |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_ivfpq_topk" -> simIvfpqSql,
+    // recall census: each approximate path's full oracle replay is nested
+    // as a subquery and intersected with the brute-force truth set; the
+    // per-method milli-recall and floor verdict are integer/boolean
+    "sim_recall_census" ->
+      s"""WITH b AS (SELECT query_id, neighbor_id FROM ($simBruteSql)),
+         |lv AS (SELECT query_id, neighbor_id FROM ($simLshSql)),
+         |iv AS (SELECT query_id, neighbor_id FROM ($simIvfSql)),
+         |pv AS (SELECT query_id, neighbor_id FROM ($simIvfpqSql)),
+         |m AS (SELECT 'lsh' AS method, * FROM lv
+         |      UNION ALL SELECT 'ivf', * FROM iv
+         |      UNION ALL SELECT 'ivfpq', * FROM pv),
+         |h AS (SELECT method, m.query_id, count(*) AS n_hits
+         |      FROM m JOIN b USING (query_id, neighbor_id) GROUP BY 1, 2),
+         |u AS (SELECT method, query_id
+         |      FROM (SELECT DISTINCT query_id FROM b)
+         |      CROSS JOIN (SELECT unnest(['lsh','ivf','ivfpq']) AS method)),
+         |c AS (SELECT u.method, u.query_id, COALESCE(h.n_hits, 0) AS n_hits
+         |      FROM u LEFT JOIN h ON h.method = u.method AND h.query_id = u.query_id),
+         |t AS (SELECT method, sum(n_hits) AS hits_total FROM c GROUP BY 1)
+         |SELECT c.method, c.query_id, CAST(c.n_hits AS BIGINT) AS n_hits,
+         |  CAST(10 AS INT) AS k,
+         |  CAST(t.hits_total * 1000 // 50 AS BIGINT) AS recall_milli,
+         |  t.hits_total * 1000 // 50 >=
+         |    (CASE WHEN c.method = 'ivfpq' THEN 200 ELSE 400 END) AS meets_floor
+         |FROM c JOIN t USING (method)
+         |ORDER BY method, query_id""".stripMargin,
     // concat-and-chunk packing: the window cumsum and pack arithmetic are
     // exact integers, so the assignment is engine-independent
     "corpus_pack_sequences" ->

@@ -383,4 +383,53 @@ object SimSearch {
       .select("query_id", "neighbor_id", "adc", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Recall census — the first number an ANN user asks of an index: per
+    * (method, query), how many of the exact top-k survive in the
+    * approximate top-k. LSH, IVF and IVF-PQ each run at their default
+    * parameters against [[bruteForceTopK]] as ground truth; hits are
+    * integer counts (hits/k is the recall when a consumer wants the
+    * ratio). The per-method milli-recall and a floor verdict ride every
+    * row, so a recall regression fails the DRIVER gate, not just a spec:
+    * the floors (LSH/IVF 400‰, IVF-PQ 200‰ — the levels the specs have
+    * asserted since round 3) are part of the oracled output.
+    *
+    * Scale shape: each variant already bounds its own candidate volume;
+    * the census adds only semi-joins against the (nQueries × k)-row truth
+    * set and a window over 3 × nQueries rows. */
+  def recallCensus(embeddings: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val brute = bruteForceTopK(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> lshTopK(embeddings, nQueries, k),
+      "ivf" -> ivfTopK(embeddings, nQueries, k),
+      "ivfpq" -> ivfPqTopK(embeddings, nQueries, k))
+    val floorMilli = Map("lsh" -> 400, "ivf" -> 400, "ivfpq" -> 200)
+    val hits = variants.map { case (m, df) =>
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(m).as("method"), col("query_id"), col("n_hits"))
+    }.reduce(_ unionAll _)
+    // universe keeps zero-hit queries visible (an LSH query whose buckets
+    // all miss must report 0, not vanish)
+    val universe = brute.select("query_id").distinct()
+      .withColumn("method",
+        explode(array(variants.map(v => lit(v._1)): _*)))
+    val floor = variants.map(v => (v._1, lit(floorMilli(v._1)))).toMap
+      .foldLeft(lit(0)) { case (acc, (m, f)) =>
+        when(col("method") === m, f).otherwise(acc) }
+    val w = Window.partitionBy("method")
+    universe.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("hits_total", sum(col("n_hits")).over(w))
+      .withColumn("recall_milli",
+        expr(s"hits_total * 1000 div ${nQueries.toLong * k}"))
+      .select(col("method"), col("query_id"), col("n_hits"),
+        lit(k).as("k"), col("recall_milli"),
+        (col("recall_milli") >= floor).as("meets_floor"))
+      .orderBy("method", "query_id")
+  }
 }
