@@ -317,6 +317,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextOps.tfIdf(Tables.documents(s, d))),
     "text_ngram_counts" -> ((s, d) => TextOps.ngramCounts(Tables.documents(s, d))),
     "text_bpe_pairs" -> ((s, d) => TextOps.bpePairCensus(Tables.documents(s, d))),
+    "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
     "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
@@ -662,6 +663,44 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc,
         |  CAST(rnk AS INT) AS rank
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** TextOps.bpeMerges re-derived in DuckDB: `rounds` unrolled
+    * census→argmax→apply iterations. The chosen pair is a 1-row CTE cross-
+    * joined into the apply, whose lambda fuses left-to-right exactly like
+    * the engine's fold (list-of-lists trick: list_reduce has no initial-
+    * value overload in DuckDB 1.0, so the seed is the first symbol wrapped
+    * as a singleton list and elements arrive pre-wrapped). */
+  private lazy val bpeMergesSql: String = {
+    val rounds = 3
+    val topK = 5
+    val cte = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT p.a AS sym_a, p.b AS sym_b, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM (SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |          j -> struct_pack(a := syms[j], b := syms[j+1]))) AS p
+         |        FROM w${i - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT sym_a, sym_b FROM c$i ORDER BY n DESC, sym_a, sym_b LIMIT 1),
+         |w$i AS (SELECT cnt, CASE WHEN len(syms) < 2 THEN syms ELSE
+         |    list_reduce(list_prepend([syms[1]], list_transform(syms[2:], s -> [s])),
+         |      (acc, x) -> CASE WHEN acc[-1] = m$i.sym_a AND x[1] = m$i.sym_b
+         |                  THEN list_concat(acc[1:len(acc)-1], [m$i.sym_a || m$i.sym_b])
+         |                  ELSE list_concat(acc, x) END) END AS syms
+         |  FROM w${i - 1} CROSS JOIN m$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map { i =>
+      s"""SELECT CAST($i AS INT) AS round,
+         |  CAST(row_number() OVER (ORDER BY n DESC, sym_a, sym_b) AS INT) AS rank,
+         |  sym_a, sym_b, n FROM c$i QUALIFY rank <= $topK""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH w0 AS (SELECT cnt, [word[i:i] for i in range(1, len(word)+1)] AS syms
+       |  FROM (SELECT word, count(*) AS cnt
+       |        FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |        GROUP BY word)),
+       |$cte
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY round, rank""".stripMargin
+  }
 
   /** Tables.partsupp re-derived in DuckDB: same dbgen supplier assignment,
     * same integer availqty/supplycost formulas. Prepend inside a WITH. */
@@ -2632,6 +2671,9 @@ object SparkEntry {
          |      FROM w, unnest(range(1, len(word))) r(i))
          |SELECT pair, count(*) AS n FROM p GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // iterated BPE training: 3 unrolled census→argmax→apply rounds (see
+    // bpeMergesSql) — the merge list evolving, chosen pair at rank 1
+    "text_bpe_merges" -> bpeMergesSql,
     "text_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),

@@ -219,6 +219,78 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
+  /** Left-to-right non-overlapping BPE merge of the pair (a, b) over a
+    * `syms` symbol array: fold each symbol onto the building list, fusing
+    * when the list's last element is `a` and the incoming symbol is `b`.
+    * A fused symbol never immediately re-fuses (its value is `ab`, not
+    * `a`), which is exactly the standard BPE apply order. */
+  private def mergeSyms(a: String, b: String): Column =
+    when(size(col("syms")) < 2, col("syms")).otherwise(
+      aggregate(
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        array(element_at(col("syms"), 1)),
+        (acc, s) => when(element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s)))))
+
+  /** ITERATED BPE tokenizer training — `rounds` full merge iterations, not
+    * just the single census [[bpePairCensus]] reports: each round counts
+    * adjacent symbol pairs over the word-frequency dict (the classic BPE
+    * training corpus representation — identical words collapse once with
+    * their multiplicity), picks the most frequent pair (ties on the pair
+    * strings), APPLIES the merge to every word, and re-counts. Output is
+    * the evolving candidate list: top `topK` pairs per round with the
+    * round's chosen merge always at rank 1 — later rounds see fused
+    * symbols (e.g. round 2 pairs may span a round-1 merge).
+    *
+    * Scale shape: the dict aggregate is one shuffle on word; each round's
+    * census shuffles (pair, partial-count) rows only, and the merge apply
+    * is a per-row fold. The chosen pair is a 1-row driver literal per
+    * round (the IVF-codebook discipline: parameter-bounded, never
+    * corpus-sized); each round's dict persists so round r+1 doesn't replay
+    * the whole merge chain. */
+  def bpeMerges(documents: DataFrame, rounds: Int = 3,
+      topK: Int = 5): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val dict = Spread.toCores(documents)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var syms = dict.select(col("cnt"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => call_function("substring", col("word"), i, lit(1))).as("syms"))
+      .persist()
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val census = syms.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("sym_a"),
+            element_at(col("syms"), i + 1).as("sym_b")))).as("p"))
+        .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
+        .agg(sum(col("cnt")).as("n"))
+      val top = census
+        .orderBy(col("n").desc, col("sym_a"), col("sym_b")).limit(topK)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        rows ++= top.zipWithIndex.map { case (row, i) =>
+          (r, i + 1, row.getString(0), row.getString(1), row.getLong(2)) }
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        val next = syms.select(col("cnt"), mergeSyms(a, b).as("syms")).persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+      }
+      r += 1
+    }
+    syms.unpersist()
+    rows.toSeq.toDF("round", "rank", "sym_a", "sym_b", "n")
+      .orderBy("round", "rank")
+  }
+
   /** Regex redaction (quality-pipeline scrub step): mask digit runs and
     * email-shaped tokens, report per-doc replacement counts. Pure per-row
     * regex work — codegen'd, no shuffle. */
