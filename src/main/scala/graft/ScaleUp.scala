@@ -110,7 +110,11 @@ object ScaleUp {
       salt = (d, i) =>
         if (i == 0) d
         else d.withColumn("text",
-          concat_ws(" ", transform(split(col("text"), "\\s+"),
+          concat_ws(" ", transform(
+            // drop the empty token a leading-whitespace split produces, so
+            // replicas stay token-isomorphic to the original (mirrors the
+            // tokens() contract of discarding zero-length tokens)
+            filter(split(col("text"), "\\s+"), t => length(t) > lit(0)),
             t => concat(t, lit(s"_$i")))))), "documents")
 
     val embeddings = read("embeddings")

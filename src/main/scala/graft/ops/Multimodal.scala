@@ -334,8 +334,14 @@ object Multimodal {
     inflater.setInput(idat.toByteArray)
     val lines = new Array[Byte](expected)
     var got = 0
-    while (!inflater.finished() && got < expected)
-      got += inflater.inflate(lines, got, expected - got)
+    var stalled = false
+    while (!inflater.finished() && got < expected && !stalled) {
+      val n = inflater.inflate(lines, got, expected - got)
+      got += n
+      // inflate()==0 while unfinished means it wants input we don't have
+      // (truncated stream) — bail to the loud require instead of spinning
+      if (n == 0) stalled = true
+    }
     inflater.end()
     require(got == expected,
       s"media $id: IDAT inflated to $got bytes, expected $expected")
@@ -434,6 +440,9 @@ object Multimodal {
   def imageNearDup(spark: SparkSession, documents: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"imageNearDup: 4-chunk pigeonhole only guarantees recall for " +
+        s"maxHamming <= 3, got $maxHamming")
     val hashes = pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => aHash64(id, payload) })
       .toDF()

@@ -86,12 +86,15 @@ object Profile {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(capacity >= 1 && k >= 1, s"bad heavyHitters params: $capacity, $k")
     val keyField = df.schema(keyCol)
+    import org.apache.spark.sql.types.BooleanType
     val sumSchema = StructType(Seq(
       StructField("key", keyField.dataType, nullable = true),
-      StructField("cnt", LongType, nullable = false)))
-    // pass 1: per-partition MG survivors, plus ONE null-key row carrying the
-    // partition's row count — the global total rides the same pass instead
-    // of a second scan
+      StructField("cnt", LongType, nullable = false),
+      StructField("is_total", BooleanType, nullable = false)))
+    // pass 1: per-partition MG survivors, plus ONE is_total=true row carrying
+    // the partition's row count — the global total rides the same pass
+    // instead of a second scan. The flag (not a null key) marks the total
+    // row, so a genuine null key in the data stays a countable candidate.
     val summary = df.select(col(keyCol)).mapPartitions { it =>
       val counts = new java.util.HashMap[Any, Long]()
       var nRows = 0L
@@ -111,16 +114,19 @@ object Profile {
         }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      counts.forEach((key, c) => out += Row(key, c))
-      out += Row(null, nRows)
+      counts.forEach((key, c) => out += Row(key, c, false))
+      out += Row(null, nRows, true)
       out.iterator
     }(Encoders.row(sumSchema))
-    val totals = summary.where(col("key").isNull)
+    val totals = summary.where(col("is_total"))
       .agg(sum("cnt").as("n_total"))
-    val candidates = summary.where(col("key").isNotNull)
-      .select(col("key").as(keyCol)).distinct()
-    // pass 2: exact counts for the (metadata-sized) candidate set only
-    df.join(broadcast(candidates), Seq(keyCol), "left_semi")
+    val candidates = summary.where(!col("is_total"))
+      .select(col("key").as("__hh_cand")).distinct()
+    // pass 2: exact counts for the (metadata-sized) candidate set only;
+    // null-safe equality so a null candidate key still matches (DuckDB's
+    // GROUP BY counts the NULL group — so must we)
+    df.join(broadcast(candidates), col(keyCol) <=> col("__hh_cand"),
+        "left_semi")
       .groupBy(keyCol).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(totals))
       .where(col("n") * capacity > col("n_total"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Multimodal, Profile}
+
+/** Round-6 hardening specs: truncated-IDAT loud failure (not a hang),
+  * null-key heavy hitters, and the pigeonhole recall-bound guard. */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Rebuild a valid planted PNG with its IDAT zlib stream cut short but the
+    * chunk length and CRC made consistent again — the adversarial shape an
+    * externally produced file can take. */
+  private def truncatedIdatPng(id: Long): Array[Byte] = {
+    val good = Multimodal.pngBytesWithPixels(id, 4, 4)
+    def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def readBe32(b: Array[Byte], off: Int) =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(good, 0, 8) // signature
+    var off = 8
+    while (off < good.length) {
+      val len = readBe32(good, off)
+      val typ = new String(good, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT") {
+        val cut = len / 2 // drop the tail of the zlib stream
+        val crc = new java.util.zip.CRC32()
+        crc.update(good, off + 4, 4)
+        crc.update(good, off + 8, cut)
+        out.write(be32(cut)); out.write(good, off + 4, 4)
+        out.write(good, off + 8, cut); out.write(be32(crc.getValue.toInt))
+      } else out.write(good, off, 12 + len)
+      off += 12 + len
+    }
+    out.toByteArray
+  }
+
+  test("pixel decode: CRC-consistent truncated IDAT fails loudly instead of spinning") {
+    val bad = truncatedIdatPng(42L)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodePixelStats(42L, bad)
+    }
+    assert(ex.getMessage.contains("inflated to"), ex.getMessage)
+  }
+
+  test("imageNearDup: maxHamming above the 4-chunk pigeonhole bound is refused") {
+    val docs = Seq((0L, "x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(spark, docs, maxHamming = 4)
+    }
+    assert(ex.getMessage.contains("pigeonhole"), ex.getMessage)
+  }
+
+  test("heavyHitters: a genuine null key is counted, not swallowed by the total row") {
+    // 40 nulls + 40 "hot" dominate 20 singletons; with capacity 8 both must
+    // be reported and n_total must be exactly 100 (nulls not double-counted)
+    val rows: Seq[Option[String]] =
+      Seq.fill(40)(None) ++ Seq.fill(40)(Some("hot")) ++
+        (1 to 20).map(i => Some(s"cold_$i"))
+    val df = rows.toDF("k").repartition(3)
+    val got = Profile.heavyHitters(df, "k", capacity = 8, k = 5)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    assert(got.contains((None, 40L)), s"null key missing from $got")
+    assert(got.contains((Some("hot"), 40L)), s"hot key missing from $got")
+    // nothing with n*capacity <= n_total sneaks in
+    assert(got.forall(_._2 * 8 > 100), s"under-threshold key in $got")
+  }
+}

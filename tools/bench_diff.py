@@ -48,9 +48,6 @@ def main() -> int:
             (allowed if name in allow else regressions).append(
                 (name, o, n, f"{n / o:.1f}x"))
     stale = sorted(allow - {name for name, *_ in allowed})
-    if stale:
-        print(f"STALE --allow entries (did not regress): {', '.join(stale)}")
-        return 1
 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -70,9 +67,13 @@ def main() -> int:
         print(f"\nREGRESSIONS (> {factor}x):")
         for name, o, n, tag in regressions:
             print(f"  {name:40s} {o:6.2f}s -> {n:6.2f}s  {tag}")
-        return 1
-    print(f"no regression > {factor}x")
-    return 0
+    else:
+        print(f"no regression > {factor}x")
+    # stale allows fail the gate too, but only after all reporting so a run
+    # with both a stale entry and real regressions still shows the regressions
+    if stale:
+        print(f"STALE --allow entries (did not regress): {', '.join(stale)}")
+    return 1 if (regressions or stale) else 0
 
 
 if __name__ == "__main__":
