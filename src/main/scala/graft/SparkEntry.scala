@@ -266,6 +266,8 @@ object SparkEntry {
       graft.streaming.StreamGate.purchaseViewEndState(s, d)),
     "stream_dedup_corpus" -> ((s, d) =>
       graft.streaming.StreamGate.corpusDedupEndState(s, d)),
+    "stream_late_census" -> ((s, d) =>
+      graft.streaming.StreamGate.lateCensusEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -1709,6 +1711,28 @@ object SparkEntry {
     "stream_dedup_ids" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // late-data census: held-back events replay in later micro-batches;
+    // the second replay (id % 40 == 20) is filtered against the watermark
+    // derived from the on-time batch, max(on-time ts) - 7 days
+    // (millisecond-floored, the grid Spark tracks event-time stats on) —
+    // a replayed row is dropped iff its daily window closed at or before
+    // that watermark. The first replay (id % 40 == 0) is always kept:
+    // Spark's late filter uses the PREVIOUS batch's watermark, still zero.
+    "stream_late_census" ->
+      """WITH wm AS (
+        |  SELECT ((epoch_us(max(ts)) // 1000) - 604800000) * 1000 AS wm_us
+        |  FROM events WHERE event_id % 20 <> 0),
+        |f AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |    CASE WHEN event_id % 40 <> 20 THEN 1
+        |         WHEN epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+        |              > (SELECT wm_us FROM wm) THEN 1
+        |         ELSE 0 END AS kept
+        |  FROM events)
+        |SELECT day, event_type, count(*) AS n_total,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  count(*) - CAST(sum(kept) AS BIGINT) AS n_late_dropped
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_user_milestones" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(count(*) // 10 AS BIGINT) AS n_milestones

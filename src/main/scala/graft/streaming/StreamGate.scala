@@ -71,7 +71,12 @@ object StreamGate {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  private def run(writer: DataStreamWriter[Row]): Unit = {
+  /** Runs the query to completion and returns the engine's own late-data
+    * accounting: the sum of `numRowsDroppedByWatermark` over every state
+    * operator and micro-batch — the number Spark itself says it silently
+    * discarded. Most gates ignore it; [[lateCensusEndState]] cross-checks
+    * its census against it so the reported drops are the real drops. */
+  private def run(writer: DataStreamWriter[Row]): Long = {
     val ck = Files.createTempDirectory(tmpBase, "graft_stream_ck").toString
     // AvailableNow: drain everything available, then STOP — versus
     // processAllAvailable on the default trigger, which keeps the
@@ -80,8 +85,12 @@ object StreamGate {
     val q = writer
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ck).start()
-    try q.awaitTermination()
-    finally q.stop()
+    try {
+      q.awaitTermination()
+      q.recentProgress.iterator
+        .flatMap(_.stateOperators.iterator)
+        .map(_.numRowsDroppedByWatermark).sum
+    } finally q.stop()
   }
 
   private def freshOut(): String =
@@ -232,5 +241,94 @@ object StreamGate {
     snapshots.join(broadcast(latest), Seq("event_type", "batch_id"))
       .select(col("event_type"), col("rank"), col("event_id"), col("value"))
       .orderBy("event_type", "rank")
+  }
+
+  /** Late-data census — the reference's drop-and-LOG discipline
+    * (`SanFranciscoCrime.java:91-99` logs every malformed row it drops)
+    * applied to watermark drops, which Spark otherwise discards silently.
+    *
+    * Arrival order is made adversarial on purpose: `maxFilesPerTrigger=1`
+    * replays three single-file micro-batches — on-time rows
+    * (`event_id % 20 != 0`), then two held-back slices (`% 40 == 0`, then
+    * `% 40 == 20`). Three batches because Spark's late-record filter uses
+    * the PREVIOUS batch's watermark (eviction uses the current one —
+    * the two-watermark split that keeps a late-but-admitted row's window
+    * state alive for the batch that admits it): batch 1 is filtered with
+    * the initial zero watermark and keeps everything; batch 2 is filtered
+    * with the watermark derived from batch 0, `max(on-time ts) − delay`,
+    * and drops every replayed row whose daily window already closed.
+    *
+    * The operator is the update-mode daily tumbling aggregate; each batch's
+    * changed rows are stamped with their micro-batch id, and the end state
+    * takes each (day, event_type)'s latest snapshot. The census joins that
+    * against the static table: n_total, n_kept, and n_late_dropped per day
+    * and type — no silent caps. The gate cross-checks against the engine's
+    * own `numRowsDroppedByWatermark`: whenever the census reports drops the
+    * engine must have metered drops too. Only presence is asserted — the
+    * metric's magnitude is split between the pre-shuffle late filter and
+    * the store-stage filter and varies with where the filter lands in the
+    * plan (measured 95 vs 190 for the same 183 true drops), so the exact
+    * count comes from the census subtraction, which the DuckDB oracle
+    * independently confirms.
+    *
+    * Watermark arithmetic is millisecond-floored (Spark tracks event-time
+    * stats in ms): a replayed row survives ⇔ µs(window end) >
+    * (⌊µs(max on-time ts)/1000⌋ − delayMs)·1000 — the oracle SQL replays
+    * that exact integer grid. */
+  def lateCensusEndState(spark0: SparkSession, dir: String,
+      delayMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    val spark = gateSession(spark0)
+    val out = freshOut()
+    val ev = Tables.events(spark, dir)
+    val inDir = Files.createTempDirectory(tmpBase, "graft_stream_late")
+    // one single-file parquet per arrival batch; the file source orders by
+    // modification time, pinned explicitly so arrival order is fixed
+    def writeArrival(df: DataFrame, name: String, mtimeSec: Long): Unit = {
+      val tmp = inDir.resolve(s"_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      require(parts.length == 1, s"$name: expected 1 part, got ${parts.length}")
+      val dst = inDir.resolve(s"$name.parquet")
+      Files.move(java.nio.file.Paths.get(parts.head), dst)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+    }
+    writeArrival(ev.where(col("event_id") % 20 =!= 0), "b0", 1000L)
+    writeArrival(ev.where(col("event_id") % 40 === 0), "b1", 2000L)
+    writeArrival(ev.where(col("event_id") % 40 === 20), "b2", 3000L)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+    val agg = Streaming.tumblingCounts(stream, "1 day",
+      s"$delayMs milliseconds")
+    val droppedByEngine = run(agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      })
+    val snaps = spark.read.parquet(out)
+    val latest = snaps.groupBy("w_start", "event_type")
+      .agg(max("batch_id").as("batch_id"))
+    val kept = snaps.join(broadcast(latest),
+        Seq("w_start", "event_type", "batch_id"))
+      .select(to_date(col("w_start")).as("day"), col("event_type"),
+        col("n").as("n_kept0"))
+    val census = ev
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"), col("n_total"),
+        coalesce(col("n_kept0"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept0"), lit(0L)))
+          .as("n_late_dropped"))
+      .orderBy("day", "event_type")
+    val censusTotal = Option(census.agg(sum("n_late_dropped")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(censusTotal == 0L || droppedByEngine > 0L,
+      s"late census claims $censusTotal drops but the engine metered none")
+    census
   }
 }

@@ -55,6 +55,30 @@ class Round6Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("pigeonhole"), ex.getMessage)
   }
 
+  test("late census: streaming watermark drops match the batch-replayed predicate and are non-vacuous") {
+    import org.apache.spark.sql.functions._
+    val census = graft.streaming.StreamGate
+      .lateCensusEndState(spark, TestSpark.sf0001)
+    val rows = census.collect()
+    val dropped = rows.map(_.getAs[Long]("n_late_dropped")).sum
+    assert(dropped > 0, "census is vacuous — no late rows were dropped")
+    // batch replay of the documented contract: second-replay rows whose daily
+    // window closed at or before (ms-floored max on-time ts) - 7 days
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val wmUs = ev.where(col("event_id") % 20 =!= 0)
+      .agg(((floor(unix_micros(max(col("ts"))) / 1000) - 604800000L) * 1000)
+        .as("wm")).head().getLong(0)
+    val expected = ev.where(col("event_id") % 40 === 20)
+      .where(unix_micros(date_trunc("day", col("ts"))
+        + expr("INTERVAL 1 DAY")) <= wmUs)
+      .count()
+    assert(dropped == expected, s"census $dropped != batch replay $expected")
+    // totals must reconcile: kept + dropped == static row count
+    val total = rows.map(_.getAs[Long]("n_total")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(total == kept + dropped && total == ev.count())
+  }
+
   test("heavyHitters: a genuine null key is counted, not swallowed by the total row") {
     // 40 nulls + 40 "hot" dominate 20 singletons; with capacity 8 both must
     // be reported and n_total must be exactly 100 (nulls not double-counted)
