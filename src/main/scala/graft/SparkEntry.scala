@@ -334,6 +334,8 @@ object SparkEntry {
     "mm_ahash" -> ((s, d) => Multimodal.imageAHashes(s, Tables.documents(s, d))),
     "mm_ahash_neardup" -> ((s, d) => Multimodal.imageNearDup(s, Tables.documents(s, d))),
     "mm_wav_stats" -> ((s, d) => Multimodal.wavSampleStats(s, Tables.documents(s, d))),
+    "mm_wav_stereo_stats" -> ((s, d) =>
+      Multimodal.wavStereoStats(s, Tables.documents(s, d))),
     // ---- as-of (temporal) joins (SURVEY §2.4 extension)
     "asof_purchase_last_view" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2859,6 +2861,20 @@ object SparkEntry {
         |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
         |  CAST(min(CASE WHEN k = 0 THEN v END) AS INT) AS first_sample
         |FROM s GROUP BY doc_id, n ORDER BY media_id""".stripMargin,
+    // stereo: 2*(64 + id%256) interleaved samples, channel = k % 2,
+    // per-channel peak/L1/first over the planted formula (max k = 637)
+    "mm_wav_stereo_stats" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + doc_id % 256 AS INT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT d.doc_id, d.n, gk.k, CAST(gk.k % 2 AS INT) AS channel,
+        |    ((d.doc_id + 1) * 31 + gk.k * 7) % 65536 - 32768 AS v
+        |  FROM d, generate_series(0, 639) gk(k) WHERE gk.k < 2 * d.n)
+        |SELECT doc_id AS media_id, channel, n AS n_samples,
+        |  CAST(max(abs(v)) AS INT) AS peak_abs,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(min(CASE WHEN k = channel THEN v END) AS INT) AS first_sample
+        |FROM s GROUP BY doc_id, channel, n
+        |ORDER BY media_id, channel""".stripMargin,
     "s3_tsv_roundtrip" ->
       """SELECT DISTINCT event_type AS key FROM events
         |WHERE event_type IS NOT NULL ORDER BY key""".stripMargin,

@@ -526,10 +526,15 @@ object Multimodal {
   private[graft] def plantedSample(id: Long, k: Int): Int =
     ((((id + 1) * 31 + k * 7) % 65536) - 32768).toInt
 
-  /** A RIFF/WAVE with REAL PCM: mono 16-bit little-endian planted samples
-    * in the data chunk — the audio analog of [[pngBytesWithPixels]]. */
+  /** A RIFF/WAVE with REAL PCM: 16-bit little-endian planted samples in the
+    * data chunk — the audio analog of [[pngBytesWithPixels]]. `nSamples`
+    * counts TOTAL interleaved samples (frames × channels); sample k is
+    * planted by the same formula regardless of channel count, so the oracle
+    * replays stereo by assigning channel = k mod 2. */
   private[graft] def wavBytesWithSamples(id: Long, sampleRate: Int,
-      nSamples: Int): Array[Byte] = {
+      nSamples: Int, channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && nSamples % channels == 0,
+      s"media $id: $nSamples samples not divisible into $channels channels")
     val data = new Array[Byte](nSamples * 2)
     for (k <- 0 until nSamples) {
       val s = plantedSample(id, k)
@@ -539,20 +544,18 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
       "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ le32(16) ++
-      le16(1) ++ le16(1) ++ le32(sampleRate) ++
-      le32(sampleRate * 2) ++ le16(2) ++ le16(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * 2 * channels) ++ le16(2 * channels) ++ le16(16) ++
       "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
   }
 
   case class WavStats(media_id: Long, n_samples: Int, peak_abs: Int,
       sum_abs: Long, first_sample: Int)
 
-  /** REAL sample decode: RIFF walk (with pad bytes), then 16-bit LE PCM
-    * from the data chunk — exact integer amplitude statistics (peak and
-    * L1 energy), the pre-filter an audio pipeline runs before paying for
-    * resample/features. Mono 16-bit only (the fixtures; anything else
-    * fails loudly). */
-  private[graft] def decodeWavStats(id: Long, b: Array[Byte]): WavStats = {
+  /** RIFF walk (with pad bytes) to the PCM layout: (channels, bits,
+    * data offset, data length) — shared by the mono and per-channel
+    * decoders. */
+  private def wavPcmLayout(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
     require(b.length >= 12
         && new String(b, 0, 4, "US-ASCII") == "RIFF"
         && new String(b, 8, 4, "US-ASCII") == "WAVE",
@@ -569,6 +572,15 @@ object Multimodal {
       off += 8 + len + (len & 1)
     }
     require(dataOff >= 0, s"media $id: missing data chunk")
+    (ch, bits, dataOff, dataLen)
+  }
+
+  /** REAL sample decode: RIFF walk, then 16-bit LE PCM from the data
+    * chunk — exact integer amplitude statistics (peak and L1 energy), the
+    * pre-filter an audio pipeline runs before paying for resample/features.
+    * Mono 16-bit only; see [[decodeWavChannelStats]] for stereo. */
+  private[graft] def decodeWavStats(id: Long, b: Array[Byte]): WavStats = {
+    val (ch, bits, dataOff, dataLen) = wavPcmLayout(id, b)
     require(ch == 1 && bits == 16,
       s"media $id: sample decoder supports mono 16-bit only, got $ch ch x $bits")
     val n = dataLen / 2
@@ -585,6 +597,37 @@ object Multimodal {
       sumAbs += a
     }
     WavStats(id, n, peak, sumAbs, first)
+  }
+
+  case class WavChannelStats(media_id: Long, channel: Int, n_samples: Int,
+      peak_abs: Int, sum_abs: Long, first_sample: Int)
+
+  /** Per-channel amplitude statistics for mono OR stereo 16-bit PCM —
+    * interleaved frames de-multiplexed by sample index mod channels. One
+    * output row per channel; a mono file yields a single channel-0 row
+    * matching [[decodeWavStats]]. More than two channels fails loudly
+    * (the honest scope of the fixtures). */
+  private[graft] def decodeWavChannelStats(id: Long,
+      b: Array[Byte]): Seq[WavChannelStats] = {
+    val (ch, bits, dataOff, dataLen) = wavPcmLayout(id, b)
+    require((ch == 1 || ch == 2) && bits == 16,
+      s"media $id: channel decoder supports 1-2 ch 16-bit, got $ch ch x $bits")
+    val n = dataLen / 2
+    require(n % ch == 0, s"media $id: $n samples not divisible by $ch channels")
+    val peak = new Array[Int](ch)
+    val sumAbs = new Array[Long](ch)
+    val first = new Array[Int](ch)
+    for (k <- 0 until n) {
+      val c = k % ch
+      val v = ((b(dataOff + 2 * k) & 0xff) |
+        (b(dataOff + 2 * k + 1).toInt << 8)).toShort.toInt
+      if (k == c) first(c) = v
+      val a = math.abs(v)
+      if (a > peak(c)) peak(c) = a
+      sumAbs(c) += a
+    }
+    (0 until ch).map(c => WavChannelStats(id, c, n / ch, peak(c), sumAbs(c),
+      first(c)))
   }
 
   /** Odd-doc_id documents as REAL-PCM WAV blobs (planted samples). */
@@ -608,6 +651,33 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => decodeWavStats(id, payload) })
       .toDF()
       .orderBy("media_id")
+  }
+
+  /** Odd-doc_id documents as STEREO REAL-PCM WAV blobs: the same planted
+    * frame count per channel as the mono fixtures, interleaved L/R. */
+  def wavStereoBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    Spread.toCores(documents.select(col("doc_id"))
+        .where(col("doc_id") % 2 === 1))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        (id, wavBytesWithSamples(id, 16000, 2 * (64 + (id % 256).toInt),
+          channels = 2))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Per-channel amplitude statistics over stereo PCM — interleaved frames
+    * de-multiplexed in one pass, two rows per medium. The oracle replays
+    * the planted-sample formula with channel = sample index mod 2. */
+  def wavStereoStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    wavStereoBlobs(spark, documents).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWavChannelStats(id, payload)
+      })
+      .toDF()
+      .orderBy("media_id", "channel")
   }
 
   /** Structural header decode over the PNG blob table — same partition-

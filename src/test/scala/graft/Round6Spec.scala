@@ -79,6 +79,39 @@ class Round6Spec extends AnyFunSuite {
     assert(total == kept + dropped && total == ev.count())
   }
 
+  test("stereo PCM: per-channel decode matches the planted formula, mono path unchanged") {
+    val id = 7L
+    val frames = 10
+    // stereo: 2*frames interleaved samples, channel = k % 2
+    val stereo = Multimodal.wavBytesWithSamples(id, 16000, 2 * frames,
+      channels = 2)
+    val got = Multimodal.decodeWavChannelStats(id, stereo)
+    assert(got.size == 2)
+    for (c <- 0 to 1) {
+      val samples = (0 until 2 * frames).filter(_ % 2 == c)
+        .map(k => Multimodal.plantedSample(id, k))
+      val s = got(c)
+      assert(s.channel == c && s.n_samples == frames
+        && s.peak_abs == samples.map(math.abs).max
+        && s.sum_abs == samples.map(v => math.abs(v).toLong).sum
+        && s.first_sample == samples.head, s"channel $c: $s")
+    }
+    // mono bytes through the channel decoder == the mono decoder's answer
+    val mono = Multimodal.wavBytesWithSamples(id, 16000, frames)
+    val viaChannels = Multimodal.decodeWavChannelStats(id, mono)
+    val viaMono = Multimodal.decodeWavStats(id, mono)
+    assert(viaChannels == Seq(Multimodal.WavChannelStats(id, 0,
+      viaMono.n_samples, viaMono.peak_abs, viaMono.sum_abs,
+      viaMono.first_sample)))
+    // >2 channels refused loudly
+    val quad = Multimodal.wavBytesWithSamples(id, 16000, 4 * frames,
+      channels = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeWavChannelStats(id, quad)
+    }
+    assert(ex.getMessage.contains("1-2 ch"), ex.getMessage)
+  }
+
   test("heavyHitters: a genuine null key is counted, not swallowed by the total row") {
     // 40 nulls + 40 "hot" dominate 20 singletons; with capacity 8 both must
     // be reported and n_total must be exactly 100 (nulls not double-counted)
