@@ -29,7 +29,16 @@ object Ml {
     * assignment rounds from a deterministic seed (the k lowest vec_ids) —
     * centroid updates run BETWEEN rounds, so the reported clustering is the
     * round-`iters` assignment against the (iters−1)-times-updated codebook
-    * (exactly the trajectory the oracle's unrolled CTEs replay). */
+    * (exactly the trajectory the oracle's unrolled CTEs replay).
+    *
+    * Iteration does NOT grow lineage: every round re-plans from the
+    * once-checkpointed quantized scan with the new centroids as plan
+    * LITERALS, so the plan shape at round 100 is the plan shape at round 1
+    * and the driver never holds more than k·dim longs between rounds
+    * (plan-flatness asserted at iters=8 in Round6Spec). The loop is
+    * driver-sequenced by nature — each round's argmin needs the previous
+    * round's centroid sums — so `iters` bounds wall-clock (one zero-shuffle
+    * pass + one k·dim-bounded aggregate per round), not memory. */
   def kmeansClusters(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val q = quantized(embeddings).localCheckpoint(true) // scanned once per round
     // deterministic seed: the k lowest vec_ids, cluster id = rank order.

@@ -35,6 +35,46 @@ class PlanSpec extends AnyFunSuite {
       s"probe filter should sit under the join in the plan tree:\n$p")
   }
 
+  test("bloom-pruned join: probe filter sits DIRECTLY on the fact scan — no exchange or join beneath it") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Relational.bloomPrunedUrgentRevenue(
+      Tables.orders(spark, TestSpark.sf0001),
+      Tables.lineitem(spark, TestSpark.sf0001))
+    val root: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val probeFilters = root.collect {
+      case f: FilterExec if f.condition.toString.contains("xxhash64") => f
+    }
+    assert(probeFilters.nonEmpty, s"no probe filter in plan:\n$root")
+    for (f <- probeFilters) {
+      // nothing between a probe and its scan: any exchange or join below it
+      // would mean rows shuffled before being pruned (Catalyst ALSO infers
+      // the probe onto the dim side through the join equality — fine, it
+      // must sit on that scan too)
+      val beneath = f.child.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(beneath.isEmpty,
+        s"probe filter has ${beneath.map(_.nodeName)} beneath it:\n$root")
+      assert(f.child.collect { case s: FileSourceScanExec => s }.nonEmpty,
+        s"probe filter does not sit on a scan:\n$root")
+    }
+    // the FACT side specifically: some probe filter reads lineitem, and the
+    // scan carries the probe in its DataFilters (evaluated at the read)
+    val factScans = probeFilters.flatMap(_.child.collect {
+      case s: FileSourceScanExec if s.toString.contains("lineitem") => s
+    })
+    assert(factScans.nonEmpty,
+      s"no probe filter sits on the lineitem scan:\n$root")
+    assert(factScans.exists(_.dataFilters.exists(
+        _.toString.contains("xxhash64"))),
+      s"probe absent from the lineitem scan's DataFilters:\n$root")
+  }
+
   test("q2: correlated min decorrelates — dims broadcast, top-100 is TakeOrdered") {
     val p = plan(Relational.minCostSuppliers(
       Tables.partsupp(spark, TestSpark.sf0001),

@@ -112,6 +112,17 @@ class Round6Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("1-2 ch"), ex.getMessage)
   }
 
+  test("kmeans: plan stays flat as iterations grow — round N re-plans from the checkpoint") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    def planSize(iters: Int): Int =
+      graft.ops.Ml.kmeansClusters(emb, k = 4, iters = iters)
+        .queryExecution.executedPlan.collect { case n => n }.size
+    val s2 = planSize(2)
+    val s8 = planSize(8)
+    assert(s8 == s2,
+      s"plan grew with iterations: $s2 nodes at iters=2, $s8 at iters=8")
+  }
+
   test("heavyHitters: a genuine null key is counted, not swallowed by the total row") {
     // 40 nulls + 40 "hot" dominate 20 singletons; with capacity 8 both must
     // be reported and n_total must be exactly 100 (nulls not double-counted)
