@@ -499,7 +499,7 @@ object SparkEntry {
     * single-slot collisions hard-negative mining wants). Shared by
     * dedup_minhash_lsh and corpus_hard_negatives. */
   private def minhashCandidatesSql(bands: Int, rowsPerBand: Int,
-      estPrefilter: Option[(Int, Int)] = None): String = {
+      estPrefilter: Option[(Int, Int, Int)] = None): String = {
       val (as, bs) = graft.functions.GraftFunctions.minhashCoeffs(32)
       val sigCols = (0 until 32)
         .map(i => s"min((${as(i)} * h + ${bs(i)}) % 2147483647) AS s$i")
@@ -513,21 +513,23 @@ object SparkEntry {
       // signature-slot estimate prefilter (Corpus.hardNegatives): with
       // single-slot bands a pair's collision count across surviving
       // buckets IS its matching-slot count, so the DISTINCT becomes a
-      // GROUP BY + HAVING — candidates with estimate > num/den never
-      // reach the token-array verify, exactly as the engine runs it
+      // GROUP BY + HAVING — candidates outside the (minMatch/32, num/den)
+      // estimate band never reach the token-array verify, exactly as the
+      // engine runs it
       val candSql = estPrefilter match {
         case None =>
           """cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
             |         FROM band x JOIN bkt USING (band_idx, bh)
             |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
             |                         AND y.doc_id > x.doc_id)""".stripMargin
-        case Some((num, den)) =>
+        case Some((minMatch, num, den)) =>
           s"""cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
              |         FROM band x JOIN bkt USING (band_idx, bh)
              |              JOIN band y ON y.band_idx = x.band_idx AND y.bh = x.bh
              |                         AND y.doc_id > x.doc_id
              |         GROUP BY 1, 2
-             |         HAVING count(*) * $den <= 32 * $num)""".stripMargin
+             |         HAVING count(*) >= $minMatch
+             |            AND count(*) * $den <= 32 * $num)""".stripMargin
       }
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1851,7 +1853,7 @@ object SparkEntry {
     // signature-slot estimate prefilter (est <= 3/4) replayed before the
     // token-array verify exactly as the engine runs it
     "corpus_hard_negatives" ->
-      s"""WITH base AS (${minhashCandidatesSql(32, 1, Some((3, 4)))})
+      s"""WITH base AS (${minhashCandidatesSql(32, 1, Some((2, 3, 4)))})
          |SELECT doc_a, doc_b, n_common, n_union FROM base
          |WHERE n_common * 2 <= n_union
          |ORDER BY doc_a, doc_b""".stripMargin,
