@@ -273,6 +273,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
     "corpus_hard_negatives" -> ((s, d) =>
       Corpus.hardNegatives(Tables.documents(s, d))),
+    "corpus_cdc_chunks" -> ((s, d) => Corpus.cdcChunks(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDup(Tables.documents(s, d))),
     "dedup_cap_census" -> ((s, d) => Dedup.capCensus(Tables.documents(s, d))),
     "dedup_winnow_pairs" -> ((s, d) => Dedup.winnowedPairs(Tables.documents(s, d))),
@@ -1857,6 +1858,48 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_common, n_union FROM base
          |WHERE n_common * 2 <= n_union
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // content-defined chunking: cut after token i+3 wherever the 4-token
+    // shingle's rolling polynomial hash ≡ 0 (mod 32); chunks fingerprinted
+    // dual-residue; census = per-doc chunk count + chunks shared with
+    // ANOTHER doc. Same shingle hash, cut rule, and fingerprint integer
+    // grid as the engine.
+    "corpus_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, i, len(toks) AS n,
+         |         array_to_string(toks[i:i+3], ' ') AS s
+         |       FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 2)) AS i)),
+         |h AS (SELECT doc_id, i, n,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [ord(s[k:k]) for k in range(1, length(s)+1)]),
+         |          (a, c) -> (a * 31 + c) % 2147483647) AS hv
+         |      FROM sh),
+         |cutagg AS (SELECT doc_id, list_sort(list(i + 3)) AS cs
+         |           FROM h WHERE hv % 32 = 0 AND i + 3 < n GROUP BY doc_id),
+         |d AS (SELECT t.doc_id, t.toks,
+         |        list_append(coalesce(cutagg.cs, []), len(t.toks)) AS cuts
+         |      FROM t LEFT JOIN cutagg ON cutagg.doc_id = t.doc_id),
+         |ch AS (SELECT doc_id, cuts, unnest(
+         |         [array_to_string(
+         |            toks[(CASE WHEN j = 1 THEN 0 ELSE cuts[j-1] END) + 1
+         |                 : cuts[j]], ' ')
+         |          for j in range(1, len(cuts) + 1)]) AS cstr
+         |       FROM d),
+         |chash AS (SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [ord(cstr[k:k]) for k in range(1, length(cstr)+1)]),
+         |      (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+         |  + list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [ord(cstr[k:k]) for k in range(1, length(cstr)+1)]),
+         |      (a, c) -> (a * 131 + c) % 2147483629) AS chv
+         |  FROM ch),
+         |dup AS (SELECT chv FROM chash GROUP BY chv
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |census AS (SELECT doc_id, count(*) AS n_dup FROM chash
+         |           WHERE chv IN (SELECT chv FROM dup) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.cuts) AS INT) AS n_chunks,
+         |  CAST(coalesce(census.n_dup, 0) AS BIGINT) AS n_dup_chunks
+         |FROM d LEFT JOIN census ON census.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // SimHash: dual-residue polynomial token hash, 64-slot bit votes,
     // 16-bit chunk pigeonhole buckets, hamming verify — all integer

@@ -200,11 +200,16 @@ object GraftFunctions {
     * any engine reproduces exactly — this is the cross-engine-verifiable
     * variant (oracled in `text_fingerprint`).
     */
-  def doc_fingerprint_poly(toks: Column): Column = {
+  def doc_fingerprint_poly(toks: Column): Column =
+    string_fingerprint_poly(concat_ws(" ", toks))
+
+  /** The same dual-residue fingerprint over an arbitrary string column —
+    * shared by [[doc_fingerprint_poly]] and the CDC chunk hash. */
+  def string_fingerprint_poly(s: Column): Column = {
     // split("ab", "") yields ["a","b",""] (Java split with limit -1 keeps
     // the trailing empty) — drop empties so the char stream matches the
     // oracle's 1..length(s) codes exactly
-    val chars = filter(split(concat_ws(" ", toks), ""), c => length(c) > 0)
+    val chars = filter(split(s, ""), c => length(c) > 0)
     def residue(mult: Long, p: Long): Column =
       aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
     residue(31L, 2147483647L) * lit(2147483648L) + residue(131L, 2147483629L)

@@ -9,6 +9,82 @@ import graft.functions.GraftFunctions._
   */
 object Corpus {
 
+  /** Content-defined chunking — the dedup primitive that survives
+    * insertions: fixed-size chunking shifts every boundary after an edit,
+    * but cutting where a ROLLING hash of the last `window` tokens satisfies
+    * a mask (the gear/Rabin CDC family: LBFS, Muthitacharoen et al. 2001;
+    * FastCDC) re-synchronizes within one window of the edit, so two
+    * near-identical documents still share most chunks. Used by storage
+    * dedup and by training-data pipelines to find partially-duplicated
+    * documents at sub-document granularity without the O(n²) of
+    * shingle-set comparison.
+    *
+    * This is threshold CDC in its pure form — a cut after token j+window−1
+    * wherever the `window`-token shingle hash ≡ 0 (mod `mask`), expected
+    * chunk length = `mask` tokens, no min/max clamp (the clamps are a
+    * sequential-scan refinement; the unclamped cut set is what both
+    * engines can reproduce as pure column math, and chunk-size outliers
+    * are visible in the census rather than silently rewritten). Chunk
+    * content is fingerprinted with the dual-residue polynomial
+    * ([[graft.functions.GraftFunctions.string_fingerprint_poly]], 62
+    * effective bits), and the census reports, per document, its chunk
+    * count and how many of its chunks also appear in ANOTHER document —
+    * the sub-document duplication signal.
+    *
+    * Scale shape: cuts and chunk strings are row-local HOFs over the token
+    * array (no shuffle, [[Spread.toCores]] pre-spread); the only shuffles
+    * are the chunk-hash `groupBy` (rows = total chunks ≈ tokens/mask,
+    * corpus-linear) and the semi-join back — never a pair explosion. */
+  def cdcChunks(documents: DataFrame, window: Int = 4,
+      mask: Int = 32): DataFrame = {
+    require(window >= 1 && mask >= 1, s"bad CDC params: $window, $mask")
+    // the fingerprint fold is applied PER EXPLODED ROW, not nested inside a
+    // transform lambda over the cuts array: with the nested form the
+    // optimizer's inferred not-null/size filter below the Generate inlines
+    // the whole chunk+fingerprint chain into a Filter predicate that is
+    // re-evaluated per row on top of the Generate's own evaluation — a
+    // measured ~200× blowup at sf0.001. Per-row expressions after the
+    // explode keep every fold single-evaluation, and the persist barrier
+    // (the minhashLsh discipline: two consumers, no exchange reuse) stops
+    // any downstream rule from re-deriving the chunk computation.
+    val chunked = Spread.toCores(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("hs", shingle_hashes(shingles(col("toks"), window)))
+      // cut positions are EXCLUSIVE token end-counts; a cut at n would
+      // duplicate the final boundary, so it is excluded and appended once
+      .withColumn("cuts",
+        concat(
+          when(col("n") < lit(window),
+            expr("array()").cast("array<int>"))
+            .otherwise(transform(
+              filter(sequence(lit(0), col("n") - lit(window)),
+                j => element_at(col("hs"), j + 1) % lit(mask) === lit(0)
+                  && (j + lit(window)) < col("n")),
+              j => (j + lit(window)).cast("int"))),
+          array(col("n"))))
+      .withColumn("chunks", transform(col("cuts"), (c, j) => {
+        val prev = when(j === lit(0), lit(0))
+          .otherwise(element_at(col("cuts"), j))
+        concat_ws(" ", slice(col("toks"), prev + 1, c - prev))
+      }))
+      .select(col("doc_id"), size(col("cuts")).as("n_chunks"), col("chunks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = chunked
+      .select(col("doc_id"), explode(col("chunks")).as("cstr"))
+      .select(col("doc_id"), string_fingerprint_poly(col("cstr")).as("chash"))
+    val dup = chunks.groupBy("chash")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).select("chash")
+    val dupCensus = chunks.join(dup, Seq("chash"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup0"))
+    chunked.select(col("doc_id"), col("n_chunks"))
+      .join(dupCensus, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup0"), lit(0L)).as("n_dup_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** Concat-and-chunk sequence packing — the exact assignment LLM
     * pretraining uses: the corpus is treated as one concatenated token
     * stream per `source` and chunked into fixed `budget`-token packs; a doc

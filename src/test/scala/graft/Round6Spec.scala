@@ -137,4 +137,28 @@ class Round6Spec extends AnyFunSuite {
     // nothing with n*capacity <= n_total sneaks in
     assert(got.forall(_._2 * 8 > 100), s"under-threshold key in $got")
   }
+
+  test("cdcChunks: cut rule matches direct recomputation; boundaries re-sync past an insertion") {
+    // varied token stream long enough to hit several mod-32 cuts
+    val ta = (0 until 400).map(i => s"w${(i * 7 + i * i) % 131}")
+    val a = ta.mkString(" ")
+    val b = "ins0 ins1 ins2 " + a // front insertion shifts every fixed-size boundary
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.cdcChunks(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // direct scalar replay of the cut rule: cut after token j+3 wherever the
+    // 4-token shingle's 31-poly residue ≡ 0 (mod 32), final boundary appended
+    def h(s: String) = s.foldLeft(0L)((acc, c) => (acc * 31 + c) % 2147483647L)
+    val cuts = (0 to ta.length - 4).count { j =>
+      h(ta.slice(j, j + 4).mkString(" ")) % 32 == 0 && j + 4 < ta.length
+    }
+    assert(got(1L)._1 == cuts + 1, s"expected ${cuts + 1} chunks, got ${got(1L)._1}")
+    assert(cuts >= 3, s"fixture too short to exercise cutting: $cuts cuts")
+    // the CDC property: content-defined boundaries re-synchronize after the
+    // edit, so both documents still share chunks (fixed-size chunking would
+    // share none) — and the unshared prefix region keeps the share partial
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      s"no shared chunks across the insertion: $got")
+    assert(got(2L)._2 < got(2L)._1, s"ALL chunks shared despite the edit: $got")
+  }
 }
