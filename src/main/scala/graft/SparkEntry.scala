@@ -420,6 +420,11 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type", "value", "props"))),
     "profile_benford_price" -> ((s, d) =>
       Profile.benfordDigits(Tables.orders(s, d), "o_totalprice")),
+    "profile_cms_tokens" -> ((s, d) =>
+      Profile.cmsEstimate(Tables.documents(s, d))),
+    "profile_robust_outliers" -> ((s, d) =>
+      Profile.robustOutliers(Tables.orders(s, d))),
+    "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d))),
     "join_interval_overlap" -> ((s, d) =>
       Intervals.sessionIncidentOverlap(Tables.events(s, d))),
     "join_overlap_auto" -> ((s, d) =>
@@ -2608,6 +2613,90 @@ object SparkEntry {
         |FROM v, t JOIN b ON b.bd = v.digit
         |GROUP BY v.digit, t.n_total, b.micro
         |ORDER BY digit""".stripMargin,
+    // Count-Min sketch replayed on the same integer grid: 4 polynomial
+    // hash rows (mults 31/37/131/137 over the two 31-bit primes) mod 1024,
+    // sketch built from the exact token-count table, estimate = min cell
+    "profile_cms_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tc AS (SELECT token, count(*) AS n_true
+         |       FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+         |       GROUP BY token),
+         |hs AS (SELECT token, n_true,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [ord(token[k:k]) for k in range(1, length(token)+1)]),
+         |    (a, c) -> (a * 31 + c) % 2147483647) % 1024 AS c0,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [ord(token[k:k]) for k in range(1, length(token)+1)]),
+         |    (a, c) -> (a * 37 + c) % 2147483629) % 1024 AS c1,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [ord(token[k:k]) for k in range(1, length(token)+1)]),
+         |    (a, c) -> (a * 131 + c) % 2147483647) % 1024 AS c2,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [ord(token[k:k]) for k in range(1, length(token)+1)]),
+         |    (a, c) -> (a * 137 + c) % 2147483629) % 1024 AS c3
+         |  FROM tc),
+         |sk AS (SELECT r, cell, sum(n_true) AS c FROM (
+         |    SELECT unnest([0, 1, 2, 3]) AS r,
+         |           unnest([c0, c1, c2, c3]) AS cell, n_true FROM hs)
+         |  GROUP BY r, cell),
+         |tracked AS (SELECT * FROM hs ORDER BY n_true DESC, token LIMIT 10),
+         |probes AS (SELECT token, n_true, unnest([0, 1, 2, 3]) AS r,
+         |             unnest([c0, c1, c2, c3]) AS cell FROM tracked)
+         |SELECT p.token, p.n_true, CAST(min(sk.c) AS BIGINT) AS n_cms
+         |FROM probes p JOIN sk ON sk.r = p.r AND sk.cell = p.cell
+         |GROUP BY p.token, p.n_true
+         |ORDER BY n_true DESC, token""".stripMargin,
+    // median/MAD (Hampel) outlier census: every statistic is a discrete
+    // order statistic or a single IEEE subtraction — no accumulation-order
+    // float risk, so the doubles hash-match exactly
+    "profile_robust_outliers" ->
+      """WITH med AS (SELECT o_orderpriority,
+        |    quantile_disc(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+        |dev AS (SELECT o.o_orderpriority, med.med,
+        |          abs(o.o_totalprice - med.med) AS dev
+        |        FROM orders o JOIN med USING (o_orderpriority)),
+        |mad AS (SELECT o_orderpriority, quantile_disc(dev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.o_orderpriority, count(*) AS n, min(d.med) AS med,
+        |  min(m.mad) AS mad,
+        |  count(CASE WHEN d.dev > 3 * m.mad THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad m USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // BM25 with the Robertson defaults; per-term scores rounded to integer
+    // micro-units BEFORE the per-doc sum (identical scalar IEEE op order
+    // both engines, then pure integer arithmetic); query = df-ranks 11-15
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+         |stats AS (SELECT count(*) AS n_docs,
+         |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |df AS (SELECT token, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, unnest(toks) AS token FROM t)
+         |       GROUP BY token),
+         |cand AS (SELECT token, df FROM df ORDER BY df DESC, token LIMIT 15),
+         |qt AS (SELECT token, df FROM (SELECT token, df,
+         |         row_number() OVER (ORDER BY df DESC, token) AS r FROM cand)
+         |       WHERE r BETWEEN 11 AND 15),
+         |tf AS (SELECT doc_id, token, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+         |       GROUP BY doc_id, token),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(round(ln((stats.n_docs - qt.df + 0.5)
+         |             / (qt.df + 0.5) + 1)
+         |           * tf.tf * 2.2
+         |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+         |           * 1e6) AS BIGINT) AS micro
+         |       FROM tf JOIN qt USING (token)
+         |         JOIN dl ON dl.doc_id = tf.doc_id, stats),
+         |agg AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+         |        FROM sc GROUP BY doc_id),
+         |top AS (SELECT doc_id, score_micro FROM agg
+         |        ORDER BY score_micro DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER
+         |    (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
+         |  doc_id, score_micro
+         |FROM top ORDER BY score_micro DESC, doc_id""".stripMargin,
     // sessions replicated with the win_session_30m gaps-and-islands CTE;
     // the overlap join itself is the plain inequality join (the engine's
     // bucket-first plan must produce exactly its result)

@@ -99,7 +99,7 @@ object GraftFunctions {
     * foldLeft(0)((acc, c) => (acc * mult + code(c)) mod p) over its chars —
     * plain integer arithmetic any engine reproduces exactly (the
     * cross-engine requirement that rules out xxhash64 here). */
-  private[functions] def polyResidue(s: Column, mult: Long, p: Long): Column = {
+  private[graft] def polyResidue(s: Column, mult: Long, p: Long): Column = {
     val chars = filter(split(s, ""), c => length(c) > 0)
     aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
   }

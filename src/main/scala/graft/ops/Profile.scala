@@ -171,4 +171,77 @@ object Profile {
           .as("expected_micro"))
       .orderBy("digit")
   }
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005) — the fixed-memory
+    * frequency sketch that answers "how often did key X occur?" from
+    * d·w integers regardless of key cardinality: d independent hash rows,
+    * each key adds its count to one cell per row, the estimate is the MIN
+    * over its d cells (always ≥ truth — one-sided error, which is the
+    * checkable contract). Complements the existing exact heavy-hitter
+    * (Misra–Gries) and cardinality (HLL) sketches in the family.
+    *
+    * The hashes are the cross-engine polynomial residues (mults
+    * 31/37/131/137 over the two 31-bit primes) so the oracle rebuilds the
+    * identical sketch; output = the `tracked` hottest tokens with their
+    * exact count and CMS estimate, every value integer.
+    *
+    * Scale shape: one explode+groupBy for exact token counts (the sketch
+    * is built from the count table, rows = vocab size, not corpus size);
+    * the sketch itself is ≤ d·w rows after a (row, cell) groupBy; probes
+    * broadcast-join the 4·tracked cells against it. */
+  def cmsEstimate(documents: DataFrame, width: Int = 1024,
+      tracked: Int = 10): DataFrame = {
+    import graft.functions.GraftFunctions
+    require(width >= 2 && tracked >= 1, s"bad CMS params: $width, $tracked")
+    val params = Seq((31L, 2147483647L), (37L, 2147483629L),
+      (131L, 2147483647L), (137L, 2147483629L))
+    val tc = Spread.toCores(documents)
+      .select(explode(graft.functions.GraftFunctions.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_true"))
+    val withCells = tc.withColumn("cells", array(params.map { case (m, p) =>
+      (GraftFunctions.polyResidue(col("token"), m, p) % width).cast("int")
+    }: _*))
+    val sketch = withCells
+      .select(col("n_true"), posexplode(col("cells")).as(Seq("r", "cell")))
+      .groupBy("r", "cell").agg(sum("n_true").as("c"))
+    val trackedKeys = withCells
+      .orderBy(col("n_true").desc, col("token")).limit(tracked)
+    trackedKeys
+      .select(col("token"), col("n_true"),
+        posexplode(col("cells")).as(Seq("r", "cell")))
+      .join(broadcast(sketch), Seq("r", "cell"))
+      .groupBy("token", "n_true").agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_true").desc, col("token"))
+  }
+
+  /** Median/MAD robust outlier census — the outlier detector that, unlike
+    * the z-score, a single extreme value cannot blind (mean and stddev are
+    * both unbounded-influence; median and median-absolute-deviation have
+    * breakdown point ½ — Hampel's rule). Flags x with |x − median| >
+    * k·MAD per group.
+    *
+    * Everything is exact order statistics (`percentile_disc` ↔ DuckDB
+    * `quantile_disc`, the winsorize discipline): the medians are data
+    * values read from the same parquet, the deviations are single IEEE
+    * subtractions — no accumulation-order float risk anywhere, so the
+    * doubles hash-match cross-engine. Two aggregate passes over the group
+    * keys (median, then MAD-over-deviations), both map-side combinable;
+    * the per-group bounds broadcast back. */
+  def robustOutliers(orders: DataFrame, k: Int = 3): DataFrame = {
+    val med = orders.groupBy("o_orderpriority").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+        .as("med"))
+    val dev = orders.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy("o_orderpriority").agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("med").as("med"),
+        min("mad").as("mad"),
+        count(when(col("dev") > lit(k) * col("mad"), 1)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -449,4 +449,57 @@ object TextOps {
         size(filter(toks, t => array_contains(col("_vocab"), t))).as("n_in_vocab"))
       .orderBy("doc_id")
   }
+
+  /** Okapi BM25 retrieval — the inverted-index ranking function every text
+    * search stack (Lucene/Elasticsearch, SQL full-text) runs: score(q, d) =
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with the
+    * +1-smoothed idf. The query is derived from the corpus itself so the
+    * operator is input-agnostic: the terms at document-frequency ranks
+    * 11–15 — frequent enough to retrieve, below the stop-word head.
+    *
+    * Cross-engine determinism: each per-term score is rounded to integer
+    * MICRO-units before the per-document sum, so the only float math is a
+    * fixed-shape scalar expression (identical IEEE op order on both
+    * engines — the text_tfidf round-6 discipline); the sum, the ranking,
+    * and the tie-break (score desc, doc_id) are then pure integer order.
+    *
+    * Scale shape: df and tf are explode+groupBy aggregates (corpus-linear,
+    * map-side combine); the query-term table is ≤ 15 rows (TakeOrdered,
+    * then broadcast); per-doc candidates are only docs containing a query
+    * term; top-k is a distributed TakeOrdered, the rank window runs on k
+    * rows. No corpus-sized driver state, no single-task stage. */
+  def bm25TopK(documents: DataFrame, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Spread.toCores(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = t.select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val df0 = t.select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val cand = df0.orderBy(col("df").desc, col("token")).limit(15)
+    val qt = cand
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))))
+      .where(col("r") >= 11 && col("r") <= 15).select("token", "df")
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("token"))
+      .join(broadcast(qt), "token")
+      .groupBy("doc_id", "token", "df").agg(count(lit(1)).as("tf"))
+    // fixed k1 = 1.2, b = 0.75 (the Robertson defaults); the expression's
+    // association order is mirrored textually in the oracle SQL so both
+    // engines execute the identical IEEE op sequence
+    val sc = tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("micro",
+        round(log((col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)) + lit(1))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * lit(1e6)).cast("bigint"))
+    val agg = sc.groupBy("doc_id").agg(sum("micro").as("score_micro"))
+    agg.orderBy(col("score_micro").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
 }

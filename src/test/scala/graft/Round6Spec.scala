@@ -161,4 +161,60 @@ class Round6Spec extends AnyFunSuite {
       s"no shared chunks across the insertion: $got")
     assert(got(2L)._2 < got(2L)._1, s"ALL chunks shared despite the edit: $got")
   }
+
+  test("cmsEstimate: one-sided error — estimate >= truth, exact when unshadowed") {
+    // planted counts: 'hot' 50x, 'warm' 20x, singles as background noise
+    val docs = (
+      Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+        (0 until 30).map(i => s"bg$i")
+    ).zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = graft.ops.Profile.cmsEstimate(docs, width = 1024, tracked = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hot = got.find(_._1 == "hot").get
+    assert(hot._2 == 50L, s"exact count wrong: $hot")
+    // CMS contract: min-cell estimate never undercounts
+    assert(got.forall(t => t._3 >= t._2), s"CMS undercount: ${got.toSeq}")
+  }
+
+  test("robustOutliers: one extreme value cannot blind the detector") {
+    // 99 well-behaved prices + 1 catastrophic outlier per group; a z-score
+    // with mean/stddev would absorb it (sigma explodes), median/MAD flags it
+    val rows = (0 until 99).map(i => ("1-URGENT", 100.0 + (i % 7))) :+
+      (("1-URGENT", 1e9))
+    val df = rows.toDF("o_orderpriority", "o_totalprice")
+    val got = graft.ops.Profile.robustOutliers(df).collect().head
+    assert(got.getLong(1) == 100L)
+    assert(got.getDouble(2) == 103.0, s"median off: $got") // 100..106 cycle
+    assert(got.getLong(4) >= 1L, s"the planted outlier was not flagged: $got")
+    assert(got.getLong(4) <= 30L, s"detector fired on the bulk: $got")
+  }
+
+  test("bm25TopK: a doc saturated with a query term outranks one with a single hit") {
+    // corpus where tokens q0..q4 land at df-ranks 11..15: ten stop-words in
+    // every doc (ranks 1..10), q-terms in a controlled subset
+    val stop = (0 until 10).map(i => s"the$i").mkString(" ")
+    val docs = ((0 until 40).map { i =>
+      val extra =
+        if (i == 0) " q0 q0 q0 q0 q0" // saturated in the query term
+        else if (i < 25) " q0"         // single hit, 24 docs -> q0 df=25
+        else ""
+      (i.toLong, stop + extra + s" filler$i")
+    } ++ (40 until 136).map { i =>     // q1..q4 at df=24 each (ranks 12-15)
+      val qi = 1 + (i - 40) % 4
+      (i.toLong, stop + s" q$qi")
+    }).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bm25TopK(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.head._1 == 1, s"rank must start at 1: ${got.toSeq}")
+    // scores are non-increasing in rank
+    assert(got.sliding(2).forall(p => p.length < 2 || p(0)._3 >= p(1)._3),
+      s"scores not monotone in rank: ${got.toSeq}")
+    // with all five query terms at comparable df, tf saturation dominates:
+    // the one doc with tf=5 must be the single best hit
+    assert(got.head._2 == 0L,
+      s"saturated doc is not rank 1: ${got.toSeq}")
+    // and every single-hit doc scores strictly below it
+    assert(got.tail.forall(_._3 < got.head._3),
+      s"a single-hit doc tied the saturated doc: ${got.toSeq}")
+  }
 }
