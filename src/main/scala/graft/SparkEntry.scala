@@ -425,6 +425,15 @@ object SparkEntry {
     "profile_robust_outliers" -> ((s, d) =>
       Profile.robustOutliers(Tables.orders(s, d))),
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(Tables.documents(s, d))),
+    "text_bigram_logprob" -> ((s, d) =>
+      TextOps.bigramLogProb(Tables.documents(s, d))),
+    "graph_kcore" -> ((s, d) =>
+      Graph.nationKcore(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "profile_equidepth_hist" -> ((s, d) =>
+      Profile.equidepthHist(Tables.orders(s, d))),
+    "privacy_kanon_census" -> ((s, d) =>
+      Profile.kAnonymity(Tables.customer(s, d))),
     "join_interval_overlap" -> ((s, d) =>
       Intervals.sessionIncidentOverlap(Tables.events(s, d))),
     "join_overlap_auto" -> ((s, d) =>
@@ -2697,6 +2706,98 @@ object SparkEntry {
          |    (ORDER BY score_micro DESC, doc_id) AS INT) AS rank,
          |  doc_id, score_micro
          |FROM top ORDER BY score_micro DESC, doc_id""".stripMargin,
+    // add-one-smoothed bigram LM: per-bigram ln rounded to micro-units
+    // before the integer per-doc sum (the BM25 discipline); docs with < 2
+    // tokens have no transitions and are excluded by contract
+    "text_bigram_logprob" ->
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT * FROM t0 WHERE len(toks) >= 2),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |bg0 AS (SELECT doc_id, toks[i] AS w1,
+         |          toks[i] || ' ' || toks[i+1] AS bg
+         |        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)),
+         |bi AS (SELECT bg, count(*) AS cb FROM bg0 GROUP BY bg),
+         |sc AS (SELECT bg0.doc_id,
+         |         CAST(round(ln((bi.cb + 1.0) / (uni.cu + v.v)) * 1e6)
+         |           AS BIGINT) AS micro
+         |       FROM bg0 JOIN bi USING (bg)
+         |         JOIN uni ON uni.w = bg0.w1, v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(micro) AS BIGINT) AS logprob_micro
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // k-core peel, k = ceil(avg degree / 2) via exact integer ceiling
+    // division (the half-average sparsification threshold);
+    // three unrolled rounds (the text_bpe_merges discipline) on the
+    // undirected simple nation trade graph
+    "graph_kcore" ->
+      """WITH edges AS (
+        |  SELECT sn.n_name AS src, cn.n_name AS dst
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  GROUP BY 1, 2 HAVING src <> dst),
+        |und AS (SELECT src AS a, dst AS b FROM edges
+        |        UNION SELECT dst, src FROM edges),
+        |d0 AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |kv AS (SELECT CAST((sum(deg) + 2 * count(*) - 1)
+        |           // (2 * count(*)) AS BIGINT) AS k FROM d0),
+        |a1 AS (SELECT a FROM d0, kv WHERE deg >= k),
+        |e1 AS (SELECT und.a, und.b FROM und
+        |       JOIN a1 ON und.a = a1.a JOIN a1 x ON und.b = x.a),
+        |d1 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+        |a2 AS (SELECT a FROM d1, kv WHERE deg >= k),
+        |e2 AS (SELECT und.a, und.b FROM und
+        |       JOIN a2 ON und.a = a2.a JOIN a2 x ON und.b = x.a),
+        |d2 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+        |a3 AS (SELECT a FROM d2, kv WHERE deg >= k),
+        |e3 AS (SELECT und.a, und.b FROM und
+        |       JOIN a3 ON und.a = a3.a JOIN a3 x ON und.b = x.a),
+        |d3 AS (SELECT a, count(*) AS deg FROM e3 GROUP BY a)
+        |SELECT d3.a AS n_name, CAST(d3.deg AS BIGINT) AS deg, kv.k
+        |FROM d3, kv WHERE d3.deg >= kv.k
+        |ORDER BY n_name""".stripMargin,
+    // decile bounds are DISCRETE percentiles (exact data values); ties go
+    // to the lower bucket so assignment is exact comparison cross-engine
+    "profile_equidepth_hist" ->
+      """WITH b AS (SELECT
+        |    quantile_disc(o_totalprice, 0.1) AS b0,
+        |    quantile_disc(o_totalprice, 0.2) AS b1,
+        |    quantile_disc(o_totalprice, 0.3) AS b2,
+        |    quantile_disc(o_totalprice, 0.4) AS b3,
+        |    quantile_disc(o_totalprice, 0.5) AS b4,
+        |    quantile_disc(o_totalprice, 0.6) AS b5,
+        |    quantile_disc(o_totalprice, 0.7) AS b6,
+        |    quantile_disc(o_totalprice, 0.8) AS b7,
+        |    quantile_disc(o_totalprice, 0.9) AS b8
+        |  FROM orders)
+        |SELECT 1 + (CASE WHEN o_totalprice > b0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END) AS bucket,
+        |  count(*) AS n_rows, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM orders, b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // quasi-identifier = (nation, market segment); groups below k are the
+    // re-identifiable population
+    "privacy_kanon_census" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS INT) AS k, count(*) AS n_groups,
+        |  count(CASE WHEN n < 5 THEN 1 END) AS n_violating_groups,
+        |  CAST(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
     // sessions replicated with the win_session_30m gaps-and-islands CTE;
     // the overlap join itself is the plain inequality join (the engine's
     // bucket-first plan must produce exactly its result)

@@ -186,4 +186,54 @@ object Graph {
       supplier: DataFrame, nation: DataFrame, source: String = "NATION_0"): DataFrame =
     shortestHops(
       nationTradeEdges(lineitem, orders, customer, supplier, nation), source)
+
+  /** k-core peeling (Seidman 1983) — the dense-subgraph extractor behind
+    * community seeds, spam-ring detection, and graph sparsification:
+    * repeatedly delete vertices of degree < k; what survives is the
+    * k-core, the maximal subgraph where everyone keeps ≥ k neighbors.
+    * k is data-adaptive — ⌈avg degree / 2⌉ of the undirected simple
+    * graph, the half-average sparsification threshold: on a near-regular
+    * graph (the dense trade network at larger scale factors) the core
+    * keeps every node, while genuinely under-connected nodes peel off —
+    * so the query stays non-vacuous at any scale factor. The integer
+    * ceiling-division is reproduced exactly by the oracle.
+    *
+    * Peeling runs a FIXED `rounds` rounds (each: induce the subgraph on
+    * survivors, recount degrees, drop the under-k) rather than to an
+    * unbounded fixpoint, so the oracle can replay it as an unrolled CTE
+    * chain (the text_bpe_merges discipline) and both engines agree by
+    * construction; on this graph family the peel converges in 2–3 rounds.
+    *
+    * Scale shape: each round is one self-semi-join of the edge list
+    * against the shrinking survivor set plus a degree groupBy — the
+    * standard distributed k-core round, no driver-side graph state;
+    * `localCheckpoint` truncates the per-round lineage (the [[pagerank]]
+    * discipline). */
+  def kcore(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    val dir = edges0.where(col("src") =!= col("dst"))
+    val und = dir.select(col("src").as("a"), col("dst").as("b"))
+      .union(dir.select(col("dst").as("a"), col("src").as("b")))
+      .distinct().localCheckpoint(true)
+    val deg0 = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val kDf = deg0.agg(sum("deg").as("s"), count(lit(1)).as("nn"))
+      .select(expr("(s + 2 * nn - 1) div (2 * nn)").as("k"))
+    var aliveDeg = deg0.crossJoin(broadcast(kDf))
+      .where(col("deg") >= col("k"))
+    var alive = aliveDeg.select("a")
+    for (_ <- 1 to rounds) {
+      val e = und.join(alive, "a")
+        .join(alive.select(col("a").as("b")), "b")
+      val d = e.groupBy("a").agg(count(lit(1)).as("deg"))
+      aliveDeg = d.crossJoin(broadcast(kDf))
+        .where(col("deg") >= col("k"))
+        .localCheckpoint(true)
+      alive = aliveDeg.select("a")
+    }
+    aliveDeg.select(col("a").as("n_name"), col("deg"), col("k"))
+      .orderBy("n_name")
+  }
+
+  def nationKcore(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame): DataFrame =
+    kcore(nationTradeEdges(lineitem, orders, customer, supplier, nation))
 }

@@ -215,6 +215,52 @@ object Profile {
       .orderBy(col("n_true").desc, col("token"))
   }
 
+  /** Equi-depth (equal-frequency) histogram — the statistic an optimizer's
+    * selectivity estimator and a drift monitor both want: bucket bounds at
+    * the value deciles, so every bucket holds ≈ the same row count and
+    * skewed tails get resolution where equal-WIDTH buckets collapse.
+    * Bounds are discrete percentiles (exact data values — the winsorize
+    * discipline), tie rows go to the lower bucket, so bucket assignment is
+    * exact integer comparison cross-engine. One bounds aggregate +
+    * broadcast + one zero-shuffle bucketing pass. */
+  def equidepthHist(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 20, s"bad bucket count: $buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = orders.agg(
+      expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY o_totalprice)")
+        .as("b0"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
+          .as(s"b${i + 1}")
+      }: _*)
+    val bucket = qs.indices
+      .map(i => when(col("o_totalprice") > col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    orders.crossJoin(broadcast(bounds))
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** k-anonymity census — the privacy audit a dataset release runs first:
+    * group by the quasi-identifier columns and count groups smaller than
+    * k, whose members are re-identifiable by those attributes alone
+    * (Sweeney 2002). Output is the one-row summary (groups, violating
+    * groups, rows at risk, smallest group). Pure aggregation — one
+    * shuffle on the quasi-identifier key at any scale. */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame = {
+    val g = customer.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    g.agg(lit(k).as("k"),
+      count(lit(1)).as("n_groups"),
+      count(when(col("n") < k, 1)).as("n_violating_groups"),
+      coalesce(sum(when(col("n") < k, col("n"))), lit(0L))
+        .as("n_rows_at_risk"),
+      min("n").as("min_group_size"))
+  }
+
   /** Median/MAD robust outlier census — the outlier detector that, unlike
     * the z-score, a single extreme value cannot blind (mean and stddev are
     * both unbounded-influence; median and median-absolute-deviation have

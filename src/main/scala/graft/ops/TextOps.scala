@@ -502,4 +502,43 @@ object TextOps {
         Window.orderBy(col("score_micro").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("score_micro"))
   }
+
+  /** Laplace-smoothed bigram language-model score per document — the
+    * KenLM-style perplexity screen the CCNet/Gopher pipeline lineage uses
+    * as its main quality filter: log P(doc) = Σ over adjacent token pairs
+    * of ln((c(w1,w2) + 1) / (c(w1) + V)), with corpus-wide bigram/unigram
+    * counts and vocabulary size V as the add-one denominator. Documents
+    * whose transitions are corpus-typical score high (less negative);
+    * gibberish and boilerplate-free-association score low.
+    *
+    * Each bigram's log-probability is rounded to integer micro-units
+    * before the per-document sum (the bm25TopK discipline: float math is
+    * one fixed-shape scalar expression, accumulation is exact integer).
+    * Documents with fewer than two tokens have no transitions and are
+    * excluded by contract (visible in the oracle's WHERE).
+    *
+    * Scale shape: unigram/bigram counts are explode+groupBy (map-side
+    * combinable, vocab-sized results); scoring joins the per-doc bigram
+    * stream against them — corpus-linear shuffles on (bigram) and (w1),
+    * never a pair explosion; V is a broadcast 1-row aggregate. */
+  def bigramLogProb(documents: DataFrame): DataFrame = {
+    val t = Spread.toCores(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val uni = t.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val db = t.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val bi = db.groupBy("bg").agg(count(lit(1)).as("cb"))
+    db.join(bi, "bg")
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("micro",
+        round(log((col("cb") + lit(1.0)) / (col("cu") + col("v")))
+          * lit(1e6)).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("logprob_micro"))
+      .orderBy("doc_id")
+  }
 }

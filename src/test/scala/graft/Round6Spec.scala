@@ -217,4 +217,66 @@ class Round6Spec extends AnyFunSuite {
     assert(got.tail.forall(_._3 < got.head._3),
       s"a single-hit doc tied the saturated doc: ${got.toSeq}")
   }
+
+  test("kcore: pendant chain peels off in rounds, the clique survives") {
+    // 4-clique {a,b,c,d} + chain d-e-f: degrees 3,3,3,4,2,1 -> k = ceil
+    // (16/12) = 2. Round 0 drops f (deg 1); the peel CASCADES: e, fine at
+    // deg 2 initially, falls to 1 once f is gone and drops in round 1.
+    val cl = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+      ("c", "d"), ("d", "e"), ("e", "f"))
+    val edges = cl.toDF("src", "dst")
+      .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val got = graft.ops.Graph.kcore(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c", "d"),
+      s"core must be exactly the clique: ${got.toSeq}")
+    assert(got.forall(t => t._2 == 3L && t._3 == 2L),
+      s"in-core degrees must be the clique degrees: ${got.toSeq}")
+  }
+
+  test("bigramLogProb matches a direct scalar replay of the smoothed LM") {
+    val texts = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "c c c"),
+      (4L, "solo")) // single token: no transitions, excluded by contract
+    val docs = texts.toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // corpus counts over docs with >= 2 tokens: unigrams a:3 b:3 c:4, V=3
+    val uni = Map("a" -> 3L, "b" -> 3L, "c" -> 4L)
+    val bi = Map(("a", "b") -> 3L, ("b", "a") -> 1L, ("b", "c") -> 1L,
+      ("c", "c") -> 2L)
+    // HALF_UP, matching Spark's round() on doubles (math.round floors .5s
+    // toward +inf, which differs on negative values)
+    def micro(w1: String, w2: String): Long =
+      BigDecimal(math.log((bi(w1 -> w2) + 1.0) / (uni(w1) + 3)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val exp1 = micro("a", "b") + micro("b", "a") + micro("a", "b") +
+      micro("b", "c")
+    assert(got(1L) == ((4L, exp1)), s"doc 1: ${got(1L)} vs $exp1")
+    assert(got(2L) == ((1L, micro("a", "b"))), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((2L, 2 * micro("c", "c"))), s"doc 3: ${got(3L)}")
+    assert(!got.contains(4L), "single-token doc must be excluded")
+  }
+
+  test("equidepthHist: uniform 1..100 lands 10 rows in every decile bucket") {
+    val df = (1 to 100).map(i => i.toDouble).toDF("o_totalprice")
+    val got = graft.ops.Profile.equidepthHist(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 10, s"expected 10 buckets: ${got.toSeq}")
+    assert(got.forall(_._2 == 10L), s"uneven buckets: ${got.toSeq}")
+    // discrete bounds with ties-to-lower: bucket 1 = (..,10], bucket 10 = (90,..]
+    assert(got.head == ((1, 10L, 1.0, 10.0)), s"bucket 1: ${got.head}")
+    assert(got.last == ((10, 10L, 91.0, 100.0)), s"bucket 10: ${got.last}")
+  }
+
+  test("kAnonymity: small groups are counted as the at-risk population") {
+    val rows = Seq.fill(6)((1, "A")) ++ Seq.fill(6)((2, "B")) ++
+      Seq.fill(2)((3, "C"))
+    val df = rows.toDF("c_nationkey", "c_mktsegment")
+    val got = graft.ops.Profile.kAnonymity(df).collect().head
+    assert(got.getInt(0) == 5)
+    assert(got.getLong(1) == 3L, s"n_groups: $got")
+    assert(got.getLong(2) == 1L, s"n_violating_groups: $got")
+    assert(got.getLong(3) == 2L, s"n_rows_at_risk: $got")
+    assert(got.getLong(4) == 2L, s"min_group_size: $got")
+  }
 }
