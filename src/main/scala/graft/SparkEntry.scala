@@ -282,6 +282,7 @@ object SparkEntry {
     "er_fuzzy_clusters" -> ((s, d) =>
       Dedup.fuzzyEntityClusters(Tables.customer(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardAdjacent(Tables.documents(s, d))),
+    "dedup_prefix_filter" -> ((s, d) => Dedup.prefixFilterPairs(Tables.documents(s, d))),
     "dedup_embedding_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(Tables.embeddings(s, d))),
     "dedup_shared_grams" -> ((s, d) =>
@@ -311,6 +312,8 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => SimSearch.pqTopK(Tables.embeddings(s, d))),
     "sim_ivfpq_topk" -> ((s, d) => SimSearch.ivfPqTopK(Tables.embeddings(s, d))),
     "sim_recall_census" -> ((s, d) => SimSearch.recallCensus(Tables.embeddings(s, d))),
+    "rag_rrf_fusion" -> ((s, d) => SimSearch.rrfFusion(Tables.embeddings(s, d))),
+    "emb_label_centroids" -> ((s, d) => Ml.labelCentroids(Tables.embeddings(s, d))),
     // ---- text analysis (SURVEY §2.6)
     "text_token_stats" -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -452,6 +455,18 @@ object SparkEntry {
         ev.where(col("ts") < cutoff), ev.where(col("ts") >= cutoff),
         "user_id", "ts", "event_id", Seq("event_type", "value"))
     }),
+    "etl_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = Star.scd2(ev, "user_id", "ts", "event_type", "event_id")
+        .select("user_id", "state", "valid_from", "valid_to")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Star.scd2Lookup(facts, dim, "user_id", "ts")
+        .select("event_id", "user_id", "ts", "state", "valid_from")
+        .orderBy("event_id")
+    }),
+    "seq_transition_matrix" -> ((s, d) =>
+      Relational.transitionMatrix(Tables.events(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s_json_roundtrip" -> ((s, d) => {
       // JSON-lines source format: write the events slice as json, read it
@@ -1956,6 +1971,40 @@ object SparkEntry {
          |  CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS INT) AS n_union
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+    // prefix-filtered set-similarity join: the rarity order (df asc, token
+    // asc), prefix-length formula, bucket cap, and integer cross-multiplied
+    // verify are all replayed token-for-token
+    "dedup_prefix_filter" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |             ELSE [array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks) - 1)]
+         |        END) AS grams
+         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |x AS (SELECT doc_id, len(grams) AS len, unnest(grams) AS gram FROM t),
+         |df AS (SELECT gram, count(*) AS gdf FROM x GROUP BY gram),
+         |o AS (SELECT x.doc_id, x.gram, x.len,
+         |        row_number() OVER (PARTITION BY x.doc_id
+         |          ORDER BY df.gdf, x.gram) AS rn
+         |      FROM x JOIN df USING (gram)),
+         |p AS (SELECT doc_id, gram FROM o
+         |      WHERE rn <= len - (50 * len + 99) // 100 + 1),
+         |bs AS (SELECT gram FROM p GROUP BY gram
+         |       HAVING count(*) BETWEEN 2 AND 1024),
+         |pr AS (SELECT p.doc_id, p.gram FROM p JOIN bs USING (gram)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM pr a JOIN pr b
+         |            ON a.gram = b.gram AND b.doc_id > a.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |        len(list_intersect(ta.grams, tb.grams)) AS n_common,
+         |        len(ta.grams) + len(tb.grams)
+         |          - len(list_intersect(ta.grams, tb.grams)) AS n_union
+         |      FROM pairs JOIN t ta ON ta.doc_id = doc_a
+         |                 JOIN t tb ON tb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(n_common AS INT) AS n_common,
+         |  CAST(n_union AS INT) AS n_union
+         |FROM v WHERE n_common * 100 >= n_union * 50
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // shared-shingle pair graph: stop-shingle df cap and min-shared filter
     // mirrored exactly; the clustering oracle closes it transitively with a
     // recursive CTE (min reachable id == min-label fixpoint)
@@ -2359,6 +2408,44 @@ object SparkEntry {
     // recall census: each approximate path's full oracle replay is nested
     // as a subquery and intersected with the brute-force truth set; the
     // per-method milli-recall and floor verdict are integer/boolean
+    // reciprocal-rank fusion: both legs (round-6 cosine desc, round-6
+    // squared-L2 asc) re-ranked from scratch, fused in integer nano-units
+    "rag_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ${cosSql("q.qe", "e.emb")} AS cos,
+         |        round(list_sum([(q.qe[i] - e.emb[i]) * (q.qe[i] - e.emb[i])
+         |          for i in range(1, len(e.emb) + 1)]), 6) AS l2sq
+         |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos DESC, neighbor_id) AS rank_cos,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY l2sq ASC, neighbor_id) AS rank_l2
+         |      FROM s),
+         |f AS (SELECT query_id, neighbor_id,
+         |        CAST(CASE WHEN rank_cos <= 10
+         |               THEN 1000000000 // (60 + rank_cos) ELSE 0 END
+         |           + CASE WHEN rank_l2 <= 10
+         |               THEN 1000000000 // (60 + rank_l2) ELSE 0 END
+         |          AS BIGINT) AS rrf_nano
+         |      FROM r WHERE rank_cos <= 10 OR rank_l2 <= 10)
+         |SELECT query_id, neighbor_id, rrf_nano,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_nano DESC, neighbor_id) AS INT) AS fused_rank
+         |FROM f QUALIFY fused_rank <= 10
+         |ORDER BY query_id, fused_rank""".stripMargin,
+    // per-label centroids on the micro-unit integer grid; the mean is
+    // truncating integer division in both engines
+    "emb_label_centroids" ->
+      """WITH x AS (SELECT label, CAST(i - 1 AS INT) AS dim,
+        |        CAST(round(v * 1000000) AS BIGINT) AS qval
+        |      FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |              generate_subscripts(embedding, 1) AS i FROM embeddings))
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(sum(qval) AS BIGINT) // count(*) AS mean_micro
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "sim_recall_census" ->
       s"""WITH b AS (SELECT query_id, neighbor_id FROM ($simBruteSql)),
          |lv AS (SELECT query_id, neighbor_id FROM ($simLshSql)),
@@ -2849,6 +2936,37 @@ object SparkEntry {
         |SELECT user_id, state, valid_from, valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+    // point-in-time lookup: replays the SCD2 CTE chain, then the equi-join
+    // + interval filter over purchase facts
+    "etl_scd2_lookup" ->
+      """WITH o AS (SELECT user_id, event_type AS state, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, state, ts, event_id FROM o
+        |       WHERE prev IS NULL OR prev <> state),
+        |iv AS (SELECT user_id, state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM ch),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, iv.state, iv.valid_from
+        |FROM f JOIN iv ON f.user_id = iv.user_id
+        |WHERE iv.valid_from <= f.ts
+        |  AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+        |ORDER BY event_id""".stripMargin,
+    // first-order Markov transition census; share-of-source in integer ppm
+    // (both engines truncate toward zero on integral division)
+    "seq_transition_matrix" ->
+      """WITH p AS (SELECT user_id, event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |m AS (SELECT prev_type, next_type, count(*) AS n FROM p
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS prob_ppm
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
     "etl_merge_upsert" ->
       """WITH b AS (SELECT user_id, event_type, value, ts FROM events
         |           WHERE ts < TIMESTAMP '2024-03-01'

@@ -169,4 +169,27 @@ object Ml {
     aggregate(
       zip_with(qv, array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
+
+  /** Per-label mean embedding (class centroids / prototypes) — the building
+    * block for prototype classifiers, per-class drift monitors, and the
+    * class-balanced variant of SemDeDup. Exact on the integer grid: each
+    * element is quantized to micro-units, summed per (label, dim), and the
+    * mean is floor integer division — no float accumulation order to
+    * disagree on cross-engine.
+    *
+    * Shape at 100 TB: posexplode fans each vector into dim rows, but the
+    * per-(label, dim) sums partial-aggregate map-side, so the exchange
+    * carries O(|labels| · dim · partitions) — never corpus-sized. The output
+    * itself is |labels| · dim rows: centroid metadata, not data. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("long")).as("qv"))
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"), sum("qval").as("sum_micro"))
+      .withColumn("mean_micro", expr("sum_micro div n"))
+      .select("label", "dim", "n", "mean_micro")
+      .orderBy("label", "dim")
 }

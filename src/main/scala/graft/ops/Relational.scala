@@ -1249,4 +1249,34 @@ object Relational {
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
   }
+
+  /** First-order Markov transition census over per-user event sequences —
+    * the sequence-model prep step (next-event prediction features, funnel
+    * anomaly baselines). For each user's events ordered by (ts, event_id),
+    * count (state → next state) transitions and report each row's share of
+    * its source state in integer parts-per-million (floor division — exact
+    * cross-engine; no float ratio ever touches the data path).
+    *
+    * Shape at 100 TB: one window keyed by user (the partition key any
+    * sequence op shuffles on), then a groupBy over the |states|² transition
+    * space — the aggregate output is vocabulary-sized, not corpus-sized.
+    * The per-state total rides a broadcast-sized window over the aggregated
+    * matrix, never a second pass over the events. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev_type"))
+      .withColumn("next_type", lead("prev_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+    val matrix = pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy("prev_type")
+    matrix
+      .withColumn("_tot", sum("n").over(wTot))
+      .withColumn("prob_ppm", expr("(n * 1000000) div _tot"))
+      .select("prev_type", "next_type", "n", "prob_ppm")
+      .orderBy("prev_type", "next_type")
+  }
 }

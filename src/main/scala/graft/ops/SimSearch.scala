@@ -432,4 +432,51 @@ object SimSearch {
         (col("recall_milli") >= floor).as("meets_floor"))
       .orderBy("method", "query_id")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * retrieval rankings over the same corpus — the standard hybrid-retrieval
+    * combiner (e.g. lexical + dense legs of a RAG stack). The two legs here
+    * are genuinely different orderings of the same vectors: exact cosine
+    * (angle) and exact squared-Euclidean (magnitude-sensitive), which
+    * disagree precisely when vector norms differ.
+    *
+    * RRF score = Σ_legs 1/(C + rank), computed in integer nano-units
+    * (`1e9 div (C + rank)`) so the fusion is exact cross-engine; a candidate
+    * absent from a leg's top-k contributes 0 from that leg, the standard
+    * top-k-list formulation. Both legs share one corpus scan and one
+    * query-key partitioning: two window ranks over the same exchange, then
+    * a candidate-sized (≤ 2k per query) aggregate — corpus size never enters
+    * the fusion stage. */
+  def rrfFusion(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      c: Int = 60): DataFrame = {
+    val queries = embeddings.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      // round-6 quantization before ranking: the brute-force discipline —
+      // ties then break on neighbor_id identically in any engine
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineNative(embeddings)(col("q_emb"), col("embedding")), 6).as("cos"),
+        round(aggregate(
+          zip_with(col("q_emb"), col("embedding"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+    val byQuery = Window.partitionBy("query_id")
+    val ranked = scored
+      .withColumn("rank_cos", row_number().over(
+        byQuery.orderBy(col("cos").desc, col("neighbor_id"))).cast("int"))
+      .withColumn("rank_l2", row_number().over(
+        byQuery.orderBy(col("l2sq").asc, col("neighbor_id"))).cast("int"))
+      .where(col("rank_cos") <= k || col("rank_l2") <= k)
+    ranked
+      .withColumn("rrf_nano",
+        expr(s"CASE WHEN rank_cos <= $k THEN 1000000000 div ($c + rank_cos) ELSE 0 END + " +
+          s"CASE WHEN rank_l2 <= $k THEN 1000000000 div ($c + rank_l2) ELSE 0 END"))
+      .withColumn("fused_rank", row_number().over(
+        byQuery.orderBy(col("rrf_nano").desc, col("neighbor_id"))).cast("int"))
+      .where(col("fused_rank") <= k)
+      .select("query_id", "neighbor_id", "rrf_nano", "fused_rank")
+      .orderBy("query_id", "fused_rank")
+  }
 }

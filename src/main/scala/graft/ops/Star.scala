@@ -232,6 +232,25 @@ object Star {
       .orderBy(keyCol, "valid_from")
   }
 
+  /** Point-in-time (as-of) dimension lookup against an SCD2 history: for
+    * each fact row, find the dimension version whose validity interval
+    * `[valid_from, valid_to)` covers the fact's timestamp — the lookup every
+    * warehouse reprocessing job runs against a slowly-changing dimension.
+    *
+    * Shape at 100 TB: the join is a plain EQUI-join on the dimension key
+    * (facts shuffle on the key they'd shuffle on anyway); the interval
+    * predicate is a post-join filter over the handful of versions each key
+    * has — never a nested-loop range join. Intervals partition each key's
+    * timeline, so at most one version survives per fact row; facts earlier
+    * than the key's first version (possible when the fact stream starts
+    * before the dimension's) drop out like any dimension miss. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    facts
+      .join(dim, Seq(keyCol))
+      .where(col("valid_from") <= col(tsCol) &&
+        (col("valid_to").isNull || col(tsCol) < col("valid_to")))
+
   /** CDC merge / upsert (SCD1, latest-wins) without a table format: fold a
     * change set into a base snapshot, reporting per key whether the merge
     * inserted, updated, or kept the row — MERGE INTO semantics as a pure

@@ -279,4 +279,115 @@ class Round6Spec extends AnyFunSuite {
     assert(got.getLong(3) == 2L, s"n_rows_at_risk: $got")
     assert(got.getLong(4) == 2L, s"min_group_size: $got")
   }
+
+  test("prefixFilterPairs: finds exactly the brute-force J>=t pairs (zero false negatives)") {
+    import graft.functions.GraftFunctions.{shingles, tokens}
+    import org.apache.spark.sql.functions._
+    // near-dup pair (0,1): one-word edit; (2) shares vocabulary but not
+    // order; (3) unrelated; (4,5) exact duplicates
+    // one edit in 20 tokens: 3 of 18 shingles differ -> J = 15/21 ≈ 0.71
+    val base = "the quick brown fox jumps over the lazy dog tonight " +
+      "while the silver moon rises slowly above the quiet harbor"
+    val docs = Seq(
+      (0L, base),
+      (1L, base.replace("jumps", "leaps")),
+      (2L, "dog lazy the over jumps fox brown quick the tonight " +
+        "harbor quiet the above slowly rises moon silver the while"),
+      (3L, "entirely different content with no overlap at all here"),
+      (4L, "twin text made of one repeated sentence for the test"),
+      (5L, "twin text made of one repeated sentence for the test")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.prefixFilterPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets, same integer threshold
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 3)).as("g"))
+    val brute = sets.select(col("doc_id").as("a"), col("g").as("ga"))
+      .crossJoin(sets.select(col("doc_id").as("b"), col("g").as("gb")))
+      .where(col("b") > col("a"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ga"), col("gb"))).as("i"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).as("u"))
+      .where(col("i") * 100 >= col("u") * 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.contains((0L, 1L)) && brute.contains((4L, 5L)),
+      s"fixture lost its planted pairs: $brute")
+    assert(got == brute, s"prefix-filtered $got != brute $brute")
+  }
+
+  test("scd2Lookup: each fact resolves to the one interval covering its ts") {
+    import org.apache.spark.sql.functions._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, 10L, ts("2024-01-02 00:00:00"), "cart"),
+      (3L, 10L, ts("2024-01-03 00:00:00"), "purchase"),
+      (4L, 20L, ts("2024-01-05 00:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val dim = graft.ops.Star.scd2(events, "user_id", "ts", "event_type", "event_id")
+      .select("user_id", "state", "valid_from", "valid_to")
+    // a fact strictly inside user 10's second interval, and one at an
+    // interval boundary (must land in the LATER interval, half-open)
+    val facts = Seq(
+      (100L, 10L, ts("2024-01-02 12:00:00")),
+      (101L, 10L, ts("2024-01-03 00:00:00"))
+    ).toDF("fact_id", "user_id", "ts")
+    val got = graft.ops.Star.scd2Lookup(facts, dim, "user_id", "ts")
+      .select("fact_id", "state").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(100L -> "cart", 101L -> "purchase"), s"$got")
+  }
+
+  test("transitionMatrix: ppm shares are exact integer floor division per source state") {
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")
+    // user 1: a->b, b->a, a->b ; user 2: a->b  =>  from a: b=3 (ppm 1000000);
+    // from b: a=1 of 1
+    val events = Seq(
+      (1L, 1L, ts(1), "a"), (2L, 1L, ts(2), "b"),
+      (3L, 1L, ts(3), "a"), (4L, 1L, ts(4), "b"),
+      (5L, 2L, ts(1), "a"), (6L, 2L, ts(2), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Relational.transitionMatrix(events).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("a", "b")) == ((3L, 1000000L)), s"$got")
+    assert(got(("b", "a")) == ((1L, 1000000L)), s"$got")
+    assert(got.size == 2, s"$got")
+  }
+
+  test("rrfFusion: a candidate topping both legs outranks one topping a single leg") {
+    // 3 unit-ish vectors + query id 0: neighbor 1 is closest in BOTH angle
+    // and distance; neighbor 2 is mid; neighbor 3 differs in norm only
+    // (cosine-tied with 1, L2-far) — fusion must put 1 first
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.5f, 0.5f), 0),
+      (3L, Array(9.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.SimSearch.rrfFusion(vecs, nQueries = 1, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.head._1 == 1L,
+      s"neighbor 1 should fuse to rank 1: ${got.toSeq}")
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq,
+      s"fused ranks not contiguous: ${got.toSeq}")
+  }
+
+  test("labelCentroids: micro-unit means are exact truncating division") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -0.25f), 7),
+      (1L, Array(0.25f, -0.5f), 7),
+      (2L, Array(1.0f, 1.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Ml.labelCentroids(vecs).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // label 7 dim 0: (500000 + 250000) div 2 = 375000
+    // label 7 dim 1: (-250000 + -500000) div 2 = -750000 div 2 = -375000
+    // (truncation toward zero, matching DuckDB's integer //)
+    assert(got((7, 0)) == ((2L, 375000L)), s"$got")
+    assert(got((7, 1)) == ((2L, -375000L)), s"$got")
+    assert(got((8, 0)) == ((1L, 1000000L)), s"$got")
+  }
 }
