@@ -1975,32 +1975,42 @@ object SparkEntry {
     // asc), prefix-length formula, bucket cap, and integer cross-multiplied
     // verify are all replayed token-for-token
     "dedup_prefix_filter" ->
-      s"""WITH t AS (SELECT doc_id, list_distinct(
+      s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(
          |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
          |             ELSE [array_to_string(toks[i:i+2], ' ')
          |                   for i in range(1, len(toks) - 1)]
-         |        END) AS grams
-         |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |x AS (SELECT doc_id, len(grams) AS len, unnest(grams) AS gram FROM t),
-         |df AS (SELECT gram, count(*) AS gdf FROM x GROUP BY gram),
-         |o AS (SELECT x.doc_id, x.gram, x.len,
-         |        row_number() OVER (PARTITION BY x.doc_id
-         |          ORDER BY df.gdf, x.gram) AS rn
-         |      FROM x JOIN df USING (gram)),
-         |p AS (SELECT doc_id, gram FROM o
+         |        END) AS g FROM t0),
+         |hb AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(
+         |         CAST(0 AS BIGINT),
+         |         [ord(g[i:i]) for i in range(1, length(g) + 1)]),
+         |         (a, c) -> (a * 31 + c) % 2147483647) AS h FROM sh),
+         |ln AS (SELECT doc_id, count(*) AS len FROM hb GROUP BY doc_id),
+         |hs AS (SELECT doc_id, list(h) AS hl FROM hb GROUP BY doc_id),
+         |df AS (SELECT h, count(*) AS gdf FROM hb GROUP BY h),
+         |o AS (SELECT hb.doc_id, hb.h, ln.len,
+         |        row_number() OVER (PARTITION BY hb.doc_id
+         |          ORDER BY df.gdf, hb.h) AS rn
+         |      FROM hb JOIN df USING (h) JOIN ln USING (doc_id)),
+         |p AS (SELECT doc_id, h, len, rn FROM o
          |      WHERE rn <= len - (50 * len + 99) // 100 + 1),
-         |bs AS (SELECT gram FROM p GROUP BY gram
+         |bs AS (SELECT h FROM p GROUP BY h
          |       HAVING count(*) BETWEEN 2 AND 1024),
-         |pr AS (SELECT p.doc_id, p.gram FROM p JOIN bs USING (gram)),
+         |pr AS (SELECT p.doc_id, p.h, p.len, p.rn
+         |       FROM p JOIN bs USING (h)),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |          FROM pr a JOIN pr b
-         |            ON a.gram = b.gram AND b.doc_id > a.doc_id),
+         |            ON a.h = b.h AND b.doc_id > a.doc_id
+         |          WHERE b.len * 100 >= a.len * 50
+         |            AND a.len * 100 >= b.len * 50
+         |            AND 1 + least(a.len - a.rn, b.len - b.rn)
+         |                >= (50 * (a.len + b.len) + 149) // 150),
          |v AS (SELECT doc_a, doc_b,
-         |        len(list_intersect(ta.grams, tb.grams)) AS n_common,
-         |        len(ta.grams) + len(tb.grams)
-         |          - len(list_intersect(ta.grams, tb.grams)) AS n_union
-         |      FROM pairs JOIN t ta ON ta.doc_id = doc_a
-         |                 JOIN t tb ON tb.doc_id = doc_b)
+         |        len(list_intersect(ta.hl, tb.hl)) AS n_common,
+         |        len(ta.hl) + len(tb.hl)
+         |          - len(list_intersect(ta.hl, tb.hl)) AS n_union
+         |      FROM pairs JOIN hs ta ON ta.doc_id = doc_a
+         |                 JOIN hs tb ON tb.doc_id = doc_b)
          |SELECT doc_a, doc_b, CAST(n_common AS INT) AS n_common,
          |  CAST(n_union AS INT) AS n_union
          |FROM v WHERE n_common * 100 >= n_union * 50

@@ -542,29 +542,70 @@ object Dedup {
   def prefixFilterPairs(documents: DataFrame, minJaccardPct: Int = 50,
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = documents
+    // Set elements travel as int64 polynomial hashes (the cross-engine
+    // minhash base hash, replayed in the oracle SQL), NOT as shingle
+    // strings: every downstream exchange, sort, and intersect then moves
+    // fixed-width longs instead of ~25-byte strings. A hash collision
+    // would merge two shingles IDENTICALLY in both engines (same
+    // polynomial both sides), so the oracle compare is unaffected.
+    //
+    // Three consumers (prefix explode, verify side a, verify side b) — the
+    // minhashLsh persist discipline, or the corpus re-shingles 3× per run;
+    // Spread first: shingling is CPU-bound row-local work and a small
+    // parquet scan is ONE partition (measured 6.3 s → sub-second at sf0.1)
+    GraftExtensions.ensureRegistered(documents.sparkSession)
+    val sets = Spread.toCores(documents)
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), n)).as("grams"))
+        array_distinct(call_function("shingle_hash_arr",
+          tokens(col("text")), lit(n))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sets
-      .select(col("doc_id"), size(col("grams")).as("len"),
-        explode(col("grams")).as("gram"))
-    val dfCounts = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
-    val prefix = exploded.join(dfCounts, Seq("gram"))
+      .select(col("doc_id"), size(col("hs")).as("len"),
+        explode(col("hs")).as("h"))
+    val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = exploded.join(dfCounts, Seq("h"))
       .withColumn("rn", row_number().over(byRarity))
       .where(col("rn") <=
         col("len") - expr(s"($minJaccardPct * len + 99) div 100") + 1)
-      .select("gram", "doc_id")
-    val buckets = prefix.groupBy("gram")
-      .agg(collect_list("doc_id").as("ids"))
-      .where(size(col("ids")).between(2, MaxBucket))
-    val inter = size(array_intersect(col("grams_a"), col("grams_b")))
-    bucketPairs(buckets, "ids", dedupeContent = true).distinct()
-      .join(sets.select(col("doc_id").as("a"), col("grams").as("grams_a")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("grams").as("grams_b")), "b")
+      .select("h", "doc_id", "len", "rn")
+    // members carry (len, rn) so the PPJoin pruning filters run AT pair
+    // generation, before the distinct — measured at sf0.1 they cut the
+    // candidate set 409k → 125k:
+    //   - length filter: J ≥ t forces t·|x| ≤ |y| (and symmetrically)
+    //   - positional filter: both docs order by the SAME global rarity
+    //     order, so at the first shared prefix gram the remaining overlap
+    //     is at most 1 + min(len_a − rn_a, len_b − rn_b), which must reach
+    //     the required overlap α = ⌈t/(1+t)·(len_a+len_b)⌉; the
+    //     first-common-gram row has the loosest bound, so EXISTS-over-rows
+    //     keeps zero false negatives
+    val buckets = prefix.groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("len"), col("rn"))).as("ms"))
+      .where(size(col("ms")).between(2, MaxBucket))
+    val alpha = s"($minJaccardPct * (a.len + b.len) + ${100 + minJaccardPct} - 1) " +
+      s"div ${100 + minJaccardPct}"
+    val cand = buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a.doc_id") < col("b.doc_id")
+        && col("b.len") * 100 >= col("a.len") * minJaccardPct
+        && col("a.len") * 100 >= col("b.len") * minJaccardPct
+        && expr(s"1 + least(a.len - a.rn, b.len - b.rn) >= $alpha"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
+      .distinct()
+    // verify joins carry a CORPUS-shaped side: hint shuffle-hash so the
+    // planner never auto-broadcasts it (locally legal under the 10 MB
+    // threshold but 2× a 3.3 s single-task relation build — and flatly
+    // wrong at 100 TB)
+    val inter = size(array_intersect(col("hs_a"), col("hs_b")))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("hs").as("hs_a"))
+        .hint("shuffle_hash"), "a")
+      .join(sets.select(col("doc_id").as("b"), col("hs").as("hs_b"))
+        .hint("shuffle_hash"), "b")
       .select(col("a").as("doc_a"), col("b").as("doc_b"),
         inter.as("n_common"),
-        (size(col("grams_a")) + size(col("grams_b")) - inter).as("n_union"))
+        (size(col("hs_a")) + size(col("hs_b")) - inter).as("n_union"))
       .where(col("n_common") * 100 >= col("n_union") * minJaccardPct)
       .orderBy("doc_a", "doc_b")
   }

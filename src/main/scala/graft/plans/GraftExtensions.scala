@@ -58,6 +58,11 @@ object GraftExtensions {
       info("NgramShingles", "shingles(tokens, n) - word n-gram strings"),
       (args: Seq[Expression]) => NgramShingles(args(0),
         intLiteral("shingles", "n", args(1)))),
+    (FunctionIdentifier("shingle_hash_arr"),
+      info("ShingleHashArray",
+        "shingle_hash_arr(tokens, n) - n-gram shingles hashed to int64"),
+      (args: Seq[Expression]) => ShingleHashArray(args(0),
+        intLiteral("shingle_hash_arr", "n", args(1)))),
     (FunctionIdentifier("minhash_sig"),
       info("MinHashSignature",
         "minhash_sig(tokens, shingleSize, k) - fused shingle+MinHash signature"),

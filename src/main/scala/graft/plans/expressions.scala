@@ -287,6 +287,55 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `shingle_hash_arr(tokens, n)`: the word n-gram shingle stream hashed
+  * straight to int64 — one loop builds each window (UTF8String.concatWs)
+  * and folds its polynomial base hash (ExprUtil.polyH1, the MinHash base),
+  * never materializing the shingle STRING array. Same hash value as
+  * GraftFunctions.shingle_hashes∘shingles and the DuckDB oracle's
+  * list_reduce fold; the HOF formulation (char split + aggregate per
+  * shingle) measured 48 s of CPU at sf0.1 in the prefix-filter join —
+  * this fused form is the reason set-similarity postings shuffle longs,
+  * not strings. Shorter-than-n documents collapse to one whole-document
+  * shingle, matching `shingles`. */
+case class ShingleHashArray(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingle_hash_arr needs ARRAY<STRING>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_arr"
+
+  private lazy val space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData): ArrayData = {
+    val num = toks.numElements()
+    val winLen = if (num < n) num else n
+    val nOut = if (num < n) 1 else num - n + 1
+    val out = new Array[Long](nOut)
+    val window = new Array[UTF8String](winLen)
+    var s = 0
+    while (s < nOut) {
+      var j = 0
+      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
+      out(s) = ExprUtil.polyH1(UTF8String.concatWs(space, window: _*))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sha", this, classOf[ShingleHashArray].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashArray =
+    copy(child = newChild)
+}
+
 /** `shingles(tokens, n)`: word n-gram strings in one loop over the token
   * array (UTF8String.concatWs, no per-window slice allocation). Same
   * semantics as GraftFunctions.shingles: documents shorter than n tokens

@@ -88,6 +88,20 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("shingle_hash_arr fused native == HOF composition (incl. short-doc collapse)") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, TestSpark.sf0001).limit(50)
+      .select(col("text"))
+      .unionByName(Seq("one two", "solo", "a b c d e").toDF("text"))
+    val toks = GraftFunctions.tokens(col("text"))
+    val diffs = corpus.select(
+        GraftFunctions.shingle_hashes(GraftFunctions.shingles(toks, 3)).as("hof"),
+        call_function("shingle_hash_arr", toks, lit(3)).as("native"))
+      .where(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0)
+  }
+
   test("poly_fp native == HOF composition (incl. empty + non-ASCII path)") {
     import spark.implicits._
     val corpus = Tables.documents(spark, TestSpark.sf0001).limit(50)
