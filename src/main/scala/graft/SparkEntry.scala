@@ -268,6 +268,8 @@ object SparkEntry {
       graft.streaming.StreamGate.corpusDedupEndState(s, d)),
     "stream_late_census" -> ((s, d) =>
       graft.streaming.StreamGate.lateCensusEndState(s, d)),
+    "stream_session_30m" -> ((s, d) =>
+      graft.streaming.StreamGate.sessionEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -404,6 +406,8 @@ object SparkEntry {
       Corpus.assignIds(Tables.documents(s, d))),
     "corpus_quality_filter" -> ((s, d) =>
       Corpus.qualityFilter(Tables.documents(s, d))),
+    "corpus_retention_funnel" -> ((s, d) =>
+      Corpus.retentionFunnel(Tables.documents(s, d))),
     "corpus_shuffle_epoch" -> ((s, d) =>
       Corpus.shuffleEpoch(Tables.documents(s, d), epoch = 1)),
     "text_repetition" -> ((s, d) =>
@@ -467,6 +471,8 @@ object SparkEntry {
     }),
     "seq_transition_matrix" -> ((s, d) =>
       Relational.transitionMatrix(Tables.events(s, d))),
+    "ts_seasonal_dow" -> ((s, d) =>
+      Relational.seasonalDow(Tables.events(s, d))),
     // ---- sources/sinks (SURVEY §2.1): TSV sink + MR-output key reader
     "s_json_roundtrip" -> ((s, d) => {
       // JSON-lines source format: write the events slice as json, read it
@@ -587,6 +593,18 @@ object SparkEntry {
   private lazy val minhashLshSql: String = minhashCandidatesSql(8, 4)
 
   private val toksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
+
+  /** Gap-based 30-minute sessions — shared by the batch window query and
+    * the streaming gate (same merged end state on a bounded source). */
+  private val sessionSql =
+    """WITH g AS (SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
   private lazy val simBruteSql: String =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -1861,15 +1879,10 @@ object SparkEntry {
         |u AS (SELECT event_type, unnest([w1 - INTERVAL 3 HOUR, w1]) AS w_start FROM b)
         |SELECT w_start, event_type, count(*) AS n
         |FROM u GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
-    "win_session_30m" ->
-      """WITH g AS (SELECT user_id, ts,
-        |  CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM g)
-        |SELECT user_id, min(ts) AS session_start, count(*) AS n
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "win_session_30m" -> sessionSql,
+    // streaming session windows drain to the identical merged-session end
+    // state, so the batch session SQL is the oracle
+    "stream_session_30m" -> sessionSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
@@ -2581,6 +2594,65 @@ object SparkEntry {
          |SELECT doc_id, CAST(reject_reasons AS INT) AS reject_reasons,
          |  CAST(reject_reasons = 0 AS INT) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    // the whole cleaning pipeline replayed stage by stage, each stage over
+    // the previous stage's survivors: exact-dedup keeps min doc per text;
+    // the shared-gram pair graph + recursive-CTE components drop
+    // non-canonical near-dup members; bench shingle overlap (and the bench
+    // docs themselves) leave next; the quality bitmask last
+    "corpus_retention_funnel" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, $toksSql AS toks
+         |                      FROM documents),
+         |s1 AS (SELECT min(doc_id) AS doc_id FROM t0 GROUP BY text),
+         |d1 AS (SELECT t0.doc_id, t0.text, t0.toks FROM t0 JOIN s1 USING (doc_id)),
+         |g0 AS (SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END)) AS gram FROM d1),
+         |f AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) BETWEEN 2 AND 100),
+         |x AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM x a JOIN x b ON a.gram = b.gram AND b.doc_id > a.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |v AS (SELECT DISTINCT s AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM v
+         |  UNION
+         |  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.d),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |d2 AS (SELECT d1.* FROM d1
+         |       WHERE d1.doc_id NOT IN (SELECT doc_id FROM cl
+         |                               WHERE doc_id <> cluster_id)),
+         |g2 AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+3], ' ') for i in range(1, len(toks)-2)]
+         |    END) AS grams FROM d2),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g2 WHERE doc_id < 5),
+         |cont AS (SELECT DISTINCT tr.doc_id
+         |         FROM (SELECT doc_id, unnest(grams) AS gram FROM g2
+         |               WHERE doc_id >= 5) tr
+         |         JOIN bench USING (gram)),
+         |d3 AS (SELECT * FROM d2 WHERE doc_id >= 5
+         |       AND doc_id NOT IN (SELECT doc_id FROM cont)),
+         |m AS (SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x))) AS n_stop,
+         |  1 - CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS alpha_ratio,
+         |  1 - CAST(len(list_distinct(g2c)) AS DOUBLE) / len(g2c) AS dup2
+         |  FROM (SELECT *, CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |          ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |        END AS g2c FROM d3)),
+         |q AS (SELECT doc_id FROM m
+         |      WHERE n_tokens BETWEEN 10 AND 1000 AND n_stop >= 1
+         |        AND alpha_ratio >= 0.8 AND dup2 <= 0.2)
+         |SELECT '0_raw' AS stage, count(*) AS n_docs FROM t0
+         |UNION ALL SELECT '1_exact_dedup', count(*) FROM d1
+         |UNION ALL SELECT '2_near_dedup', count(*) FROM d2
+         |UNION ALL SELECT '3_decontaminated', count(*) FROM d3
+         |UNION ALL SELECT '4_quality', count(*) FROM q
+         |ORDER BY stage""".stripMargin,
     // same multiplicative-hash permutation key as samp_hash_10pct — pure
     // integer arithmetic, so both engines rank the identical order
     "corpus_shuffle_epoch" ->
@@ -2977,6 +3049,19 @@ object SparkEntry {
         |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type)
         |    AS BIGINT) AS prob_ppm
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+    // weekday seasonal baseline + residual in exact integer micro-units;
+    // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6, hence the +1
+    "ts_seasonal_dow" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |           FROM events GROUP BY 1),
+        |x AS (SELECT day, CAST(dayofweek(day) + 1 AS INT) AS dow, n FROM d),
+        |m AS (SELECT day, dow, n,
+        |        CAST((sum(n) OVER (PARTITION BY dow) * 1000000)
+        |          // count(*) OVER (PARTITION BY dow) AS BIGINT) AS dow_mean_micro
+        |      FROM x)
+        |SELECT day, dow, n, dow_mean_micro,
+        |  n * 1000000 - dow_mean_micro AS resid_micro
+        |FROM m ORDER BY day""".stripMargin,
     "etl_merge_upsert" ->
       """WITH b AS (SELECT user_id, event_type, value, ts FROM events
         |           WHERE ts < TIMESTAMP '2024-03-01'

@@ -659,4 +659,46 @@ object Corpus {
         expr(s"(rank - 1) div $batchSize").cast("int").as("batch_idx"))
       .orderBy("doc_id")
   }
+
+  /** End-to-end retention funnel: the whole cleaning pipeline run as ONE
+    * composition — exact dedup → shared-gram near-dup survivors →
+    * benchmark decontamination → quality filter — reporting how many
+    * documents survive each stage. This is the first number a corpus owner
+    * asks of a cleaning pipeline ("where did my data go?") and the
+    * integration test that the stages compose: each stage consumes the
+    * PREVIOUS stage's survivors, not the raw corpus.
+    *
+    * Shape at 100 TB: every stage is one of the already-scale-shaped
+    * operators (bucketed pair generation, label-propagation components,
+    * broadcast bench shingles, row-local quality metrics); the funnel adds
+    * only semi/anti joins on doc_id — the key the pipeline shuffles on
+    * anyway — and per-stage single-row counts. Stage frames persist
+    * because each feeds both its successor and its own count. */
+  def retentionFunnel(documents: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val d1 = documents.join(
+        Dedup.exact(documents).select(col("keep_doc_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d2 = d1.join(
+        Dedup.survivors(d1, Dedup.sharedGramPairs(d1)).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // docs below the bench boundary ARE the benchmark — they leave the
+    // training corpus here, alongside anything sharing shingles with them
+    val d3 = d2.where(col("doc_id") >= 5)
+      .join(decontaminate(d2).select("doc_id"), Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val d4 = qualityFilter(d3).where(col("keep") === 1)
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "0_raw" -> documents,
+      "1_exact_dedup" -> d1,
+      "2_near_dedup" -> d2,
+      "3_decontaminated" -> d3,
+      "4_quality" -> d4)
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    }.reduce(_ unionAll _).orderBy("stage")
+  }
 }

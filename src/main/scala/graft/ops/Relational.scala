@@ -1250,6 +1250,33 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  /** Day-of-week seasonal decomposition of the daily event-count series —
+    * the classical-decomposition baseline (seasonal mean per weekday +
+    * residual) that seasonality-aware anomaly detection subtracts before
+    * thresholding; a Monday spike is only an anomaly relative to Mondays.
+    * Micro-unit integer means (truncating division, exact cross-engine);
+    * residual = n·10⁶ − seasonal mean, so residuals sum to ~0 per weekday.
+    *
+    * Shape at 100 TB: the daily aggregate reduces the corpus to one row
+    * per day FIRST (map-side combinable count), and both seasonal windows
+    * run over that days-sized table — the events themselves are touched
+    * once. */
+  def seasonalDow(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")))
+    val byDow = Window.partitionBy("dow")
+    daily
+      .withColumn("_sum", sum("n").over(byDow))
+      .withColumn("_cnt", count(lit(1)).over(byDow))
+      .withColumn("dow_mean_micro", expr("(_sum * 1000000) div _cnt"))
+      .withColumn("resid_micro", expr("n * 1000000 - dow_mean_micro"))
+      .select("day", "dow", "n", "dow_mean_micro", "resid_micro")
+      .orderBy("day")
+  }
+
   /** First-order Markov transition census over per-user event sequences —
     * the sequence-model prep step (next-event prediction features, funnel
     * anomaly baselines). For each user's events ordered by (ts, event_id),

@@ -132,6 +132,21 @@ object StreamGate {
       .orderBy("user_id", "valid_from")
   }
 
+  /** [[Streaming.sessionCounts]] end state — gap-based session windows
+    * merged by the state store as events arrive. Complete-mode rewrite,
+    * same bounded-source rationale as [[tumblingDailyEndState]]: the
+    * watermark never passes the final sessions, so append would withhold
+    * each user's last session forever. */
+  def sessionEndState(spark: SparkSession, dir: String): DataFrame = {
+    val out = freshOut()
+    val agg = Streaming.sessionCounts(eventsStream(spark, dir))
+    run(agg.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+    })
+    spark.read.parquet(out).orderBy("user_id", "session_start")
+  }
+
   /** [[Streaming.slidingCounts]] end state — complete-mode rewrite, same
     * rationale as [[tumblingDailyEndState]]. */
   def sliding6hEndState(spark: SparkSession, dir: String): DataFrame = {

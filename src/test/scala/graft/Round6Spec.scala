@@ -374,6 +374,48 @@ class Round6Spec extends AnyFunSuite {
       s"fused ranks not contiguous: ${got.toSeq}")
   }
 
+  test("retentionFunnel: each planted defect leaves at its own stage") {
+    val bench = (0L to 4L).map(i =>
+      (i, s"benchmark question $i about topic alpha$i beta$i gamma$i delta$i epsilon$i", "bench"))
+    val good = "the weather in ulm stays calm while hikers cross green meadows every summer morning"
+    val docs = (bench ++ Seq(
+      (10L, good, "web"),
+      (11L, good, "web"), // exact duplicate -> leaves at stage 1
+      (12L, "a curious otter swims beneath the old stone bridge chasing silver fish at dawn today", "web"),
+      // near-dup of 12: shares >= 2 rare 4-gram windows -> leaves at stage 2
+      (13L, "a curious otter swims beneath the old stone bridge chasing golden fish at dusk today", "web"),
+      // contains a bench 4-gram ("benchmark question 0 about") -> stage 3
+      (14L, "this page quotes benchmark question 0 about topics and adds the usual filler words here", "web"),
+      // no stopword + under 10 tokens -> quality reject at stage 4
+      (15L, "zzz qqq xxx", "web"),
+      (16L, "quiet rivers wind through the valley and carry small boats toward a distant harbor town", "web")
+    )).toDF("doc_id", "text", "source")
+    val got = graft.ops.Corpus.retentionFunnel(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("0_raw") == 12L, s"$got")
+    assert(got("1_exact_dedup") == 11L, s"$got")
+    assert(got("2_near_dedup") == 10L, s"$got")
+    assert(got("3_decontaminated") == 4L, s"$got")
+    assert(got("4_quality") == 3L, s"$got")
+  }
+
+  test("seasonalDow: weekday means in micro-units, residuals cancel per weekday") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // two Mondays (2 and 4 events) and one Tuesday (3 events)
+    val rows =
+      Seq.tabulate(2)(i => (i.toLong, 1L, ts(s"2024-01-01 08:0$i:00"), "view")) ++
+      Seq.tabulate(4)(i => (10L + i, 1L, ts(s"2024-01-08 08:0$i:00"), "view")) ++
+      Seq.tabulate(3)(i => (20L + i, 1L, ts(s"2024-01-02 08:0$i:00"), "view"))
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Relational.seasonalDow(events).collect()
+      .map(r => (r.getDate(0).toString, (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // Monday mean = (2+4)/2 = 3.0 -> 3_000_000; residuals -1e6 and +1e6
+    assert(got("2024-01-01") == ((2, 2L, 3000000L, -1000000L)), s"$got")
+    assert(got("2024-01-08") == ((2, 4L, 3000000L, 1000000L)), s"$got")
+    assert(got("2024-01-02") == ((3, 3L, 3000000L, 0L)), s"$got")
+  }
+
   test("labelCentroids: micro-unit means are exact truncating division") {
     val vecs = Seq(
       (0L, Array(0.5f, -0.25f), 7),
