@@ -327,6 +327,8 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, d) => TextOps.bpePairCensus(Tables.documents(s, d))),
     "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(Tables.documents(s, d))),
     "text_redact" -> ((s, d) => TextOps.redact(Tables.documents(s, d))),
+    "text_rake_phrases" -> ((s, d) => TextOps.rakePhrases(Tables.documents(s, d))),
+    "privacy_ldiv_census" -> ((s, d) => Profile.lDiversity(Tables.customer(s, d))),
     // ---- multimodal plumbing (SURVEY §2.6)
     "mm_blob_meta" -> ((s, d) => Multimodal.blobMeta(Tables.documents(s, d))),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, Tables.documents(s, d))),
@@ -2958,6 +2960,50 @@ object SparkEntry {
         |FROM orders, b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // quasi-identifier = (nation, market segment); groups below k are the
     // re-identifiable population
+    // distinct banded balances per quasi-identifier group; the floor-to-
+    // thousands band is exact on doubles in both engines
+    "privacy_ldiv_census" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |             count(DISTINCT CAST(floor(c_acctbal / 1000) AS INT)) AS l_div
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(3 AS INT) AS l, count(*) AS n_groups,
+        |  count(CASE WHEN l_div < 3 THEN 1 END) AS n_below_l,
+        |  CAST(coalesce(sum(CASE WHEN l_div < 3 THEN n END), 0) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  CAST(min(l_div) AS BIGINT) AS min_l
+        |FROM g""".stripMargin,
+    // RAKE: stopword gaps-and-islands phrases, degree/frequency word
+    // scores in truncated micro-units, phrase = sum of word scores
+    "text_rake_phrases" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(toks) AS token,
+         |             generate_subscripts(toks, 1) AS pos
+         |           FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |t2 AS (SELECT doc_id, pos, token,
+         |        list_contains(['the','a','and','of','to','in','is','on'],
+         |          token) AS is_stop FROM tk),
+         |isl AS (SELECT doc_id, pos, token, is_stop,
+         |         sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM t2),
+         |ph AS (SELECT doc_id, island,
+         |         array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+         |         count(*) AS plen
+         |       FROM isl WHERE NOT is_stop GROUP BY doc_id, island),
+         |wd AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+         |       FROM ph),
+         |ws AS (SELECT w, CAST((sum(plen) * 1000000) // count(*) AS BIGINT)
+         |         AS wscore FROM wd GROUP BY w),
+         |dp AS (SELECT phrase, count(*) AS n_occurrences FROM ph
+         |       GROUP BY phrase),
+         |pw AS (SELECT dp.phrase, dp.n_occurrences,
+         |         unnest(string_split(dp.phrase, ' ')) AS w FROM dp),
+         |sc AS (SELECT phrase, n_occurrences,
+         |         CAST(sum(wscore) AS BIGINT) AS score_micro
+         |       FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+         |SELECT phrase, n_occurrences, score_micro,
+         |  CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+         |    AS INT) AS rank
+         |FROM sc ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
     "privacy_kanon_census" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |           FROM customer GROUP BY 1, 2)

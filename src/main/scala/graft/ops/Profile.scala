@@ -261,6 +261,28 @@ object Profile {
       min("n").as("min_group_size"))
   }
 
+  /** l-diversity census (Machanavajjhala et al. 2007) — k-anonymity's
+    * necessary complement: a group can be k-large yet still leak if every
+    * member shares the same SENSITIVE value. For each quasi-identifier
+    * group (nation, segment), l = distinct sensitive values (account
+    * balance banded to thousands — the generalization a release would
+    * publish); the census reports groups below the l floor and the rows
+    * they expose. One shuffle on the quasi-identifier key, one-row
+    * summary — the kAnonymity shape. */
+  def lDiversity(customer: DataFrame, l: Int = 3): DataFrame = {
+    val g = customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("int").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"), countDistinct("band").as("l_div"))
+    g.agg(lit(l).as("l"),
+      count(lit(1)).as("n_groups"),
+      count(when(col("l_div") < l, 1)).as("n_below_l"),
+      coalesce(sum(when(col("l_div") < l, col("n"))), lit(0L))
+        .as("n_rows_at_risk"),
+      min("l_div").as("min_l"))
+  }
+
   /** Median/MAD robust outlier census — the outlier detector that, unlike
     * the z-score, a single extreme value cannot blind (mean and stddev are
     * both unbounded-influence; median and median-absolute-deviation have

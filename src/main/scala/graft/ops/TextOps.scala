@@ -541,4 +541,57 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("micro").as("logprob_micro"))
       .orderBy("doc_id")
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword mining a corpus-exploration pipeline runs before any model
+    * sees the data. Candidate phrases are maximal stopword-free token
+    * runs (gaps-and-islands over the token stream); each word scores
+    * degree/frequency where degree = Σ length of phrases containing it;
+    * a phrase scores the sum of its word scores. All scoring is integer
+    * micro-units (truncating division per word BEFORE the phrase sum), so
+    * the ranking is exact cross-engine.
+    *
+    * Shape at 100 TB: the island window partitions by doc_id (the same
+    * per-document key every text op shuffles on), word stats are
+    * vocabulary-sized map-side-combinable aggregates, and the final
+    * ranking is a distributed TakeOrdered — only `topK` rows ever sit in
+    * one place. */
+  def rakePhrases(documents: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopArr = array(
+      Seq("the", "a", "and", "of", "to", "in", "is", "on").map(lit): _*)
+    val toks = documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .withColumn("is_stop", array_contains(stopArr, col("token")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val phrases = toks
+      .withColumn("island", sum(col("is_stop").cast("long")).over(byDoc))
+      .where(!col("is_stop"))
+      .groupBy("doc_id", "island")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val words = phrases
+      .select(col("phrase"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+    val wscore = words.groupBy("w")
+      .agg(expr("(sum(plen) * 1000000) div count(1)").as("wscore"))
+    val distinctPhrases = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"))
+    distinctPhrases
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wscore, "w")
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum("wscore").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("phrase"))).cast("int"))
+      .select("phrase", "n_occurrences", "score_micro", "rank")
+      .orderBy("rank")
+  }
 }
