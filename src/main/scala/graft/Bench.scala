@@ -91,7 +91,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total covers SUCCESSFUL queries only: summing the -1.0 failure
+    // sentinels would make a broken query subtract from (i.e. improve) the
+    // headline number; per-query -1.0 entries still mark the failures
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout is the contract (run/outputStrategy in build.sbt keeps it

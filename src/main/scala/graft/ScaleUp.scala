@@ -41,11 +41,6 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS): read it RAW as long (nanosAsLong) and
-    // write it back as INT64, which the loaders' `ts div 1000` handles
-    // identically — round-tripping through TimestampType would silently
-    // change the stored unit
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Files.createDirectories(Paths.get(out))
 
     def span(df: DataFrame, key: String): Long =
@@ -99,7 +94,14 @@ object ScaleUp {
       Map("l_orderkey" -> orderSpan, "l_partkey" -> partSpan,
         "l_suppkey" -> suppSpan)), "lineitem")
 
-    val events = read("events")
+    // events is read through the loaders' raw entry point, which handles
+    // both historical ts encodings (INT64 nanos via nanosAsLong, native
+    // timestamp[us]) WITHOUT normalizing — the replica keeps whatever unit
+    // the source stored (a legacy-nanos source round-trips as raw INT64,
+    // which the loader's LongType branch truncates exactly as it does the
+    // original; a native-timestamp source round-trips as a timestamp), so
+    // scaled data exercises the same loader branch as its source.
+    val events = Tables.eventsRaw(spark, src)
     writeOne(replicate(events,
       Map("event_id" -> span(events, "event_id"),
         "user_id" -> span(events, "user_id"))), "events")

@@ -507,6 +507,25 @@ object SparkEntry {
       graft.sources.Sinks.writeTsv(Parity.categoryTotals(Tables.events(s, d)), out, 1)
       graft.sources.Sinks.readTsvKeys(s, out)
     }),
+    "s_jdbc_roundtrip" -> ((s, d) => {
+      // S5/S6 LoadStarDB parity (`LoadStarDB.java:86-103,202-217`): load the
+      // category dim into a JDBC star schema (embedded Derby standing in for
+      // the reference's MySQL), truncate-reload it (the S6 semantics), read
+      // it back through the JDBC source. Process-unique in-memory db name:
+      // bench and verify may run this concurrently.
+      val url = s"jdbc:derby:memory:graftgate_${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()};create=true"
+      val dim = Star.dimCategory(Tables.orders(s, d))
+      graft.sources.Sinks.writeJdbc(dim, url, "category", "app", "app")
+      // second write proves truncate-before-load keeps the DDL and replaces rows
+      graft.sources.Sinks.writeJdbc(dim, url, "category", "app", "app")
+      val props = new java.util.Properties()
+      props.setProperty("user", "app"); props.setProperty("password", "app")
+      s.read.jdbc(url, "category", props)
+        .select(col("category_id").cast("int").as("category_id"),
+          col("name").cast("string").as("name"))
+        .orderBy("category_id")
+    }),
   )
 
   /** Headline benchmark set (graft.Bench): the reference-parity pipeline
@@ -3379,5 +3398,11 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // JDBC roundtrip must reproduce the dim exactly, so the oracle is the
+    // dim's own SQL — any write/read corruption shows as a hash mismatch
+    "s_jdbc_roundtrip" ->
+      """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS category_id, name
+        |FROM (SELECT DISTINCT o_orderpriority AS name FROM orders WHERE o_orderpriority IS NOT NULL)
+        |ORDER BY category_id""".stripMargin,
   )
 }

@@ -1,20 +1,28 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the TESTDATA parquet tables (TESTDATA.md).
   *
   * All engine operators take `DataFrame`s produced here, so schema quirks of
   * the on-disk files are normalized in exactly one place:
   *
-  *   - `events.ts` is written as parquet INT64 TIMESTAMP(NANOS), which Spark's
-  *     vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-  *     via `spark.sql.legacy.parquet.nanosAsLong` and truncate to microseconds
-  *     (`timestamp_micros(ns div 1000)`). DuckDB — the correctness oracle —
-  *     stores timestamps at microsecond precision and performs the identical
-  *     truncation when scanning the same file, so both engines observe the
-  *     same values.
+  *   - `events.ts` has shipped in two encodings across testdata generations:
+  *     parquet INT64 TIMESTAMP(NANOS) (read via
+  *     `spark.sql.legacy.parquet.nanosAsLong` and truncated to microseconds),
+  *     and native TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+  *     TIMESTAMP_NTZ and cast to the session-TZ TimestampType so downstream
+  *     `window()`/watermark semantics are identical). [[events]] branches on
+  *     the SCANNED type rather than assuming one encoding — the reference
+  *     itself survives schema looseness by parsing defensively
+  *     (`SanFranciscoCrime.java:79-99` drop-and-log); a loader that hard-codes
+  *     one on-disk encoding silently breaks when the data regenerates.
+  *     DuckDB — the correctness oracle — stores timestamps at microsecond
+  *     precision and observes the same values under either encoding.
   *
   * Everything else is plain `spark.read.parquet`: the scan stays a native
   * Parquet `FileScan` so Catalyst can push filters and prune columns into it.
@@ -73,18 +81,55 @@ object Tables {
           .as("ps_supplycost_cents"))
   }
 
-  /** `events` with `ts` as a microsecond TimestampType column (see scaladoc).
+  /** `events` with `ts` as a microsecond TimestampType column regardless of
+    * the on-disk encoding (see the file scaladoc). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(eventsRaw(spark, dir))
+
+  /** Cache of the scanned `ts` type per events path: the probe costs a
+    * footer read + a throwaway session, and [[events]] is called once per
+    * gate query — hundreds of times per Verify run over the same file. */
+  private val tsTypeCache = new ConcurrentHashMap[String, DataType]()
+
+  /** Raw scan of the events table, WITHOUT the ts normalization — the
+    * shared entry point for [[events]] and the streaming gate (which needs
+    * the raw schema for `readStream.schema(...)` before normalizing).
     *
-    * NOTE: setting `nanosAsLong` is a SESSION-level conf — after this call,
-    * other parquet reads in the same session will also map TIMESTAMP(NANOS)
-    * columns to raw longs instead of failing fast. That is the intended
-    * behavior for this harness (events is the only nanos table and every
-    * load goes through here), but a general-purpose caller mixing in their
-    * own nanos-timestamp tables should be aware their `ts` columns arrive
-    * as longs WITHOUT the µs truncation applied below. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * The scanned type of `ts` is probed on a cloned session with
+    * `nanosAsLong` set (under that conf: NANOS → LongType, MICROS-NTZ →
+    * TimestampNTZType, MICROS-UTC/INT96 → TimestampType); the conf is then
+    * set on the CALLER's session only when the file really is the legacy
+    * NANOS encoding — a native-timestamp file leaves the caller's session
+    * untouched, so other nanos-timestamp tables keep failing fast instead
+    * of silently arriving as raw longs. */
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val p = path(dir, "events")
+    val tsType = tsTypeCache.computeIfAbsent(p, { q =>
+      val probe = spark.newSession()
+      probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      probe.read.parquet(q).schema("ts").dataType
+    })
+    if (tsType == LongType)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(p)
   }
+
+  /** Encoding-appropriate `ts` normalization, branching on the SCANNED type
+    * (works for batch and streaming frames alike):
+    *   - LongType (legacy INT64 NANOS under `nanosAsLong`) → truncate to µs;
+    *   - TimestampNTZType (native MICROS, isAdjustedToUTC=false) → cast to
+    *     session-TZ TimestampType (identity on the stored micros under the
+    *     engine's UTC session, and required for `window()`/watermarks);
+    *   - TimestampType → already what downstream expects. */
+  private[graft] def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts scanned as unsupported type $other " +
+          "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 }

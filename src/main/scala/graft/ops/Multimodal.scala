@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   *
   * Media are modeled the way a 100 TB training pipeline stores them: an
   * opaque `binary` payload column plus typed metadata columns, decoded
-  * per-partition in batches. The Spark-side plumbing — schema, partition
-  * batching, output shape — is real; the actual image/audio codec is STUBBED
-  * (this container ships no media libraries) behind `decodeStub`, a
-  * deterministic fake that derives "decoded" properties from the payload
-  * bytes. Swap `decodeStub` for a real codec (e.g. javacv) without touching
-  * the plan shape.
+  * per-partition in batches. Two decode tiers coexist:
+  *
+  *   - REAL codecs, pure-JVM: PNG (full zlib IDAT inflate + all five PNG
+  *     row filters reconstructed — see `decodePixelStats` below) and WAV
+  *     (RIFF header walk + PCM16 mono/stereo sample decode). These cover
+  *     the formats the synthetic corpus actually ships.
+  *   - `decodeStub`, a clearly-marked deterministic fake for the synthetic
+  *     `fake/raw` format — it stands in for codecs this container can't
+  *     ship (JPEG/video); swap it for a real one (e.g. javacv) without
+  *     touching the plan shape.
   */
 object Multimodal {
 

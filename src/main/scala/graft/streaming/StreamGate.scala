@@ -26,21 +26,21 @@ import graft.Tables
   */
 object StreamGate {
 
-  /** `events` as a STREAMING DataFrame with the same nanos→µs timestamp
-    * normalization as [[graft.Tables.events]] (the schema comes from a
-    * static read of the same files, so stream and batch agree). */
+  /** `events` as a STREAMING DataFrame with the same encoding-dependent
+    * timestamp normalization as [[graft.Tables.events]] — the raw schema and
+    * the normalization both come from Tables (the single normalization
+    * point), so stream and batch agree under every on-disk encoding. */
   def eventsStream(spark0: SparkSession, dir: String): DataFrame = {
     val spark = gateSession(spark0)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(Tables.path(dir, "events"))
+    val raw = Tables.eventsRaw(spark, dir)
     // The file-stream source monitors a DIRECTORY; TESTDATA ships events as
     // a single file, so stream the parent dir with a glob filter selecting
     // just that file (works unchanged when events is a real directory of
     // parts on a cluster store).
-    spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** A cloned session for a gate's streaming query: same SparkContext, own

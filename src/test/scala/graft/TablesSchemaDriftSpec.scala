@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-drift resilience of the events loader (VERDICT r8 item 4).
+  *
+  * The testdata regenerated between rounds with `ts` switching from parquet
+  * INT64 TIMESTAMP(NANOS) to native timestamp[us] — and a loader hard-coded
+  * to one encoding silently broke every events query for two rounds. This
+  * spec writes the SAME logical rows in three encodings and asserts
+  * [[Tables.events]] yields identical values from each, so the next on-disk
+  * drift fails a unit test instead of the whole gate.
+  */
+class TablesSchemaDriftSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  // known µs instants (whole-µs grid, so every encoding represents them
+  // exactly); nanos variant carries sub-µs residue that must truncate away
+  private val micros = Seq(
+    (1L, 1356998400000000L, 7L, "view", 10L),        // 2013-01-01T00:00Z
+    (2L, 1357002000123456L, 7L, "purchase", 20L),    // +1h and change
+    (3L, 1359676799999999L, 9L, "view", 30L))        // 2013-01-31T23:59:59.999999
+
+  private def writeEvents(df: DataFrame, tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft_drift_$tag").toString
+    val tmp = s"$dir/_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    require(part.length == 1)
+    Files.move(Paths.get(part.head), Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  private def base = micros.toDF("event_id", "us", "user_id", "event_type", "value")
+
+  // INT64 with no logical annotation — what the legacy NANOS files look like
+  // to a nanosAsLong scan, and what a raw-long writer produces
+  private def longNanosDir = writeEvents(
+    base.select(col("event_id"), (col("us") * 1000L).as("ts"),
+      col("user_id"), col("event_type"), col("value")), "long")
+
+  // native TIMESTAMP(MICROS, isAdjustedToUTC=false) — the current testdata
+  private def ntzDir = writeEvents(
+    base.select(col("event_id"),
+      timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+      col("user_id"), col("event_type"), col("value")), "ntz")
+
+  // session-TZ TimestampType as written by a plain Spark job
+  private def tzDir = writeEvents(
+    base.select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+      col("user_id"), col("event_type"), col("value")), "tz")
+
+  private def load(dir: String): Seq[(Long, Long, String)] = {
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == TimestampType,
+      s"loader must always surface ts as TimestampType, got ${got.schema("ts").dataType}")
+    got.select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("all three on-disk ts encodings load to identical rows") {
+    val expected = micros.map(m => (m._1, m._2, m._4)).sortBy(_._1)
+    assert(load(longNanosDir) == expected, "INT64-nanos encoding")
+    assert(load(ntzDir) == expected, "timestamp_ntz encoding")
+    assert(load(tzDir) == expected, "timestamp encoding")
+  }
+
+  test("nanos residue truncates toward zero like the oracle's µs cast") {
+    // 999 ns above a whole µs must floor to that µs, matching DuckDB's scan
+    val dir = writeEvents(
+      Seq((1L, 1356998400000000L * 1000L + 999L, 7L, "view", 10L))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), "resid")
+    assert(load(dir) == Seq((1L, 1356998400000000L, "view")))
+  }
+
+  test("loading the real testdata surfaces TimestampType and nonzero rows") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.where(col("ts").isNotNull).count() > 0)
+  }
+}
