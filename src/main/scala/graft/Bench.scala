@@ -95,8 +95,13 @@ object Bench {
     // sentinels would make a broken query subtract from (i.e. improve) the
     // headline number; per-query -1.0 entries still mark the failures
     val total = results.map(_._2).filter(_ >= 0).sum
+    // "failed" makes a partial total machine-detectable: a consumer
+    // comparing only "value" across rounds would otherwise read a round
+    // with a broken (excluded) query as faster, not broken
+    val failed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     // stdout is the contract (run/outputStrategy in build.sbt keeps it
     // unprefixed); the file is the belt-and-braces copy a log-scraping
     // driver can read even if a wrapper mangles stdout

@@ -101,6 +101,13 @@ object ScaleUp {
     // which the loader's LongType branch truncates exactly as it does the
     // original; a native-timestamp source round-trips as a timestamp), so
     // scaled data exercises the same loader branch as its source.
+    // CAVEAT (bench-only for legacy sources): a scaled-from-legacy replica
+    // stores ts as plain unannotated INT64 — DuckDB (the correctness
+    // oracle) would scan that as BIGINT, not a timestamp, so oracle SQL
+    // using timestamp functions diverges on such a dir. Scaled dirs exist
+    // for Bench/ScaleStressSpec; the correctness gate runs only on
+    // driver-generated testdata (and the live testdata is native
+    // timestamp[us], where the replica round-trips oracle-comparable).
     val events = Tables.eventsRaw(spark, src)
     writeOne(replicate(events,
       Map("event_id" -> span(events, "event_id"),

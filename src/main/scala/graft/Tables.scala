@@ -88,8 +88,36 @@ object Tables {
 
   /** Cache of the scanned `ts` type per events path: the probe costs a
     * footer read + a throwaway session, and [[events]] is called once per
-    * gate query — hundreds of times per Verify run over the same file. */
-  private val tsTypeCache = new ConcurrentHashMap[String, DataType]()
+    * gate query — hundreds of times per Verify run over the same file.
+    *
+    * Keyed on (path, fingerprint) where the fingerprint folds in every
+    * file's (mtime, size) under the path: regenerating the events file at
+    * the same path with a DIFFERENT encoding mid-process (exactly the r7
+    * drift class) invalidates the entry instead of serving the stale type —
+    * the cached branch would otherwise either skip `nanosAsLong` (scan
+    * fails) or normalize via the wrong arm. The fingerprint walk is a
+    * directory listing, orders of magnitude cheaper than the footer-read
+    * probe it guards. */
+  private val tsTypeCache = new ConcurrentHashMap[(String, Long), DataType]()
+
+  /** Fold (mtime, size) of every regular file under `p` (or of `p` itself)
+    * into one value — enough to detect a rewrite at the same path. */
+  private def fingerprint(p: String): Long = {
+    def mix(h: Long, v: Long): Long = h * 1000003L ^ v
+    def walk(f: java.io.File, h: Long): Long =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null => mix(h, -1L)
+          case kids => kids.sortBy(_.getName).foldLeft(h)((a, k) => walk(k, a))
+        }
+      else mix(mix(h, f.lastModified()), f.length())
+    walk(new java.io.File(p), 17L)
+  }
+
+  /** Drop all memoized probe results (tests / long-lived sessions that
+    * regenerate testdata can call this; the mtime/size keying already
+    * handles the common rewrite case without it). */
+  def resetCaches(): Unit = tsTypeCache.clear()
 
   /** Raw scan of the events table, WITHOUT the ts normalization — the
     * shared entry point for [[events]] and the streaming gate (which needs
@@ -104,7 +132,7 @@ object Tables {
     * of silently arriving as raw longs. */
   private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     val p = path(dir, "events")
-    val tsType = tsTypeCache.computeIfAbsent(p, { q =>
+    val tsType = tsTypeCache.computeIfAbsent((p, fingerprint(p)), { case (q, _) =>
       val probe = spark.newSession()
       probe.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       probe.read.parquet(q).schema("ts").dataType
