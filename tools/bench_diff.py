@@ -32,6 +32,8 @@ def main() -> int:
         d = json.load(open(path))
         if "parsed" in d:  # driver wrapper (BENCH_rN.json)
             d = d["parsed"]
+        if "bench" in d:  # anchor wrapper (BENCH_ANCHOR.json)
+            d = d["bench"]
         return d["queries"]
 
     old = queries(args[0])
