@@ -225,14 +225,26 @@ object Profile {
     * broadcast + one zero-shuffle bucketing pass. */
   def equidepthHist(orders: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 20, s"bad bucket count: $buckets")
-    val qs = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = orders.agg(
-      expr(s"percentile_disc(${qs.head}) WITHIN GROUP (ORDER BY o_totalprice)")
-        .as("b0"),
-      qs.tail.zipWithIndex.map { case (q, i) =>
-        expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)")
-          .as(s"b${i + 1}")
-      }: _*)
+    // Exact percentile_disc boundaries WITHOUT a single-task value buffer:
+    // percentile_disc(i/B) is the value at sorted position ceil(i·n/B) =
+    // (i·n + B−1) div B (exact integer arithmetic, no float threshold
+    // edges). Rank every price once with the distributed two-pass ranker
+    // (range partition + per-partition scan + P-row offset collect — ties
+    // get arbitrary distinct ranks, which cannot change the value AT a
+    // position), pick the ≤ B−1 boundary-position rows, and fold them into
+    // one bounds row with a partial-aggregated max-when. One range shuffle
+    // replaces B−1 percentile_disc sort-aggregates that each buffered
+    // EVERY value of the column in a single task — fine at sf0.1, an
+    // executor OOM at 100 TB. (`groupRanks` also attaches the total `n`,
+    // so no separate count pass.) Hash-parity with the DuckDB
+    // quantile_disc oracle verified at sf0.001/0.01/0.1.
+    val ranked = Rank.groupRanks(orders.select(col("o_totalprice")),
+      Seq.empty, Seq(col("o_totalprice")))
+    val qs = 1 until buckets
+    val bounds = ranked.select(
+      qs.map(i =>
+        max(when(expr(s"rank = (n * $i + ${buckets - 1}) div $buckets"),
+          col("o_totalprice"))).as(s"b${i - 1}")): _*)
     val bucket = qs.indices
       .map(i => when(col("o_totalprice") > col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
