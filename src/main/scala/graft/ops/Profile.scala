@@ -225,26 +225,15 @@ object Profile {
     * broadcast + one zero-shuffle bucketing pass. */
   def equidepthHist(orders: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 20, s"bad bucket count: $buckets")
-    // Exact percentile_disc boundaries WITHOUT a single-task value buffer:
-    // percentile_disc(i/B) is the value at sorted position ceil(i·n/B) =
-    // (i·n + B−1) div B (exact integer arithmetic, no float threshold
-    // edges). Rank every price once with the distributed two-pass ranker
-    // (range partition + per-partition scan + P-row offset collect — ties
-    // get arbitrary distinct ranks, which cannot change the value AT a
-    // position), pick the ≤ B−1 boundary-position rows, and fold them into
-    // one bounds row with a partial-aggregated max-when. One range shuffle
-    // replaces B−1 percentile_disc sort-aggregates that each buffered
-    // EVERY value of the column in a single task — fine at sf0.1, an
-    // executor OOM at 100 TB. (`groupRanks` also attaches the total `n`,
-    // so no separate count pass.) Hash-parity with the DuckDB
-    // quantile_disc oracle verified at sf0.001/0.01/0.1.
-    val ranked = Rank.groupRanks(orders.select(col("o_totalprice")),
-      Seq.empty, Seq(col("o_totalprice")))
+    // Exact percentile_disc boundaries WITHOUT a single-task value buffer
+    // (Rank.discPercentiles: rank-based order statistics, one range
+    // shuffle) — B−1 percentile_disc sort-aggregates would each buffer
+    // EVERY value of the column in one task: fine at sf0.1, an executor
+    // OOM at 100 TB. Hash-parity with the DuckDB quantile_disc oracle
+    // verified at sf0.001/0.01/0.1.
     val qs = 1 until buckets
-    val bounds = ranked.select(
-      qs.map(i =>
-        max(when(expr(s"rank = (n * $i + ${buckets - 1}) div $buckets"),
-          col("o_totalprice"))).as(s"b${i - 1}")): _*)
+    val bounds = Rank.discPercentiles(orders, Seq.empty, "o_totalprice",
+      qs.map(i => (i, buckets)), qs.map(i => s"b${i - 1}"))
     val bucket = qs.indices
       .map(i => when(col("o_totalprice") > col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)
@@ -305,17 +294,24 @@ object Profile {
     * `quantile_disc`, the winsorize discipline): the medians are data
     * values read from the same parquet, the deviations are single IEEE
     * subtractions — no accumulation-order float risk anywhere, so the
-    * doubles hash-match cross-engine. Two aggregate passes over the group
-    * keys (median, then MAD-over-deviations), both map-side combinable;
-    * the per-group bounds broadcast back. */
+    * doubles hash-match cross-engine. Two rank-based order-statistic
+    * passes (median, then MAD-over-deviations — `Rank.discPercentiles`,
+    * never a per-group value buffer); the per-group bounds broadcast
+    * back. */
   def robustOutliers(orders: DataFrame, k: Int = 3): DataFrame = {
-    val med = orders.groupBy("o_orderpriority").agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-        .as("med"))
+    // medians via rank-based order statistics (Rank.discPercentiles): an
+    // order-priority group is ~a fifth of the table, and the per-group
+    // percentile_disc sort-aggregate buffers all of it in one task
+    // med is groups-bounded (5 rows) but costs a full ranking pass, and
+    // TWO consumers read it (the MAD pass and the final census via dev) —
+    // persist so the pass runs once, not per consumer
+    val med = Rank.discPercentiles(orders, Seq("o_orderpriority"),
+      "o_totalprice", Seq((1, 2)), Seq("med"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("dev", abs(col("o_totalprice") - col("med")))
-    val mad = dev.groupBy("o_orderpriority").agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    val mad = Rank.discPercentiles(dev, Seq("o_orderpriority"), "dev",
+      Seq((1, 2)), Seq("mad"))
     dev.join(broadcast(mad), "o_orderpriority")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),

@@ -28,6 +28,32 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Materialization guard for the two-pass rankers: the offsets pass and
+    * the data pass each reference the local-rank frame, and correctness
+    * requires BOTH to observe the SAME range-partition bounds. Normally
+    * one plan + ReuseExchange/AQE stage reuse guarantees it; two known
+    * conditions break that and must force a one-time materialization
+    * (eager `localCheckpoint`) instead:
+    *
+    *   - empty `groupCols`: the P-row offsets collect is a SEPARATE
+    *     execution from the final join (documented in [[groupRanks]]);
+    *   - an `InMemoryRelation` anywhere in the input plan: cache-state
+    *     transitions between the two stage compilations defeat reuse
+    *     canonicalization, so each side re-runs the range exchange with
+    *     its own RangePartitioner sample (seeded by rdd id) — offsets
+    *     computed under bounds A join ranks computed under bounds B, and
+    *     the ranks come out silently, NONDETERMINISTICALLY wrong
+    *     (caught round 10: persisting a frame upstream of a grouped
+    *     ranking flipped median-absolute-deviation values run to run). */
+  private def stableLocal(df: DataFrame, localPlan: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val cachedInput = df.queryExecution.optimizedPlan.collectFirst {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
+    }.isDefined
+    if (groupCols.isEmpty || cachedInput) localPlan.localCheckpoint(true)
+    else localPlan
+  }
+
   /** Adds `rank` (1-based within group), `n` (group size) to `df`.
     * Row-identical to
     * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCols))`
@@ -76,9 +102,9 @@ object Rank {
     // join. Materialize ONCE (eager localCheckpoint — the zipWithIndex
     // discipline: both jobs must read the same physical partitions). The
     // grouped path keeps one lazy plan: its offsets ride the SAME query, and
-    // ReuseExchange makes the twice-referenced range exchange one exchange.
-    val local =
-      if (groupCols.isEmpty) localPlan.localCheckpoint(true) else localPlan
+    // ReuseExchange makes the twice-referenced range exchange one exchange —
+    // except over cached inputs, where reuse breaks (see [[stableLocal]]).
+    val local = stableLocal(df, localPlan, groupCols)
     // offsets: counts per (pid, group) — P × |groups| rows, tiny — cumulated
     // in pid order (range partitioning makes pid order == value order).
     // empty groupCols: exactly P rows of per-partition counts — cumulate on
@@ -144,10 +170,9 @@ object Rank {
         Row.fromSeq(row.toSeq :+ pid :+ s)
       }
     }(Encoders.row(outSchema))
-    // empty groupCols: materialize once before the two executions — the
-    // range-bound consistency discipline explained in groupRanks
-    val local =
-      if (groupCols.isEmpty) localPlan.localCheckpoint(true) else localPlan
+    // materialize once when the two passes could see different range
+    // bounds — the consistency discipline explained in [[stableLocal]]
+    val local = stableLocal(df, localPlan, groupCols)
     // empty groupCols: P-row metadata cumulated on the driver — see groupRanks
     val offsets = if (groupCols.isEmpty) {
       val sums = local.groupBy(col("_pid"))
@@ -172,6 +197,41 @@ object Rank {
   /** Spark's `ntile(k)` from (rank, n): the first `n mod k` buckets take
     * `ceil(n/k)` rows, the rest `floor(n/k)` — bit-identical to the window
     * function under a total order. */
+  /** Exact DISCRETE percentiles (order statistics) per group WITHOUT a
+    * per-group value buffer — the scale-safe form of
+    * `percentile_disc(q) WITHIN GROUP (ORDER BY valueCol)`, whose
+    * sort-aggregate buffers every value of a group in one task (an
+    * executor OOM when a group is a constant fraction of 100 TB; Spark's
+    * partial aggregation does not bound it, the partials ARE the values).
+    *
+    * percentile_disc(q) is the value at in-group sorted position
+    * ceil(q·n). Each requested q is a RATIONAL (num, den) so the position
+    * is exact integer arithmetic — `(n·num + den − 1) div den` — with no
+    * float-threshold edge at q·n boundaries. One [[groupRanks]] pass
+    * (range shuffle + P×groups offsets) ranks the values; ties get
+    * arbitrary distinct ranks, which cannot change the value AT a
+    * position; a partial-aggregated max-when folds the ≤ |qs| hit rows
+    * per group into one row of named boundary columns.
+    *
+    * Output: one row per group — groupCols ++ outNames (empty groupCols →
+    * a single global row, same as the global aggregate form). */
+  def discPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(Int, Int)],
+      outNames: Seq[String]): DataFrame = {
+    require(qs.length == outNames.length, "one output name per percentile")
+    require(qs.forall { case (num, den) => num > 0 && num < den },
+      s"percentiles must be proper fractions, got $qs")
+    val ranked = groupRanks(
+      df.select(groupCols.map(col) :+ col(valueCol): _*),
+      groupCols, Seq(col(valueCol)))
+    val aggs = qs.zip(outNames).map { case ((num, den), name) =>
+      max(when(expr(s"rank = (n * $num + ${den - 1}) div $den"),
+        col(valueCol))).as(name)
+    }
+    if (groupCols.isEmpty) ranked.select(aggs: _*)
+    else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   def ntileOf(rank: Column, n: Column, k: Int): Column = {
     val base = (n / k).cast("long")          // floor for non-negative longs
     val rem = n % k

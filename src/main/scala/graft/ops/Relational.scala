@@ -731,12 +731,15 @@ object Relational {
     * zero-shuffle column math and every comparison and the clamped sum run
     * in exact decimal. */
   def winsorizedPrices(lineitem: DataFrame): DataFrame = {
-    val bounds = lineitem.groupBy("l_returnflag")
-      .agg(
-        expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .cast("decimal(12,2)").as("p_lo"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)")
-          .cast("decimal(12,2)").as("p_hi"))
+    // rank-based order statistics (Rank.discPercentiles), not per-group
+    // percentile_disc sort-aggregates: a return-flag group is ~a third of
+    // the table, and the sort-aggregate buffers all of it in one task
+    val bounds = Rank
+      .discPercentiles(lineitem, Seq("l_returnflag"), "l_extendedprice",
+        Seq((1, 100), (99, 100)), Seq("p_lo0", "p_hi0"))
+      .select(col("l_returnflag"),
+        col("p_lo0").cast("decimal(12,2)").as("p_lo"),
+        col("p_hi0").cast("decimal(12,2)").as("p_hi"))
     lineitem.select(col("l_returnflag"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"))
       .join(broadcast(bounds), "l_returnflag")

@@ -97,6 +97,33 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("groupRanks over a CACHED input equals window ranks (r10 regression)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // An InMemoryRelation in the input defeats AQE exchange reuse between
+    // the two passes of the ranker; before the stableLocal guard, each
+    // pass re-sampled its own range bounds and the joined offsets
+    // produced silently nondeterministic ranks (observed: run-to-run
+    // flips and NULL boundary hits in Rank.discPercentiles over a frame
+    // derived from a persisted median). Three repetitions: the corruption
+    // was nondeterministic, a single draw could pass by luck.
+    val df = (1 to 5000).map(i => (s"g${i % 3}", (i * 37) % 101, i.toLong))
+      .toDF("g", "v", "id").persist()
+    try {
+      df.count() // materialize the cache before ranking
+      val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+      val want = df.withColumn("rank", row_number().over(w).cast("long"))
+        .select("id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1 to 3).foreach { rep =>
+        val got = ops.Rank.groupRanks(df, Seq("g"), Seq(col("v"), col("id")))
+          .select("id", "rank").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"cached-input ranks corrupted (rep $rep)")
+      }
+    } finally df.unpersist()
+  }
+
   test("property: union-find path == iterative label propagation on random graphs") {
     // small vertex domain forces heavy merging; chain-ish and clustered
     // shapes both appear across seeds
