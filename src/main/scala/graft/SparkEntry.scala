@@ -2332,8 +2332,9 @@ object SparkEntry {
         |    THEN 1 END) AS n_clamped_lo,
         |  count(CASE WHEN CAST(l.l_extendedprice AS DECIMAL(12,2)) > b.p_hi
         |    THEN 1 END) AS n_clamped_hi,
-        |  CAST(CAST(sum(greatest(least(
-        |      CAST(l.l_extendedprice AS DECIMAL(12,2)), b.p_hi), b.p_lo))
+        |  CAST(CAST(sum(CAST(greatest(least(
+        |      CAST(l.l_extendedprice AS DECIMAL(12,2)), b.p_hi), b.p_lo)
+        |    AS DECIMAL(12,2)))
         |    AS DECIMAL(18,2)) AS DOUBLE) AS sum_winsorized
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
