@@ -205,10 +205,15 @@ object Streaming {
           // value changed must not occupy two ranks), then sort desc by
           // value, asc by id on ties, keep k. Deterministic regardless of
           // the micro-batch iterator's order.
+          // .toSeq BEFORE the map: mapping a Map to (v, id) pairs would
+          // rebuild a Map KEYED BY v, silently collapsing tied values to
+          // one arbitrary survivor (caught round 10 by an 8x-scale sweep,
+          // where replicated data ties every value 8 ways; gate-scale
+          // values happened to be distinct, so every earlier round passed)
           val board = (prev ++ rows.map(r => (r._3, r._2)))
             .groupBy { case (_, id) => id }
-            .map { case (_, vs) => vs.maxBy { case (v, _) => v } }
             .toSeq
+            .map { case (_, vs) => vs.maxBy { case (v, _) => v } }
             .sortBy { case (v, id) => (-v, id) }
             .take(k)
           if (board == prev) Iterator.empty

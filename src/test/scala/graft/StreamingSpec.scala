@@ -338,6 +338,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q2.stop(); q2.awaitTermination() }
   }
 
+  test("streaming top-k: tied values each hold their own rank (r10 regression)") {
+    // Mapping a Scala Map to (value, id) pairs rebuilds a Map KEYED BY
+    // VALUE — the pre-fix board silently collapsed tied values to one
+    // arbitrary survivor. Caught by an 8x-scale sweep where replicated
+    // data ties every value 8 ways; gate-scale values were distinct, so
+    // every earlier round passed. Ties must fill the board in id order.
+    val src = MemoryStream[TopKIn](spark)
+    val q = Streaming.topKPerKey(spark, src.toDF(), k = 3)
+      .writeStream.format("memory").queryName("stream_topk_ties")
+      .outputMode("append").start()
+    try {
+      src.addData((1 to 8).map(i => TopKIn("a", i * 10L, 9.0)) :+
+        TopKIn("a", 5, 7.0): _*)
+      q.processAllAvailable()
+      val last = spark.table("stream_topk_ties").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).takeRight(3).toSeq
+      assert(last == Seq((1, 10L, 9.0), (2, 20L, 9.0), (3, 30L, 9.0)))
+    } finally q.stop()
+  }
+
   test("streaming top-k: replayed event_id with changed value holds ONE rank") {
     val src = MemoryStream[TopKIn](spark)
     val q = Streaming.topKPerKey(spark, src.toDF(), k = 3)
