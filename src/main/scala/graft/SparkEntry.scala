@@ -3393,12 +3393,24 @@ object SparkEntry {
         |      THEN 1::BIGINT << (g.i - 32) ELSE 0 END) AS BIGINT) AS hi,
         |    CAST(sum(CASE WHEN g.gray * 64 > t.tot AND g.i < 32
         |      THEN 1::BIGINT << g.i ELSE 0 END) AS BIGINT) AS lo
-        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT)
+        |  FROM g JOIN t USING (doc_id) GROUP BY g.doc_id),
+        |chunks AS (SELECT h.doc_id, h.hi, h.lo, gi.idx,
+        |    CASE WHEN gi.idx < 2 THEN (h.lo >> (gi.idx * 16)) & 65535
+        |         ELSE (h.hi >> ((gi.idx - 2) * 16)) & 65535 END AS chunk
+        |  FROM hsh h, generate_series(0, 3) gi(idx)),
+        |kept AS (SELECT idx, chunk FROM chunks
+        |  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 1024),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.hi AS ahi, a.lo AS alo, b.hi AS bhi, b.lo AS blo
+        |  FROM chunks a
+        |  JOIN kept k ON a.idx = k.idx AND a.chunk = k.chunk
+        |  JOIN chunks b ON b.idx = k.idx AND b.chunk = k.chunk
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) AS INT)
         |    AS hamming
-        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |FROM cand
+        |WHERE bit_count(xor(ahi, bhi)) + bit_count(xor(alo, blo)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     // REAL PCM decode: 16-bit LE samples from the data chunk; the oracle
     // replays the planted-sample formula for exact peak / L1 stats
