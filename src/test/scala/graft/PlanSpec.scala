@@ -307,6 +307,25 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles <= 2, s"assignment must not shuffle the corpus:\n$p")
   }
 
+  test("percentile queries stay on rank-based order statistics — no value-buffering sort-aggregate") {
+    // equidepthHist / winsorizedPrices / robustOutliers were rewritten in
+    // round 10 from per-group `percentile_disc` sort-aggregates (which
+    // buffer EVERY value of a group in one task — an executor OOM when a
+    // group is a constant fraction of 100 TB) to Rank.discPercentiles.
+    // Lock the shape: a refactor that reintroduces the sort-aggregate
+    // form must fail here, not at the next scale sweep.
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    for ((name, df) <- Seq(
+        "equidepthHist" -> Profile.equidepthHist(orders),
+        "winsorizedPrices" -> Relational.winsorizedPrices(li),
+        "robustOutliers" -> Profile.robustOutliers(orders))) {
+      val p = plan(df)
+      assert(!p.contains("percentile_disc"),
+        s"$name regressed to a value-buffering percentile_disc aggregate:\n$p")
+    }
+  }
+
   test("star dims: default dictionary path is distributed (no one-task merge)") {
     val orders = Tables.orders(spark, TestSpark.sf0001)
     val nation = Tables.nation(spark, TestSpark.sf0001)

@@ -124,6 +124,38 @@ class PropertiesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("property: discPercentiles == percentile_disc on random tied data") {
+    // Rank.discPercentiles is the scale-safe replacement for the
+    // value-buffering percentile_disc sort-aggregate; they must agree on
+    // ANY input, including heavy ties (values drawn from a domain of 7,
+    // so every rank position is contested) and 1-row groups. Grouped and
+    // global forms both checked against Spark's own aggregate.
+    val qs = Seq((1, 100), (1, 4), (1, 2), (3, 4), (99, 100))
+    val names = Seq("p01", "p25", "p50", "p75", "p99")
+    val genRows = Gen.listOfN(400, for {
+      g <- Gen.choose(0, 4)
+      v <- Gen.choose(0, 6)
+    } yield (s"g$g", v))
+    forAll(genRows, runs = 4) { rows =>
+      val df = rows.toDF("g", "v")
+      val aggs = qs.zip(names).map { case ((num, den), n) =>
+        expr(s"percentile_disc(${num.toDouble / den}) WITHIN GROUP (ORDER BY v)")
+          .cast("int").as(n)
+      }
+      def asMap(r: org.apache.spark.sql.Row, off: Int) =
+        names.indices.map(i => names(i) -> r.getInt(off + i)).toMap
+      val want = df.groupBy("g").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getString(0) -> asMap(r, 1)).toMap
+      val got = ops.Rank.discPercentiles(df, Seq("g"), "v", qs, names)
+        .collect().map(r => r.getString(0) -> asMap(r, 1)).toMap
+      assert(got == want, s"grouped percentiles diverge: $got vs $want")
+      val wantG = asMap(df.agg(aggs.head, aggs.tail: _*).collect().head, 0)
+      val gotG = asMap(
+        ops.Rank.discPercentiles(df, Seq.empty, "v", qs, names).collect().head, 0)
+      assert(gotG == wantG, s"global percentiles diverge: $gotG vs $wantG")
+    }
+  }
+
   test("property: union-find path == iterative label propagation on random graphs") {
     // small vertex domain forces heavy merging; chain-ish and clustered
     // shapes both appear across seeds
