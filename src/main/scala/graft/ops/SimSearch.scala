@@ -133,7 +133,14 @@ object SimSearch {
       .where(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-    require(codebook.nonEmpty, s"no centroid seeds with vec_id < $nCells")
+    if (codebook.isEmpty) {
+      // an EMPTY corpus has an empty (well-defined) assignment; seeds
+      // missing from a NON-empty corpus is still a parameter misuse
+      require(embeddings.isEmpty,
+        s"no centroid seeds with vec_id < $nCells in a non-empty corpus")
+      return embeddings.select(col("vec_id"), col("embedding"),
+        lit(-1).as("cell"))
+    }
     // greatest() requires ≥ 2 children
     val bestCell = if (codebook.length == 1) lit(codebook.head._1)
     else greatest(codebook.map { case (cellId, cEmb) =>

@@ -23,10 +23,16 @@ object Sinks {
 
   /** S3: the `DataFile.extractKeys` analog — read MR-style TSV part files,
     * keep column 0, distinct + sorted (the reference sorts at
-    * `DataFile.java:55`). */
+    * `DataFile.java:55`). Explicit 1-column schema, not inference: PERMISSIVE
+    * CSV keeps the first field and ignores the rest, so this skips the
+    * whole-file inference pre-scan AND stays well-defined on an empty sink
+    * dir (inference over zero data files finds no columns at all). */
   def readTsvKeys(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").csv(path)
-      .select(col("_c0").as("key"))
+    spark.read.option("sep", "\t")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "key", org.apache.spark.sql.types.StringType))))
+      .csv(path)
       .where(col("key").isNotNull)
       .distinct()
       .orderBy("key")

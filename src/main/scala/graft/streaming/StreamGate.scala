@@ -96,6 +96,19 @@ object StreamGate {
   private def freshOut(): String =
     Files.createTempDirectory(tmpBase, "graft_stream_out").toString + "/end_state"
 
+  /** Read a gate's end-state parquet. An EMPTY bounded source fires zero
+    * micro-batches under AvailableNow, so `foreachBatch` never runs and the
+    * sink dir is never created — that IS the empty end state, returned as a
+    * 0-row frame with the sink's schema (`schema` = the streaming frame's
+    * schema, what each batch would have written). Without this, an empty
+    * source — routine at 100 TB, e.g. a date-range with no events — turns
+    * into PATH_NOT_FOUND instead of an empty result. */
+  private def readEnd(spark: SparkSession, out: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (new java.io.File(out).exists()) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
   /** [[Streaming.tumblingCounts]] end state. Complete output mode: every
     * micro-batch rewrites the full aggregate, so the final parquet is the
     * whole-history answer regardless of where the watermark stopped (with
@@ -109,7 +122,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(out)
     })
-    spark.read.parquet(out)
+    readEnd(spark, out, agg.schema)
       .select(to_date(col("w_start")).as("day"), col("event_type"), col("n"))
       .orderBy("day", "event_type")
   }
@@ -127,7 +140,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
     })
-    spark.read.parquet(out)
+    readEnd(spark, out, ds.toDF().schema)
       .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
       .orderBy("user_id", "valid_from")
   }
@@ -144,7 +157,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(out)
     })
-    spark.read.parquet(out).orderBy("user_id", "session_start")
+    readEnd(spark, out, agg.schema).orderBy("user_id", "session_start")
   }
 
   /** [[Streaming.slidingCounts]] end state — complete-mode rewrite, same
@@ -156,7 +169,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(out)
     })
-    spark.read.parquet(out).orderBy("w_start", "event_type")
+    readEnd(spark, out, agg.schema).orderBy("w_start", "event_type")
   }
 
   /** [[Streaming.dedupWithinWatermark]] end state: every event whose id was
@@ -170,7 +183,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
     })
-    spark.read.parquet(out)
+    readEnd(spark, out, ds.schema)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
   }
@@ -189,7 +202,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
     })
-    spark.read.parquet(out)
+    readEnd(spark, out, ds.toDF().schema)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         max("n_milestones").as("n_milestones"))
@@ -210,7 +223,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
     })
-    spark.read.parquet(out)
+    readEnd(spark, out, joined.schema)
       .select("user_id", "p_event", "v_event")
       .orderBy("user_id", "p_event", "v_event")
   }
@@ -233,7 +246,7 @@ object StreamGate {
       (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(out)
     })
-    spark.read.parquet(out).select("doc_id").orderBy("doc_id")
+    readEnd(spark, out, ds.schema).select("doc_id").orderBy("doc_id")
   }
 
   /** [[Streaming.topKPerKey]] end state: the LIVE leaderboard per key = the
@@ -250,7 +263,9 @@ object StreamGate {
         batch.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(out)
     })
-    val snapshots = spark.read.parquet(out)
+    // sink schema = streaming frame + the batch_id stamp added per batch
+    val snapshots = readEnd(spark, out, ds.toDF()
+      .withColumn("batch_id", lit(0L)).schema)
     val latest = snapshots.groupBy("event_type")
       .agg(max("batch_id").as("batch_id"))
     snapshots.join(broadcast(latest), Seq("event_type", "batch_id"))
