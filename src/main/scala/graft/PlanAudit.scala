@@ -39,12 +39,21 @@ object PlanAudit {
         // both serialize the whole input through one task): the one shape
         // that silently stops scaling. Constant-partition windows over
         // bounded metadata (Rank offsets) declare themselves via lit(0).
+        // Under AQE the executedPlan is an AdaptiveSparkPlanExec whose
+        // inner plan is NOT a `children` member — plain foreach never
+        // descends into it and counted 0 for every query; walk explicitly.
         var globalWin = 0
-        executed.foreach {
-          case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => globalWin += 1
-          case _ =>
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              walk(a.executedPlan)
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => globalWin += 1
+            case _ =>
+          }
+          p.children.foreach(walk)
         }
+        walk(executed)
         if (filter.isDefined) println(s"=== $name ===\n$plan\n")
         else {
           def c(m: String) = plan.linesIterator.count(_.contains(m))

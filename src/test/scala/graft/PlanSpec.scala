@@ -200,12 +200,24 @@ class PlanSpec extends AnyFunSuite {
 
   test("epoch shuffle: no window operator anywhere (offsets precomputed)") {
     val df = Corpus.shuffleEpoch(Tables.documents(spark, TestSpark.sf0001))
+    // unwrap the AQE root: plain foreach on an AdaptiveSparkPlanExec never
+    // descends into the inner plan, so a typed WindowExec count would be
+    // vacuously 0 (the PlanAudit bug, fixed the same way)
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
     var wins = 0
-    df.queryExecution.executedPlan.foreach {
+    root.foreach {
       case _: org.apache.spark.sql.execution.window.WindowExec => wins += 1
       case _ =>
     }
     assert(wins == 0)
+    // belt-and-braces: the printed plan (which DOES include the inner AQE
+    // plan) must not contain a Window operator either
+    assert(!df.queryExecution.executedPlan.toString.contains("Window ["),
+      "printed plan contains a Window operator")
   }
 
   test("partitioned parquet write enables partition pruning on read") {
@@ -345,5 +357,70 @@ class PlanSpec extends AnyFunSuite {
     val onetaskRows = Star.dimCategory(orders, scalable = Some(false))
       .orderBy("category_id").collect()
     assert(defaultRows.map(_.toSeq).toSeq == onetaskRows.map(_.toSeq).toSeq)
+  }
+
+  test("full inventory: no UNBOUNDED single-partition window anywhere") {
+    // The one plan shape that silently stops scaling: a WindowExec with an
+    // empty partitionSpec serializes its whole input through ONE task. The
+    // allowlist below is every query whose plan legitimately contains one —
+    // in each, the window input is k-bounded (a limit(k) rank stamp or the
+    // 9-row Benford digit aggregate), asserted structurally: a GlobalLimit /
+    // TakeOrderedAndProject or a keyed aggregate must sit beneath the
+    // window. A NEW query whose global window sits over raw data fails the
+    // subset check; an allowlisted query losing its bound fails the
+    // structural check. (The walk unwraps AdaptiveSparkPlanExec — its inner
+    // plan is not a `children` member, so a plain foreach sees nothing.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allow = Map(
+      // rank stamp over limit(10) / limit(15) (TextOps.bm25TopK)
+      "text_bm25_topk" -> "limit",
+      // rank stamp over limit(20) (TextOps.rakePhrases)
+      "text_rake_phrases" -> "limit",
+      // n_total over the 9-row leading-digit aggregate (Profile.benford)
+      "profile_benford_price" -> "agg")
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def globalWindows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      self ++ p.children.map(unwrap).flatMap(globalWindows)
+    }
+    def hasBound(p: SparkPlan, kind: String): Boolean = {
+      val s = unwrap(p)
+      val bounded = kind match {
+        case "limit" =>
+          s.isInstanceOf[org.apache.spark.sql.execution.GlobalLimitExec] ||
+            s.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec] ||
+            s.isInstanceOf[org.apache.spark.sql.execution.CollectLimitExec]
+        case "agg" =>
+          s.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+            s.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+            s.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]
+      }
+      bounded || s.children.exists(hasBound(_, kind))
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val wins = globalWindows(unwrap(
+          fn(spark, TestSpark.sf0001).queryExecution.executedPlan))
+        allow.get(name) match {
+          case None if wins.isEmpty => None
+          case None =>
+            Some(s"$name: ${wins.size} unbounded single-partition window(s)")
+          case Some(kind) =>
+            if (wins.nonEmpty && wins.forall(w => hasBound(w.child, kind))) None
+            else if (wins.isEmpty)
+              Some(s"$name: allowlisted but no global window found (stale allowlist)")
+            else Some(s"$name: global window lost its $kind bound")
+        }
+    }
+    assert(offenders.isEmpty,
+      "single-partition window audit failed:\n" + offenders.mkString("\n"))
   }
 }

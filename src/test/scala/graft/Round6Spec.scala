@@ -114,9 +114,18 @@ class Round6Spec extends AnyFunSuite {
 
   test("kmeans: plan stays flat as iterations grow — round N re-plans from the checkpoint") {
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
-    def planSize(iters: Int): Int =
-      graft.ops.Ml.kmeansClusters(emb, k = 4, iters = iters)
-        .queryExecution.executedPlan.collect { case n => n }.size
+    def planSize(iters: Int): Int = {
+      // unwrap the AQE root — AdaptiveSparkPlanExec exposes no children, so
+      // a direct collect sees exactly 1 node for EVERY plan and the flatness
+      // assertion would be vacuous (same bug class as PlanAudit's globalWin)
+      val root = graft.ops.Ml.kmeansClusters(emb, k = 4, iters = iters)
+        .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      root.collect { case n => n }.size
+    }
     val s2 = planSize(2)
     val s8 = planSize(8)
     assert(s8 == s2,
