@@ -359,7 +359,7 @@ class PlanSpec extends AnyFunSuite {
     assert(defaultRows.map(_.toSeq).toSeq == onetaskRows.map(_.toSeq).toSeq)
   }
 
-  test("full inventory: no UNBOUNDED single-partition window anywhere") {
+  test("full inventory: no unbounded single-partition window, no cartesian product") {
     // The one plan shape that silently stops scaling: a WindowExec with an
     // empty partitionSpec serializes its whole input through ONE task. The
     // allowlist below is every query whose plan legitimately contains one —
@@ -391,6 +391,15 @@ class PlanSpec extends AnyFunSuite {
       }
       self ++ p.children.map(unwrap).flatMap(globalWindows)
     }
+    // the other always-wrong join shape: CartesianProduct shuffles L×R.
+    // (BroadcastNestedLoopJoin is NOT flagged: every occurrence in the
+    // inventory is crossJoin(broadcast(<1-row aggregate>)) — the scalar-
+    // total pattern, audited per-query in PlanAudit.)
+    def cartesians(p: SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => 1
+        case _ => 0
+      }) + p.children.map(unwrap).map(cartesians).sum
     def hasBound(p: SparkPlan, kind: String): Boolean = {
       val s = unwrap(p)
       val bounded = kind match {
@@ -407,9 +416,14 @@ class PlanSpec extends AnyFunSuite {
     }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val wins = globalWindows(unwrap(
-          fn(spark, TestSpark.sf0001).queryExecution.executedPlan))
-        allow.get(name) match {
+        val root = unwrap(
+          fn(spark, TestSpark.sf0001).queryExecution.executedPlan)
+        val wins = globalWindows(root)
+        val cart = cartesians(root)
+        val cartOff =
+          if (cart > 0) Seq(s"$name: $cart CartesianProduct join(s)")
+          else Seq.empty
+        cartOff ++ (allow.get(name) match {
           case None if wins.isEmpty => None
           case None =>
             Some(s"$name: ${wins.size} unbounded single-partition window(s)")
@@ -418,7 +432,7 @@ class PlanSpec extends AnyFunSuite {
             else if (wins.isEmpty)
               Some(s"$name: allowlisted but no global window found (stale allowlist)")
             else Some(s"$name: global window lost its $kind bound")
-        }
+        })
     }
     assert(offenders.isEmpty,
       "single-partition window audit failed:\n" + offenders.mkString("\n"))
