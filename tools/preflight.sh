@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# One-command round pre-flight: everything the driver's gates will check,
+# in the order they fail fastest. Exit code 0 = ship-ready.
+#
+#   tools/preflight.sh            # full: test + verify/oracle + bench diff + smoke
+#   tools/preflight.sh --quick    # skip sbt test (just gates + smoke)
+#
+# Individual pieces are documented in .claude/skills/verify/SKILL.md.
+set -u
+cd "$(dirname "$0")/.."
+rc=0
+step() { echo; echo "=== $1 ==="; }
+
+if [ "${1:-}" != "--quick" ]; then
+  step "sbt test (~6 min)"
+  sbt -batch test 2>&1 | tail -4 | grep -E "Tests:|All tests" || rc=1
+fi
+
+step "Verify + DuckDB oracle at sf0.01 (driver t2 mirror, ~3 min)"
+rm -rf /tmp/preflight_verify
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/preflight_verify" \
+  2>&1 | grep "\[verify\].*failed" && rc=1
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/preflight_verify \
+  | tail -1 | tee /dev/stderr | grep -q " 0 fail" || rc=1
+
+step "Entry smoke (driver t1)"
+sbt -batch "runMain graft.EntrySmoke" 2>&1 | grep ENTRY_SMOKE | grep PASS || rc=1
+
+step "Headline bench vs quiet-machine anchor (sf0.1, ~2 min)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
+  2>&1 | grep -q '"metric":"total"' || rc=1
+# 3x, not the verdict 2x: a single non-quiet run shouldn't fail pre-flight
+# (see BASELINE.md on co-tenant noise); re-time flagged queries isolated
+# with SPARK_GRAFT_BENCH_ONLY=<q> SPARK_GRAFT_BENCH_REPS=5 before acting.
+python3 tools/bench_diff.py BENCH_ANCHOR.json bench_out.json 3.0 || rc=1
+
+echo
+[ $rc -eq 0 ] && echo "PREFLIGHT PASS" || echo "PREFLIGHT FAIL"
+exit $rc
