@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * ties-free order, `rank == row_number`, and `percent_rank`/`cume_dist`/
   * `ntile` are pure arithmetic over (rank, n) — emitted here exactly as the
   * single-window form would.
+  *
+  * Cardinality precondition: the offsets metadata is P × |groups| rows and
+  * is BROADCAST back onto the slices — `groupCols` must be broadcast-sized
+  * (categories, priorities, flags; up to ~millions of rows). For
+  * high-cardinality keys (per-customer, per-document) a plain
+  * `Window.partitionBy` is the right tool: the key itself bounds the
+  * partition there, which is exactly the regime this operator is NOT for.
   */
 object Rank {
 
@@ -47,11 +54,68 @@ object Rank {
     *     ranking flipped median-absolute-deviation values run to run). */
   private def stableLocal(df: DataFrame, localPlan: DataFrame,
       groupCols: Seq[String]): DataFrame = {
-    val cachedInput = df.queryExecution.optimizedPlan.collectFirst {
+    // collectWithSubqueries, not collectFirst: a cached relation referenced
+    // only inside a subquery expression is invisible to the plain child
+    // traversal, and would re-expose the bounds mismatch
+    val cachedInput = df.queryExecution.optimizedPlan.collectWithSubqueries {
       case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => ()
-    }.isDefined
-    if (groupCols.isEmpty || cachedInput) localPlan.localCheckpoint(true)
+    }.nonEmpty
+    // with exchange reuse disabled there is NO mechanism making the two
+    // references observe one range exchange — always materialize
+    val reuseOff = !df.sparkSession.sessionState.conf.exchangeReuseEnabled
+    // the eager localCheckpoint trades a wide failure mode for bounds
+    // consistency: blocks are executor-local and unreplicated, so losing an
+    // executor after the checkpoint fails downstream reads — acceptable for
+    // the one-shot analytic jobs this library targets; long-lived pipelines
+    // should persist the input and re-run on executor loss
+    if (groupCols.isEmpty || cachedInput || reuseOff)
+      localPlan.localCheckpoint(true)
     else localPlan
+  }
+
+  /** Group-key normalization for the per-partition stateful scans: `row.get`
+    * yields `Array[Byte]` for BinaryType columns, whose `equals` is
+    * reference identity — every row would look like a new group and local
+    * ranks would collapse to 1. Wrap to a value-equality Seq. */
+  private def keyOf(row: org.apache.spark.sql.Row,
+      idx: Seq[Int]): Seq[Any] =
+    idx.map { i =>
+      row.get(i) match {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }
+    }
+
+  /** Offsets join shared by the two rankers. The group-key equality must be
+    * NULL-SAFE: `Window.partitionBy` ranks a NULL group like any other, and
+    * a plain using-column join would silently drop those rows. Offsets-side
+    * key columns get collision-proof names so `<=>` can reference both
+    * sides. */
+  private def joinOffsets(local: DataFrame, offsets: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    if (groupCols.isEmpty) local.join(broadcast(offsets), Seq("_pid"))
+    else {
+      val renamed = offsets.select(
+        (col("_pid").as("_rk_pid") +:
+          groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"_rk_g$i") }) ++:
+          offsets.columns.filterNot(c => c == "_pid" || groupCols.contains(c))
+            .toSeq.map(col): _*)
+      val cond = groupCols.indices
+        .map(i => col(groupCols(i)) <=> col(s"_rk_g$i"))
+        .foldLeft(col("_pid") === col("_rk_pid"))(_ && _)
+      local.join(broadcast(renamed), cond)
+        .drop(("_rk_pid" +: groupCols.indices.map(i => s"_rk_g$i")): _*)
+    }
+  }
+
+  /** The two-pass rankers add internal and output columns by these names;
+    * a same-named input column would be silently overwritten or make the
+    * offsets join ambiguous. Fail loudly instead. */
+  private def requireFreeNames(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with Rank's " +
+        s"internal/output columns (${names.mkString(", ")}); rename them first")
   }
 
   /** Adds `rank` (1-based within group), `n` (group size) to `df`.
@@ -69,6 +133,8 @@ object Rank {
       orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    requireFreeNames(df, Seq("_pid", "_lrank", "_offset", "rank", "n") ++
+      groupCols.indices.map(i => s"_rk_g$i"))
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val sortCols = groupCols.map(col) ++ orderCols
@@ -89,7 +155,7 @@ object Rank {
       var prevKey: Seq[Any] = null
       var r = 0L
       it.map { row =>
-        val key = groupIdx.map(row.get)
+        val key = keyOf(row, groupIdx)
         if (prevKey == null || key != prevKey) { r = 0L; prevKey = key }
         r += 1
         Row.fromSeq(row.toSeq :+ pid :+ r)
@@ -130,8 +196,7 @@ object Rank {
         .withColumn("n", sum(col("_cnt")).over(nW))
         .select(("_pid" +: groupCols).map(col) :+ col("_offset") :+ col("n"): _*)
     }
-    local
-      .join(broadcast(offsets), "_pid" +: groupCols)
+    joinOffsets(local, offsets, groupCols)
       .withColumn("rank", (col("_offset") + col("_lrank")).cast("long"))
       .drop("_pid", "_lrank", "_offset")
   }
@@ -148,6 +213,8 @@ object Rank {
       orderCols: Seq[Column], valueCol: String): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    requireFreeNames(df, Seq("_pid", "_lsum", "_offset", "running") ++
+      groupCols.indices.map(i => s"_rk_g$i"))
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val sortCols = groupCols.map(col) ++ orderCols
@@ -164,9 +231,12 @@ object Rank {
       var prevKey: Seq[Any] = null
       var s = 0L
       it.map { row =>
-        val key = groupIdx.map(row.get)
+        val key = keyOf(row, groupIdx)
         if (prevKey == null || key != prevKey) { s = 0L; prevKey = key }
-        s += row.getAs[Number](valueIdx).longValue()
+        // NULL contributes nothing, like the window-frame sum it replaces
+        // (the running sum holds its value on a NULL row)
+        val v = row.get(valueIdx)
+        if (v != null) s += v.asInstanceOf[Number].longValue()
         Row.fromSeq(row.toSeq :+ pid :+ s)
       }
     }(Encoders.row(outSchema))
@@ -174,9 +244,12 @@ object Rank {
     // bounds — the consistency discipline explained in [[stableLocal]]
     val local = stableLocal(df, localPlan, groupCols)
     // empty groupCols: P-row metadata cumulated on the driver — see groupRanks
+    // coalesce(sum, 0): a (partition, group) slice whose values are ALL
+    // NULL sums to NULL, which would poison every later offset in the
+    // cumulation — the window-sum equivalent treats it as contributing 0
     val offsets = if (groupCols.isEmpty) {
       val sums = local.groupBy(col("_pid"))
-        .agg(sum(col(valueCol).cast("long")).as("_psum"))
+        .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("_psum"))
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       var acc = 0L
       val rows = sums.map { case (pid, s) => val off = acc; acc += s; (pid, off) }
@@ -184,19 +257,15 @@ object Rank {
     } else {
       val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
       local.groupBy(("_pid" +: groupCols).map(col): _*)
-        .agg(sum(col(valueCol).cast("long")).as("_psum"))
+        .agg(coalesce(sum(col(valueCol).cast("long")), lit(0L)).as("_psum"))
         .withColumn("_offset", sum(col("_psum")).over(cntW) - col("_psum"))
         .select(("_pid" +: groupCols).map(col) :+ col("_offset"): _*)
     }
-    local
-      .join(broadcast(offsets), "_pid" +: groupCols)
+    joinOffsets(local, offsets, groupCols)
       .withColumn("running", (col("_offset") + col("_lsum")).cast("long"))
       .drop("_pid", "_lsum", "_offset")
   }
 
-  /** Spark's `ntile(k)` from (rank, n): the first `n mod k` buckets take
-    * `ceil(n/k)` rows, the rest `floor(n/k)` — bit-identical to the window
-    * function under a total order. */
   /** Exact DISCRETE percentiles (order statistics) per group WITHOUT a
     * per-group value buffer — the scale-safe form of
     * `percentile_disc(q) WITHIN GROUP (ORDER BY valueCol)`, whose
@@ -213,6 +282,13 @@ object Rank {
     * position; a partial-aggregated max-when folds the ≤ |qs| hit rows
     * per group into one row of named boundary columns.
     *
+    * NULL values are ignored, exactly as `percentile_disc` ignores them
+    * (they would otherwise shift every position). One deliberate
+    * divergence: a group whose values are ALL NULL is absent from the
+    * output, where the SQL aggregate emits the group with NULL
+    * percentiles — callers needing that form left-join the group list
+    * back (none of this library's do).
+    *
     * Output: one row per group — groupCols ++ outNames (empty groupCols →
     * a single global row, same as the global aggregate form). */
   def discPercentiles(df: DataFrame, groupCols: Seq[String],
@@ -222,7 +298,8 @@ object Rank {
     require(qs.forall { case (num, den) => num > 0 && num < den },
       s"percentiles must be proper fractions, got $qs")
     val ranked = groupRanks(
-      df.select(groupCols.map(col) :+ col(valueCol): _*),
+      df.select(groupCols.map(col) :+ col(valueCol): _*)
+        .where(col(valueCol).isNotNull),
       groupCols, Seq(col(valueCol)))
     val aggs = qs.zip(outNames).map { case ((num, den), name) =>
       max(when(expr(s"rank = (n * $num + ${den - 1}) div $den"),
@@ -232,6 +309,9 @@ object Rank {
     else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Spark's `ntile(k)` from (rank, n): the first `n mod k` buckets take
+    * `ceil(n/k)` rows, the rest `floor(n/k)` — bit-identical to the window
+    * function under a total order. */
   def ntileOf(rank: Column, n: Column, k: Int): Column = {
     val base = (n / k).cast("long")          // floor for non-negative longs
     val rem = n % k
