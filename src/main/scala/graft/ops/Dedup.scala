@@ -78,6 +78,12 @@ object Dedup {
     * shared by [[minhashLsh]] and [[capCensus]]. */
   private def minhashBandRows(toksDf: DataFrame, shingleSize: Int, k: Int,
       bands: Int): DataFrame = {
+    // r = 0 would hash every band to the constant 0 (one corpus-wide
+    // bucket per band, silently dropped by MaxBucket); a non-dividing
+    // `bands` would silently ignore the trailing signature slots — both
+    // change the S-curve the caller asked for, so fail loudly
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature size k ($k)")
     val r = k / bands
     toksDf
       // fused native expression (graft.plans.MinHashSignature): one loop
@@ -95,7 +101,12 @@ object Dedup {
     // so without a persist `tokens(text)` would re-tokenize the corpus 3×
     // per run (the r04 bench regression). MEMORY_AND_DISK: spills rather
     // than OOMs when the token arrays outgrow executor memory at scale.
+    // null text tokenizes to NULL: without the filter all null-text docs
+    // collide in one (band_idx, NULL) bucket and reach the output as
+    // garbage pairs with NULL n_common/n_union — every sibling variant
+    // drops them naturally (explode of NULL emits no rows)
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(col("toks").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles/signature each materialized ONCE per row (withColumn), then
     // only (doc_id, band) pairs — not token arrays — enter the shuffle
@@ -197,9 +208,13 @@ object Dedup {
   def minhashJaccardEstimate(documents: DataFrame, shingleSize: Int = 3,
       k: Int = 32): DataFrame = {
     GraftExtensions.ensureRegistered(documents.sparkSession)
+    // two join sides on different keys — persist or the corpus is
+    // tokenized + signed twice per run (the minhashLsh discipline); the
+    // signature frame is k longs per doc, far smaller than the tokens
     val sigs = documents.select(col("doc_id"),
       call_function("minhash_sig", tokens(col("text")),
         lit(shingleSize), lit(k)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(sigs.select((col("doc_id") - 1).as("doc_a"),
         col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_a")
@@ -249,9 +264,12 @@ object Dedup {
     * sizes only, no `collect_list`, so the census is strictly cheaper than
     * the operator it audits. */
   def capCensus(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,
-      bands: Int = 8, gramN: Int = 4, maxGramDf: Int = 100): DataFrame = {
+      bands: Int = 8, gramN: Int = 4, maxGramDf: Int = 100,
+      winnowShingle: Int = 4, winnowWindow: Int = 3,
+      maxFpDf: Int = 100): DataFrame = {
     GraftExtensions.ensureRegistered(documents.sparkSession)
     val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(col("toks").isNotNull)
     def census(path: String, keyed: DataFrame, keys: Seq[String], cap: Int) =
       keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("b"))
         .where(col("b") >= 2)
@@ -265,9 +283,11 @@ object Dedup {
             .as("pairs_capped"))
         .select(lit(path).as("path"), col("n_buckets"), col("n_capped"),
           col("pairs_capped"))
+    // parameters mirror winnowedPairs' — a census over a different config
+    // than the operator ran would audit buckets the operator never formed
     val winnowFps = documents.select(col("doc_id"),
       explode(call_function("winnow_fps", tokens(col("text")),
-        lit(4), lit(3))).as("fp"))
+        lit(winnowShingle), lit(winnowWindow))).as("fp"))
     census("minhash_band",
         minhashBandRows(toksDf, shingleSize, k, bands),
         Seq("band_idx", "band_hash"), MaxBucket)
@@ -275,7 +295,7 @@ object Dedup {
         Seq("gram"), maxGramDf))
       .unionAll(census("simhash_chunk", simhashChunkRows(documents),
         Seq("chunk_idx", "chunk"), MaxBucket))
-      .unionAll(census("winnow_fp", winnowFps, Seq("fp"), maxGramDf))
+      .unionAll(census("winnow_fp", winnowFps, Seq("fp"), maxFpDf))
       .orderBy("path")
   }
 
@@ -323,7 +343,18 @@ object Dedup {
     // free): small graphs solve exactly in one union-find task — zero loop
     // rounds, zero extra shuffles; big graphs take the O(log diameter)
     // label-propagation loop below. Same (doc_id, min-id cluster) output.
-    if (edges.count() <= smallGraphEdges) return unionFindOneTask(edges)
+    // The one-task solver's hash maps are keyed on longs, so only integral
+    // id types take it; anything else (string keys from entity resolution
+    // over natural ids) uses the loop, whose min() is type-generic.
+    val integralIds = {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      edges.schema("src").dataType match {
+        case LongType | IntegerType => true
+        case _ => false
+      }
+    }
+    if (integralIds && edges.count() <= smallGraphEdges)
+      return unionFindOneTask(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
@@ -334,24 +365,32 @@ object Dedup {
       // src) carries the vertex's own label, so the same aggregate also
       // yields the PREVIOUS label — the convergence flag comes out of this
       // one job instead of a separate join-with-old-labels pass per round
+      // checkpoint l1, NOT next: next references l1 twice (the halving
+      // self-join), so a lazy l1 would run the edges-join-aggregate —
+      // the expensive part of the round — twice; materializing here makes
+      // the self-join read V-sized checkpointed blocks and also keeps the
+      // per-round plan depth constant
       val l1 = edges
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("label"),
           min(when(col("dst") === col("src"), col("label"))).as("old"))
+        .localCheckpoint(true)
       // then pointer-halve: label := label(label). Every label IS a vertex
       // id (it is a min over ids), so the self-join is total. With the
       // halving, a diameter-d chain converges in O(log d) rounds, not
       // O(d) — the difference between 5 and 50 full passes on chain-shaped
       // near-dup runs.
+      // next stays lazy: both sides read the checkpointed l1, so the
+      // `changed` count below and next round's reuse re-run only the
+      // cheap V×V self-join, never the edge aggregation
       val next = l1.as("a")
         .join(l1.select(col("id").as("lid"), col("label").as("label2")),
           col("a.label") === col("lid"))
         .select(col("a.id").as("id"),
           least(col("a.label"), col("label2")).as("label"),
           col("a.old").as("old"))
-        .localCheckpoint(true)
       val changed = next.where(col("label") =!= col("old")).limit(1).count()
       labels = next.drop("old")
       converged = changed == 0
@@ -464,18 +503,25 @@ object Dedup {
     * standard blocking discipline every record-linkage system (and the
     * MinHash-LSH path above) uses at scale. Output is the per-block
     * candidate/match census — integers, exact cross-engine. */
-  def fuzzyLinkBlocked(customer: DataFrame, keySpan: Int = 100,
-      maxEdits: Int = 1): DataFrame = {
-    GraftExtensions.ensureRegistered(customer.sparkSession)
+  /** Blocked candidate pairs shared by [[fuzzyLinkBlocked]] and
+    * [[fuzzyEntityClusters]] — ONE definition of the blocking key and the
+    * pair predicate, so the census and the resolver can never silently
+    * diverge on which candidate set they examined. */
+  private def blockedNamePairs(customer: DataFrame, keySpan: Int): DataFrame = {
     val keyed = customer.select(
       expr(s"c_custkey div $keySpan").as("block"),
       col("c_custkey"), col("c_name"))
-    val left = keyed.select(col("block"), col("c_custkey").as("key_a"),
-      col("c_name").as("name_a"))
-    val right = keyed.select(col("block"), col("c_custkey").as("key_b"),
-      col("c_name").as("name_b"))
-    left.join(right, "block")
+    keyed.select(col("block"), col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"))
+      .join(keyed.select(col("block"), col("c_custkey").as("key_b"),
+        col("c_name").as("name_b")), "block")
       .where(col("key_a") < col("key_b"))
+  }
+
+  def fuzzyLinkBlocked(customer: DataFrame, keySpan: Int = 100,
+      maxEdits: Int = 1): DataFrame = {
+    GraftExtensions.ensureRegistered(customer.sparkSession)
+    blockedNamePairs(customer, keySpan)
       .groupBy("block")
       .agg(count(lit(1)).as("n_candidates"),
         // banded native verify: O(k·len) per pair vs the built-in's full
@@ -497,16 +543,9 @@ object Dedup {
   def fuzzyEntityClusters(customer: DataFrame, keySpan: Int = 100,
       maxEdits: Int = 1): DataFrame = {
     GraftExtensions.ensureRegistered(customer.sparkSession)
-    val keyed = customer.select(
-      expr(s"c_custkey div $keySpan").as("block"),
-      col("c_custkey"), col("c_name"))
-    val pairs = keyed.select(col("block"), col("c_custkey").as("key_a"),
-        col("c_name").as("name_a"))
-      .join(keyed.select(col("block"), col("c_custkey").as("key_b"),
-        col("c_name").as("name_b")), "block")
-      .where(col("key_a") < col("key_b")
-        && call_function("lev_bounded",
-          col("name_a"), col("name_b"), lit(maxEdits)) <= maxEdits)
+    val pairs = blockedNamePairs(customer, keySpan)
+      .where(call_function("lev_bounded",
+        col("name_a"), col("name_b"), lit(maxEdits)) <= maxEdits)
       .select(col("key_a").as("doc_a"), col("key_b").as("doc_b"))
     connectedComponents(pairs)
       .groupBy("cluster_id")
@@ -582,15 +621,26 @@ object Dedup {
     val buckets = prefix.groupBy("h")
       .agg(collect_list(struct(col("doc_id"), col("len"), col("rn"))).as("ms"))
       .where(size(col("ms")).between(2, MaxBucket))
-    val alpha = s"($minJaccardPct * (a.len + b.len) + ${100 + minJaccardPct} - 1) " +
-      s"div ${100 + minJaccardPct}"
+    // halving form (the bucketPairs discipline): the partner list is
+    // filtered INSIDE the array before explode, so a b-member posting
+    // generates ~b²/2 rows instead of b² and every PPJoin predicate
+    // evaluates in the lambda, before row generation. The positional
+    // bound is integer ceil-div computed in exact small-int range, so
+    // floor(x/y) over doubles is exact.
+    val t = minJaccardPct
+    val denom = 100 + t
     val cand = buckets
       .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .where(col("a.doc_id") < col("b.doc_id")
-        && col("b.len") * 100 >= col("a.len") * minJaccardPct
-        && col("a.len") * 100 >= col("b.len") * minJaccardPct
-        && expr(s"1 + least(a.len - a.rn, b.len - b.rn) >= $alpha"))
+      .select(col("a"),
+        explode(filter(col("ms"), m =>
+          m.getField("doc_id") > col("a.doc_id")
+            && m.getField("len") * 100 >= col("a.len") * t
+            && col("a.len") * 100 >= m.getField("len") * t
+            && lit(1) + least(col("a.len") - col("a.rn"),
+                 m.getField("len") - m.getField("rn"))
+               >= floor((lit(t) * (col("a.len") + m.getField("len"))
+                   + lit(denom - 1)) / lit(denom))
+        )).as("b"))
       .select(col("a.doc_id").as("a"), col("b.doc_id").as("b"))
       .distinct()
     // verify joins carry a CORPUS-shaped side: hint shuffle-hash so the
