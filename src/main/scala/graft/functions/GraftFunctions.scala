@@ -95,14 +95,24 @@ object GraftFunctions {
     (a, b)
   }
 
+  /** The string's code-point stream as an int array — the character codes
+    * the polynomial folds run over. Position-indexed `substr` (code-point
+    * addressed, like DuckDB's `s[i:i]`), NOT `split(s, "")`: the empty-regex
+    * split operates on UTF8 bytes, shredding every multibyte char into
+    * U+FFFD fragments and silently diverging from both the native
+    * expressions and the oracle's `ord()` fold on any non-ASCII text.
+    * `sequence(1, 0)` would count DOWN, so the empty string is cased out. */
+  private[graft] def charCodes(s: Column): Column =
+    when(length(s) === 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => ascii(s.substr(i, lit(1)))))
+
   /** Single-residue polynomial hash of a string column:
-    * foldLeft(0)((acc, c) => (acc * mult + code(c)) mod p) over its chars —
-    * plain integer arithmetic any engine reproduces exactly (the
+    * foldLeft(0)((acc, c) => (acc * mult + code(c)) mod p) over its code
+    * points — plain integer arithmetic any engine reproduces exactly (the
     * cross-engine requirement that rules out xxhash64 here). */
-  private[graft] def polyResidue(s: Column, mult: Long, p: Long): Column = {
-    val chars = filter(split(s, ""), c => length(c) > 0)
-    aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
-  }
+  private[graft] def polyResidue(s: Column, mult: Long, p: Long): Column =
+    aggregate(charCodes(s), lit(0L), (acc, c) => (acc * lit(mult) + c) % lit(p))
 
   /** ONE polynomial base hash per shingle (mult 31, mod 2^31-1) —
     * materialize this with `withColumn` and feed it to [[minhash_slots]], so
@@ -206,12 +216,11 @@ object GraftFunctions {
   /** The same dual-residue fingerprint over an arbitrary string column —
     * shared by [[doc_fingerprint_poly]] and the CDC chunk hash. */
   def string_fingerprint_poly(s: Column): Column = {
-    // split("ab", "") yields ["a","b",""] (Java split with limit -1 keeps
-    // the trailing empty) — drop empties so the char stream matches the
-    // oracle's 1..length(s) codes exactly
-    val chars = filter(split(s, ""), c => length(c) > 0)
+    // code-point stream (see charCodes): matches the oracle's
+    // 1..length(s) ord() codes exactly, including non-ASCII
+    val codes = charCodes(s)
     def residue(mult: Long, p: Long): Column =
-      aggregate(chars, lit(0L), (acc, c) => (acc * lit(mult) + ascii(c)) % lit(p))
+      aggregate(codes, lit(0L), (acc, c) => (acc * lit(mult) + c) % lit(p))
     residue(31L, 2147483647L) * lit(2147483648L) + residue(131L, 2147483629L)
   }
 

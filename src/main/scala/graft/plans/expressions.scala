@@ -43,6 +43,11 @@ object ExprUtil {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // same fail-loudly rule for NULL elements: getFloat would silently
+      // read the zeroed slot and hand a corrupt embedding a plausible score
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"cosine_sim: NULL element at index $i")
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -70,13 +75,16 @@ object ExprUtil {
         i += 1
       }
     } else {
+      // fold CODE POINTS, not UTF-16 units: the DuckDB oracle's ord() is
+      // code-point-based, and charAt would split supplementary-plane chars
+      // into surrogate halves (different residues for any emoji)
       val str = s.toString
       var i = 0
       while (i < str.length) {
-        val c = str.charAt(i).toInt
+        val c = str.codePointAt(i)
         h1 = (h1 * 31 + c) % 2147483647L
         h2 = (h2 * 131 + c) % 2147483629L
-        i += 1
+        i += Character.charCount(c)
       }
     }
     h1 * 2147483648L + h2
@@ -94,14 +102,57 @@ object ExprUtil {
         i += 1
       }
     } else {
+      // code points, matching polyFingerprint and the oracle's ord() fold
       val str = s.toString
       var i = 0
       while (i < str.length) {
-        h1 = (h1 * 31 + str.charAt(i).toInt) % 2147483647L
-        i += 1
+        val c = str.codePointAt(i)
+        h1 = (h1 * 31 + c) % 2147483647L
+        i += Character.charCount(c)
       }
     }
     h1
+  }
+
+  private val shingleSpace = UTF8String.fromString(" ")
+
+  /** Shared shingle machinery for the shingle-based expressions
+    * (MinHashSignature, ShingleHashArray, NgramShingles,
+    * WinnowFingerprints): the n-token windows of `toks`, with the common
+    * short-document rule (fewer than n tokens collapse to ONE whole-doc
+    * shingle). One definition keeps the four expressions' window semantics
+    * in sync — they previously carried four hand-copied loops. */
+  def shingleHashes(toks: ArrayData, n: Int): Array[Long] = {
+    val num = toks.numElements()
+    val winLen = if (num < n) num else n
+    val nOut = if (num < n) 1 else num - n + 1
+    val out = new Array[Long](nOut)
+    val window = new Array[UTF8String](winLen)
+    var s = 0
+    while (s < nOut) {
+      var j = 0
+      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
+      out(s) = polyH1(UTF8String.concatWs(shingleSpace, window: _*))
+      s += 1
+    }
+    out
+  }
+
+  /** The window strings themselves (NgramShingles), same window rule. */
+  def shingleStrings(toks: ArrayData, n: Int): Array[Any] = {
+    val num = toks.numElements()
+    val winLen = if (num < n) num else n
+    val nOut = if (num < n) 1 else num - n + 1
+    val out = new Array[Any](nOut)
+    val window = new Array[UTF8String](winLen)
+    var s = 0
+    while (s < nOut) {
+      var j = 0
+      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
+      out(s) = UTF8String.concatWs(shingleSpace, window: _*)
+      s += 1
+    }
+    out
   }
 
   /** 64-bit SimHash over a token array, same semantics as
@@ -157,7 +208,10 @@ object ExprUtil {
       if (i <= k) curr(0) = i
       val from = math.max(1, i - k)
       val to = math.min(n, i + k)
-      var rowMin = inf
+      // column 0 is a live band cell while i <= k — it must count toward
+      // the row minimum or an empty/short second string exits early with
+      // inf even when the true distance (pure deletions, = m) is <= k
+      var rowMin = if (i <= k) i else inf
       j = from
       while (j <= to) {
         val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
@@ -237,6 +291,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * ExpressionsSpec). */
 case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
     extends UnaryExpression {
+  require(shingleSize >= 1 && k >= 1,
+    s"minhash_sig: shingleSize and k must be >= 1, got $shingleSize, $k")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs ARRAY<STRING>, got $t")
@@ -248,22 +304,17 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
   // same coefficient stream as GraftFunctions.minhash_slots and the
   // generated DuckDB oracle literals
   private lazy val (coeffA, coeffB) = graft.functions.GraftFunctions.minhashCoeffs(k)
-  private lazy val space = UTF8String.fromString(" ")
 
   /** Called from both interpreted eval and generated code. */
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
-    val nShingles = if (n < shingleSize) 1 else n - shingleSize + 1
-    val window = new Array[UTF8String](if (n < shingleSize) n else shingleSize)
+    // polynomial base hashes (not xxhash64): cross-engine-reproducible, so
+    // the whole LSH path is DuckDB-oracled; the (a,b) family below supplies
+    // slot decorrelation
+    val hs = ExprUtil.shingleHashes(toks, shingleSize)
     var s = 0
-    while (s < nShingles) {
-      var j = 0
-      while (j < window.length) { window(j) = toks.getUTF8String(s + j); j += 1 }
-      // polynomial base hash (not xxhash64): cross-engine-reproducible, so
-      // the whole LSH path is DuckDB-oracled; the (a,b) family below
-      // supplies slot decorrelation
-      val base = ExprUtil.polyH1(UTF8String.concatWs(space, window: _*))
+    while (s < hs.length) {
+      val base = hs(s)
       var i = 0
       while (i < k) {
         val v = (coeffA(i) * base + coeffB(i)) % p
@@ -299,6 +350,7 @@ case class MinHashSignature(child: Expression, shingleSize: Int, k: Int)
   * shingle, matching `shingles`. */
 case class ShingleHashArray(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"shingle_hash_arr: n must be >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"shingle_hash_arr needs ARRAY<STRING>, got $t")
@@ -306,23 +358,9 @@ case class ShingleHashArray(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hash_arr"
 
-  private lazy val space = UTF8String.fromString(" ")
-
-  def compute(toks: ArrayData): ArrayData = {
-    val num = toks.numElements()
-    val winLen = if (num < n) num else n
-    val nOut = if (num < n) 1 else num - n + 1
-    val out = new Array[Long](nOut)
-    val window = new Array[UTF8String](winLen)
-    var s = 0
-    while (s < nOut) {
-      var j = 0
-      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
-      out(s) = ExprUtil.polyH1(UTF8String.concatWs(space, window: _*))
-      s += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  def compute(toks: ArrayData): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ExprUtil.shingleHashes(toks, n))
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -344,6 +382,7 @@ case class ShingleHashArray(child: Expression, n: Int)
   * ~6 s of the sf0.1 n-gram count on its own. */
 case class NgramShingles(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"shingles: n must be >= 1, got $n")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"shingles needs ARRAY<STRING>, got $t")
@@ -351,23 +390,9 @@ case class NgramShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
 
-  private lazy val space = UTF8String.fromString(" ")
-
-  def compute(toks: ArrayData): ArrayData = {
-    val num = toks.numElements()
-    val winLen = if (num < n) num else n
-    val nOut = if (num < n) 1 else num - n + 1
-    val out = new Array[AnyRef](nOut)
-    val window = new Array[UTF8String](winLen)
-    var s = 0
-    while (s < nOut) {
-      var j = 0
-      while (j < winLen) { window(j) = toks.getUTF8String(s + j); j += 1 }
-      out(s) = UTF8String.concatWs(space, window: _*)
-      s += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  def compute(toks: ArrayData): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ExprUtil.shingleStrings(toks, n))
 
   override protected def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
@@ -448,21 +473,9 @@ case class WinnowFingerprints(child: Expression, shingleSize: Int, window: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fps"
 
-  private lazy val space = UTF8String.fromString(" ")
-
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
-    val winLen = if (n < shingleSize) n else shingleSize
-    val nShingles = if (n < shingleSize) 1 else n - shingleSize + 1
-    val hs = new Array[Long](nShingles)
-    val sw = new Array[UTF8String](winLen)
-    var s = 0
-    while (s < nShingles) {
-      var j = 0
-      while (j < winLen) { sw(j) = toks.getUTF8String(s + j); j += 1 }
-      hs(s) = ExprUtil.polyH1(UTF8String.concatWs(space, sw: _*))
-      s += 1
-    }
+    val hs = ExprUtil.shingleHashes(toks, shingleSize)
+    val nShingles = hs.length
     val out = new java.util.TreeSet[java.lang.Long]()
     if (nShingles <= window) {
       var m = Long.MaxValue
@@ -517,6 +530,12 @@ case class PqEncode(child: Expression, subDim: Int,
   require(subDim >= 1 && nCentroids >= 1 && codebook.nonEmpty
       && codebook.length % nCentroids == 0,
     s"pq_codes: bad codebook shape ${codebook.length} for nc=$nCentroids")
+  // every codebook row must span exactly subDim dims: a short row would
+  // AIOOBE in the hot loop, a long one would silently assign centroids on
+  // a prefix — the same silent mis-ranking the per-row dim check prevents
+  require(codebook.forall(_.length == subDim),
+    s"pq_codes: codebook rows must have $subDim elements, got lengths " +
+      codebook.map(_.length).distinct.mkString(","))
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"pq_codes needs ARRAY<BIGINT>, got $t")
@@ -593,6 +612,13 @@ case class PqAdc(left: Expression, right: Expression,
     extends BinaryExpression {
   require(tables.nonEmpty && tables.head.nonEmpty,
     "pq_adc: empty distance tables")
+  // uniform shape: every query must carry the same subspace count and
+  // every subspace table the same centroid count, or compute()'s array
+  // reads would fail with a bare AIOOBE mid-job
+  require(tables.forall(_.length == tables.head.length),
+    "pq_adc: queries disagree on subspace count")
+  require(tables.forall(_.forall(_.length == tables.head.head.length)),
+    "pq_adc: subspace tables disagree on centroid count")
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(IntegerType, _), IntegerType) =>
@@ -615,10 +641,19 @@ case class PqAdc(left: Expression, right: Expression,
       throw new IllegalArgumentException(
         s"pq_adc: ${codes.numElements()} codes, tables expect $m subspaces")
     val t = tblArr(qIdx)
+    val nc = t(0).length
     var sum = 0L
     var s = 0
     while (s < m) {
-      sum += t(s)(codes.getInt(s))
+      // loud failure on NULL or out-of-range codes: getInt reads the
+      // zeroed slot for a NULL element, silently scoring centroid 0
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(s"pq_adc: NULL code at subspace $s")
+      val c = codes.getInt(s)
+      if (c < 0 || c >= nc)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c at subspace $s outside [0, $nc)")
+      sum += t(s)(c)
       s += 1
     }
     sum
@@ -644,7 +679,11 @@ case class PqAdc(left: Expression, right: Expression,
   * O(len²) — on a candidate-pair stream that is the whole cost. */
 case class BoundedLevenshtein(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
-  require(k >= 0, s"lev_bounded: k must be >= 0, got $k")
+  // upper bound guards inf = k+1 overflow (k = Int.MaxValue would wrap inf
+  // negative and every pair would silently "match"); any real linkage
+  // verify uses single-digit k
+  require(k >= 0 && k < Int.MaxValue,
+    s"lev_bounded: k must be in [0, ${Int.MaxValue - 1}], got $k")
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
