@@ -21,15 +21,18 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** Wrap documents as media blobs: payload = UTF-8 bytes of the text (the
-    * stand-in for image bytes), with source/format metadata. */
+    * stand-in for image bytes), with source/format metadata. NULL-text rows
+    * are dropped — a blob row always carries an actual payload (the Dedup
+    * discipline; a null would otherwise NPE inside the batch decoders). */
   def asBlobTable(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       col("source"),
       lit("fake/raw").as("format"))
+      .where(col("payload").isNotNull)
 
-  /** Pure-column metadata extraction — byte length and a checksum; the cheap
+  /** Pure-column metadata extraction — the byte length; the cheap
     * pre-filter a pipeline runs BEFORE paying for decode. Fully codegen'd. */
   def blobMeta(documents: DataFrame): DataFrame =
     asBlobTable(documents)
@@ -98,12 +101,16 @@ object Multimodal {
     * `everyN`-th of each medium's `n_frames` (a video pipeline's
     * sample-before-decode-the-rest step). Pure column ops on the decoded
     * metadata — the expensive per-frame decode would hang off these rows. */
-  def sampleFrames(spark: SparkSession, documents: DataFrame, everyN: Int = 2): DataFrame =
+  def sampleFrames(spark: SparkSession, documents: DataFrame, everyN: Int = 2): DataFrame = {
+    // pmod(_, 0) is DIVIDE_BY_ZERO under ANSI (and a silent drop-everything
+    // NULL without it) — fail at build time like imageNearDup does
+    require(everyN >= 1, s"sampleFrames: everyN must be >= 1, got $everyN")
     decodeFeatures(spark, documents)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .where(pmod(col("frame_idx"), lit(everyN)) === 0)
       .orderBy("media_id", "frame_idx")
+  }
 
   // ---- real container formats: structural header decode (no codec) --------
   //
@@ -135,17 +142,49 @@ object Multimodal {
   private val PngSig =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
+  /** One PNG chunk: length, type, data, CRC32 over type+data — the single
+    * builder shared by [[pngBytes]] and [[pngBytesWithPixels]]. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val t = typ.getBytes("US-ASCII")
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** The single PNG chunk walk shared by [[parsePng]] and [[decodePixels]]:
+    * signature check, then per chunk a BOUNDS check (a truncated file or a
+    * corrupted length field must raise the contract's IllegalArgumentException,
+    * not index past the buffer), CRC verify, and the callback with
+    * (type, data offset, data length). Returns the chunk count. */
+  private def walkPngChunks(id: Long, b: Array[Byte])(
+      onChunk: (String, Int, Int) => Unit): Int = {
+    require(b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)),
+      s"media $id: not a PNG (bad signature)")
+    var off = 8
+    var chunks = 0
+    while (off < b.length) {
+      require(off + 8 <= b.length,
+        s"media $id: truncated chunk header at offset $off")
+      val len = readBe32(b, off)
+      require(len >= 0 && off.toLong + 12 + len <= b.length,
+        s"media $id: corrupt chunk length $len at offset $off")
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBe32(b, off + 8 + len),
+        s"media $id: CRC mismatch in $typ")
+      onChunk(typ, off + 8, len)
+      chunks += 1
+      off += 12 + len
+    }
+    chunks
+  }
+
   /** A minimal but REAL PNG: signature, IHDR with true CRC32, IEND. */
   private[graft] def pngBytes(width: Int, height: Int): Array[Byte] = {
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val crc = new java.util.zip.CRC32()
-      val t = typ.getBytes("US-ASCII")
-      crc.update(t); crc.update(data)
-      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
-    }
     val ihdr = be32(width) ++ be32(height) ++
       Array[Byte](8, 6, 0, 0, 0) // depth 8, RGBA, deflate, std filter, no interlace
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IEND", Array.emptyByteArray)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** A REAL RIFF/WAVE container: fmt chunk (PCM16) + zero-filled data. */
@@ -167,26 +206,15 @@ object Multimodal {
     * data/CRC), verifying each CRC and reading IHDR's big-endian fields —
     * not fixed offsets into trusted bytes. */
   private[graft] def parsePng(id: Long, b: Array[Byte]): PngHeader = {
-    require(b.length >= 8 && PngSig.indices.forall(i => b(i) == PngSig(i)),
-      s"media $id: not a PNG (bad signature)")
-    var off = 8
     var width, height, depth, color = -1
-    var chunks = 0
-    while (off < b.length) {
-      val len = readBe32(b, off)
-      val typ = new String(b, off + 4, 4, "US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(b, off + 4, 4 + len)
-      require(crc.getValue.toInt == readBe32(b, off + 8 + len),
-        s"media $id: CRC mismatch in $typ")
+    val chunks = walkPngChunks(id, b) { (typ, dataOff, len) =>
       if (typ == "IHDR") {
-        width = readBe32(b, off + 8)
-        height = readBe32(b, off + 12)
-        depth = b(off + 16).toInt
-        color = b(off + 17).toInt
+        require(len >= 13, s"media $id: IHDR chunk too short ($len bytes)")
+        width = readBe32(b, dataOff)
+        height = readBe32(b, dataOff + 4)
+        depth = b(dataOff + 8).toInt
+        color = b(dataOff + 9).toInt
       }
-      chunks += 1
-      off += 12 + len
     }
     require(width >= 0, s"media $id: no IHDR chunk")
     PngHeader(id, b.length, width, height, depth, color, chunks)
@@ -195,32 +223,49 @@ object Multimodal {
   case class WavHeader(media_id: Long, n_bytes: Int, sample_rate: Int,
       channels: Int, bits_per_sample: Int, n_samples: Int)
 
-  /** Structural WAV parse: RIFF/WAVE magic, then a little-endian sub-chunk
-    * walk; n_samples derives from the data chunk's true size. */
-  private[graft] def parseWav(id: Long, b: Array[Byte]): WavHeader = {
+  /** The single RIFF sub-chunk walk shared by [[parseWav]] and
+    * [[wavPcmLayout]]: magic check, then per chunk a BOUNDS check on the
+    * untrusted little-endian length field — a negative length would
+    * otherwise make the loop increment zero (executor hang, the failure
+    * class round 6 hardened out of the PNG path) and an oversized one
+    * would index past the buffer. Callback gets (type, data offset, len).
+    * RIFF pads odd-length chunks with one byte the length field does NOT
+    * count — skipping it keeps the walk aligned on externally produced
+    * files (our own chunks are all even-sized). */
+  private def walkRiffChunks(id: Long, b: Array[Byte])(
+      onChunk: (String, Int, Int) => Unit): Unit = {
     require(b.length >= 12
         && new String(b, 0, 4, "US-ASCII") == "RIFF"
         && new String(b, 8, 4, "US-ASCII") == "WAVE",
       s"media $id: not a RIFF/WAVE container")
     var off = 12
-    var rate, ch, bits, dataSize = -1
     while (off + 8 <= b.length) {
       val typ = new String(b, off, 4, "US-ASCII")
       val len = readLe32(b, off + 4)
-      if (typ == "fmt ") {
-        ch = readLe16(b, off + 10)
-        rate = readLe32(b, off + 12)
-        bits = readLe16(b, off + 22)
-      } else if (typ == "data") dataSize = len
-      // RIFF pads odd-length chunks with one byte that the length field
-      // does NOT count — skipping it keeps the walk aligned on externally
-      // produced files (our own chunks are all even-sized)
+      require(len >= 0 && off.toLong + 8 + len <= b.length,
+        s"media $id: corrupt chunk length $len at offset $off")
+      onChunk(typ, off + 8, len)
       off += 8 + len + (len & 1)
+    }
+  }
+
+  /** Structural WAV parse: RIFF/WAVE magic, then a little-endian sub-chunk
+    * walk; n_samples derives from the data chunk's true size. */
+  private[graft] def parseWav(id: Long, b: Array[Byte]): WavHeader = {
+    var rate, ch, bits, dataSize = -1
+    walkRiffChunks(id, b) { (typ, dataOff, len) =>
+      if (typ == "fmt ") {
+        require(len >= 16, s"media $id: fmt chunk too short ($len bytes)")
+        ch = readLe16(b, dataOff + 2)
+        rate = readLe32(b, dataOff + 4)
+        bits = readLe16(b, dataOff + 14)
+      } else if (typ == "data") dataSize = len
     }
     require(rate >= 0 && dataSize >= 0, s"media $id: missing fmt/data chunk")
     // loud failure on a degenerate fmt chunk, not an ArithmeticException
-    // out of the division below
-    require(ch > 0 && bits > 0,
+    // out of the division below — bits must be a positive multiple of 8
+    // (bits = 4, a real ADPCM value, would floor ch*bits/8 to zero)
+    require(ch > 0 && bits > 0 && bits % 8 == 0,
       s"media $id: fmt declares $ch channels x $bits bits")
     WavHeader(id, b.length, rate, ch, bits, dataSize / (ch * bits / 8))
   }
@@ -284,15 +329,9 @@ object Multimodal {
     val idat = new java.io.ByteArrayOutputStream()
     while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val crc = new java.util.zip.CRC32()
-      val t = typ.getBytes("US-ASCII")
-      crc.update(t); crc.update(data)
-      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
-    }
     val ihdr = be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0)
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
-      chunk("IEND", Array.emptyByteArray)
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
   }
 
   /** PNG spec §4.5.4 Paeth predictor. */
@@ -309,26 +348,17 @@ object Multimodal {
     * of the real decode path, consumed by [[decodePixelStats]] and
     * [[aHash64]]. */
   private def decodePixels(id: Long, bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
-    require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
-      s"media $id: not a PNG (bad signature)")
-    var off = 8
     var width, height = -1
     val idat = new java.io.ByteArrayOutputStream()
-    while (off < bytes.length) {
-      val len = readBe32(bytes, off)
-      val typ = new String(bytes, off + 4, 4, "US-ASCII")
-      val crc = new java.util.zip.CRC32()
-      crc.update(bytes, off + 4, 4 + len)
-      require(crc.getValue.toInt == readBe32(bytes, off + 8 + len),
-        s"media $id: CRC mismatch in $typ")
+    walkPngChunks(id, bytes) { (typ, dataOff, len) =>
       if (typ == "IHDR") {
-        width = readBe32(bytes, off + 8)
-        height = readBe32(bytes, off + 12)
-        require(bytes(off + 16) == 8 && bytes(off + 17) == 6
-            && bytes(off + 20) == 0,
+        require(len >= 13, s"media $id: IHDR chunk too short ($len bytes)")
+        width = readBe32(bytes, dataOff)
+        height = readBe32(bytes, dataOff + 4)
+        require(bytes(dataOff + 8) == 8 && bytes(dataOff + 9) == 6
+            && bytes(dataOff + 12) == 0,
           s"media $id: decoder supports RGBA8 non-interlaced only")
-      } else if (typ == "IDAT") idat.write(bytes, off + 8, len)
-      off += 12 + len
+      } else if (typ == "IDAT") idat.write(bytes, dataOff, len)
     }
     require(width > 0 && idat.size() > 0, s"media $id: missing IHDR/IDAT")
     val bpp = 4
@@ -424,13 +454,17 @@ object Multimodal {
     * half of multimodal dedup: decode (REAL), hash, and downstream hamming
     * join, with the hash values oracled bit-for-bit from the planted-pixel
     * formula. */
-  def imageAHashes(spark: SparkSession, documents: DataFrame): DataFrame = {
+  /** The decode → aHash table, unordered — shared by [[imageAHashes]] and
+    * [[imageNearDup]] so the hash pipeline has one definition. */
+  private def aHashTable(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => aHash64(id, payload) })
       .toDF()
-      .orderBy("media_id")
   }
+
+  def imageAHashes(spark: SparkSession, documents: DataFrame): DataFrame =
+    aHashTable(spark, documents).orderBy("media_id")
 
   /** Image near-dup pairs over the REAL-decoded aHash table — the pigeonhole
     * pattern of [[graft.ops.Dedup.simhashNearDup]] applied to the image
@@ -447,9 +481,7 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"imageNearDup: 4-chunk pigeonhole only guarantees recall for " +
         s"maxHamming <= 3, got $maxHamming")
-    val hashes = pngPixelBlobs(spark, documents).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => aHash64(id, payload) })
-      .toDF()
+    val hashes = aHashTable(spark, documents)
     val chunks = hashes
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk",
@@ -503,7 +535,11 @@ object Multimodal {
     * (the deterministic stand-in for an actual image corpus). */
   def pngBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+    // Spread first (the sibling blob generators' discipline): blob build +
+    // the CRC walk downstream are CPU-bound, and a small local scan is one
+    // partition
+    Spread.toCores(documents.select(col("doc_id"))
+        .where(col("doc_id") % 2 === 0))
       .as[Long]
       .mapPartitions(_.map { id =>
         (id, pngBytes(16 + (id * 7 % 1024).toInt, 16 + (id * 13 % 1024).toInt))
@@ -514,7 +550,8 @@ object Multimodal {
   /** Odd-doc_id documents as real WAV blobs with planted audio params. */
   def wavBlobs(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
-    documents.select(col("doc_id")).where(col("doc_id") % 2 === 1)
+    Spread.toCores(documents.select(col("doc_id"))
+        .where(col("doc_id") % 2 === 1))
       .as[Long]
       .mapPartitions(_.map { id =>
         (id, wavBytes(8000 + (id % 8).toInt * 1000, 1 + (id / 2 % 2).toInt,
@@ -560,20 +597,13 @@ object Multimodal {
     * data offset, data length) — shared by the mono and per-channel
     * decoders. */
   private def wavPcmLayout(id: Long, b: Array[Byte]): (Int, Int, Int, Int) = {
-    require(b.length >= 12
-        && new String(b, 0, 4, "US-ASCII") == "RIFF"
-        && new String(b, 8, 4, "US-ASCII") == "WAVE",
-      s"media $id: not a RIFF/WAVE container")
-    var off = 12
     var ch, bits, dataOff, dataLen = -1
-    while (off + 8 <= b.length) {
-      val typ = new String(b, off, 4, "US-ASCII")
-      val len = readLe32(b, off + 4)
+    walkRiffChunks(id, b) { (typ, chunkOff, len) =>
       if (typ == "fmt ") {
-        ch = readLe16(b, off + 10)
-        bits = readLe16(b, off + 22)
-      } else if (typ == "data") { dataOff = off + 8; dataLen = len }
-      off += 8 + len + (len & 1)
+        require(len >= 16, s"media $id: fmt chunk too short ($len bytes)")
+        ch = readLe16(b, chunkOff + 2)
+        bits = readLe16(b, chunkOff + 14)
+      } else if (typ == "data") { dataOff = chunkOff; dataLen = len }
     }
     require(dataOff >= 0, s"media $id: missing data chunk")
     (ch, bits, dataOff, dataLen)
