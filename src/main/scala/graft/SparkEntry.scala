@@ -833,9 +833,12 @@ object SparkEntry {
     "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
       "CAST(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))"
 
-  /** Sampling.hashBucket in SQL: (((key mod P)·A) mod P) mod 100. */
+  /** Sampling.hashBucket in SQL: (((key pmod P)·A) mod P) mod 100. The
+    * first reduction is the sign-safe `(x % P + P) % P` (DuckDB's `%` keeps
+    * the dividend's sign like Spark's), mirroring hashBucket's pmod —
+    * identical to the plain form on the non-negative gate keys. */
   private val bucketSql =
-    "(((doc_id % 2147483647) * 1103515245) % 2147483647) % 100"
+    "((((doc_id % 2147483647 + 2147483647) % 2147483647) * 1103515245) % 2147483647) % 100"
 
   /** The multimodal decode stub's dual polynomial residues over the payload
     * bytes (Multimodal.decodeStub), as a DuckDB CTE: every "decoded"
@@ -1539,7 +1542,7 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY ((doc_id % 2147483647) * 1103515245) % 2147483647, doc_id) AS rn
+        |      ORDER BY (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1103515245) % 2147483647, doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin,
     "join_fuzzy_blocked" ->
@@ -2421,7 +2424,7 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_kept,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_kept
         |FROM orders
-        |WHERE (((o_orderkey % 2147483647) * 1103515245) % 2147483647) % 1000000 * 20000000
+        |WHERE ((((o_orderkey % 2147483647 + 2147483647) % 2147483647) * 1103515245) % 2147483647) % 1000000 * 20000000
         |  < CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 1000000
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     "samp_split_counts" ->
@@ -2717,7 +2720,7 @@ object SparkEntry {
     // integer arithmetic, so both engines rank the identical order
     "corpus_shuffle_epoch" ->
       """SELECT CAST(row_number() OVER (
-        |    ORDER BY ((doc_id + 1) % 2147483647) * 1103515245 % 2147483647,
+        |    ORDER BY (((doc_id + 1) % 2147483647 + 2147483647) % 2147483647) * 1103515245 % 2147483647,
         |             doc_id) AS BIGINT) AS pos, doc_id
         |FROM documents ORDER BY pos""".stripMargin,
     "text_vocab_coverage" ->

@@ -71,11 +71,16 @@ object GraftFunctions {
   /** Word n-gram shingles joined with single spaces. Documents shorter than
     * `n` tokens collapse to one whole-document shingle so they still get a
     * MinHash signature. */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    // n <= 0 would silently emit empty-string grams for every window
+    // (sequence(0, size) + zero-width slice) — same build-time contract as
+    // the native Shingles expression
+    require(n >= 1, s"shingles: n must be >= 1, got $n")
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
 
   /** Mersenne prime 2^31-1: the modulus for the universal-hash MinHash
     * slots. All slot arithmetic stays below 2^62, so no Long overflow under

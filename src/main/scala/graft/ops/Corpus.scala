@@ -101,6 +101,9 @@ object Corpus {
     * assignment. Output is pure integer arithmetic over the prefix sum, so
     * the oracle reproduces it exactly. */
   def packSequences(documents: DataFrame, budget: Int = 2048): DataFrame = {
+    // budget = 0 → floor(offset/0) = Inf → a silent Int.MaxValue pack_id
+    // under non-ANSI casting
+    require(budget >= 1, s"packSequences: budget must be >= 1, got $budget")
     val counted = documents
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).as("n_tokens"))
@@ -344,6 +347,10 @@ object Corpus {
     * kept/total accounting — the census the "no silent caps" rule wants. */
   def stripBoilerplate(documents: DataFrame, segTokens: Int = 8,
       maxSegDf: Int = 2): DataFrame = {
+    // segTokens = 0 → ceil(n/0) = Inf segment counts; maxSegDf = 0 strips
+    // every segment (df >= 1 by construction) — both parameter misuse
+    require(segTokens >= 1 && maxSegDf >= 1,
+      s"stripBoilerplate: bad params segTokens=$segTokens maxSegDf=$maxSegDf")
     val toks = tokens(col("text"))
     val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
     // empty-doc guard: sequence(0, -1) DESCENDS in Spark, fabricating two
@@ -385,6 +392,10 @@ object Corpus {
     * Same int64 guard discipline as `Ml.semDedup`. */
   def decontaminateSemantic(embeddings: DataFrame, benchMaxVecId: Long = 5,
       thrNum: Long = 49, thrDen: Long = 400): DataFrame = {
+    // same contract as Ml.semDedup: thrDen = 0 makes the cosine test
+    // vacuously false (nothing ever flags — a silently useless decontam)
+    require(thrDen >= 1 && thrNum >= 0,
+      s"decontaminateSemantic: need thrDen >= 1 and thrNum >= 0, got $thrNum/$thrDen")
     val q = embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 100).cast("long")).as("qv"))
@@ -442,9 +453,12 @@ object Corpus {
     * order in the result). The rank comes from [[Rank.groupRanks]] with no
     * group — the distributed global row_number, so a 100 TB corpus is
     * range-partitioned by the hash and never funnels through one reducer.
-    * Same mod-P-first arithmetic as [[Sampling.hashBucket]] (ANSI-safe). */
+    * Same mod-P-first arithmetic as [[Sampling.hashBucket]] (ANSI-safe),
+    * including its sign-safe pmod first reduction — a negative doc_id would
+    * otherwise order BEFORE every legitimate row (negative hash) silently. */
   def shuffleEpoch(documents: DataFrame, epoch: Int = 1): DataFrame = {
-    val h = (col("doc_id") + lit(epoch.toLong)) % Sampling.P * Sampling.A % Sampling.P
+    val h = pmod(col("doc_id") + lit(epoch.toLong), lit(Sampling.P)) *
+      Sampling.A % Sampling.P
     Rank.groupRanks(
         documents.select(col("doc_id"), h.as("_h")),
         Seq.empty, Seq(col("_h"), col("doc_id")))
@@ -546,6 +560,11 @@ object Corpus {
     * `n_union` is `n_a + n_b − n_common` — no materialized union array. */
   def hardNegatives(documents: DataFrame, den: Int = 2, estNum: Int = 3,
       estDen: Int = 4, minMatch: Int = 2): DataFrame = {
+    // den encodes "jaccard <= 1/den": zero keeps EVERY candidate silently;
+    // estDen = 0 likewise disables the estimate gate; minMatch < 1 admits
+    // statistically-random single-slot collisions
+    require(den >= 1 && estDen >= 1 && estNum >= 0 && minMatch >= 1,
+      s"hardNegatives: bad params den=$den est=$estNum/$estDen minMatch=$minMatch")
     val k = 32
     graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     // one persisted projection feeds the band rows (sig) and both exact-
@@ -645,6 +664,8 @@ object Corpus {
     * corpus (most web docs are mid-length), exactly the case where a
     * plain `Window.partitionBy(band)` funnels it through one reducer. */
   def lengthBatches(documents: DataFrame, batchSize: Int = 8): DataFrame = {
+    // batchSize = 0 → `div 0` → silent NULL batch_idx on every row
+    require(batchSize >= 1, s"lengthBatches: batchSize must be >= 1, got $batchSize")
     val counted = documents.select(col("doc_id"),
       size(tokens(col("text"))).as("n_tokens"))
     val banded = counted.withColumn("band",

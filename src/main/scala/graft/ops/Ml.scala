@@ -40,6 +40,10 @@ object Ml {
     * round's centroid sums — so `iters` bounds wall-clock (one zero-shuffle
     * pass + one k·dim-bounded aggregate per round), not memory. */
   def kmeansClusters(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    // k = 0 on a non-empty corpus would take the empty-corpus early return
+    // (silent empty clustering); iters = 0 would silently behave as iters=1
+    require(k >= 1, s"kmeansClusters: k must be >= 1, got $k")
+    require(iters >= 1, s"kmeansClusters: iters must be >= 1, got $iters")
     val q = quantized(embeddings).localCheckpoint(true) // scanned once per round
     // deterministic seed: the k lowest vec_ids, cluster id = rank order.
     // k rows of metadata — the only collect in the loop.
@@ -91,6 +95,12 @@ object Ml {
     * groupBy). */
   def semDedup(embeddings: DataFrame, k: Int = 8,
       thrNum: Long = 49, thrDen: Long = 400): DataFrame = {
+    // thrDen = 0 makes the threshold test vacuously false (nothing ever
+    // drops — a silently useless dedup); negative thresholds flip the
+    // inequality's meaning
+    require(k >= 1, s"semDedup: k must be >= 1, got $k")
+    require(thrDen >= 1 && thrNum >= 0,
+      s"semDedup: need thrDen >= 1 and thrNum >= 0, got $thrNum/$thrDen")
     // the coarser round(x·100) grid keeps den·dot² inside int64 for
     // 64-dim vectors with |x| ≤ ~40 (dot ≤ 64·160e3 ⇒ den·dot² ≤ ~1e16)
     val q = quantized(embeddings, 100d).localCheckpoint(true)
@@ -187,6 +197,14 @@ object Ml {
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000d).cast("long")).as("qv"))
       .select(col("label"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      // NULL elements survive posexplode as NULL qval rows: count() would
+      // include them while sum() skips them — a silently deflated mean.
+      // Fail loudly like cosine_sim's NULL-element contract (whole-NULL
+      // embeddings are dropped by posexplode itself, which is fine: the
+      // row carries no coordinates to average).
+      .where(assert_true(col("qval").isNotNull,
+        concat(lit("labelCentroids: NULL embedding element at dim "),
+          col("dim"))).isNull)
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"), sum("qval").as("sum_micro"))
       .withColumn("mean_micro", expr("sum_micro div n"))

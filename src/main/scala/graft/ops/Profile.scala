@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // an empty column list used to die in aggs.head's obscure
+    // empty-collection error rather than a parameter message
+    require(cols.nonEmpty, "profile: need at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(when(col(c).isNull, lit(1))).as(s"__nulls_$c"),

@@ -20,12 +20,20 @@ object Sampling {
   private[ops] val P = 2147483647L
   private[ops] val A = 1103515245L
 
-  /** Percent bucket in [0,100) of a non-negative integer key:
-    * (((key mod P) · A) mod P) mod 100. The product is bounded by
+  /** Percent bucket in [0,100) of an integer key:
+    * (((key pmod P) · A) mod P) mod 100. The product is bounded by
     * (2^31)·(2^30.04) < 2^62, so ANSI-mode long arithmetic cannot overflow
-    * — the reason for mod-P-first instead of a raw 64-bit multiply. */
+    * — the reason for mod-P-first instead of a raw 64-bit multiply.
+    *
+    * `pmod` (not `%`) for the first reduction: Spark's `%` keeps the
+    * dividend's sign, so a NEGATIVE key used to produce a negative bucket
+    * that passed every `< pct` filter — silent 100% over-sampling of
+    * negative keys. pmod == % on non-negative keys (bit-identical results
+    * there), and the oracle SQL spells the same sign-safe form
+    * `((key % P + P) % P)`. The later `% P` / `% 100` operate on
+    * non-negative values, so plain `%` is already sign-safe for them. */
   def hashBucket(key: Column): Column =
-    ((key % P) * A % P) % 100
+    (pmod(key, lit(P)) * A % P) % 100
 
   /** Deterministic pct% subsample by key — the scale-safe `LIMIT`-free
     * downsampling of a 100 TB corpus (each executor decides per row; no
@@ -37,6 +45,8 @@ object Sampling {
     * bucket. Membership is a pure function of the key, so reruns, late
     * data, and other engines agree on every row's assignment. */
   def hashSplit(df: DataFrame, keyCol: String, pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0,
+      s"split percents must be >= 0, got train=$pctTrain val=$pctVal")
     require(pctTrain + pctVal <= 100, "train+val must be <= 100")
     val b = hashBucket(col(keyCol))
     df.withColumn("split",
@@ -65,14 +75,17 @@ object Sampling {
     * the hash is injective on keys below P. */
   def sampleNPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy((col(keyCol) % P) * A % P, col(keyCol))
+      .partitionBy(col(groupCol))
+      // pmod for the same negative-key reason as hashBucket (here a wrong
+      // ORDER, so the chosen sample rows — not just a rate — would skew)
+      .orderBy(pmod(col(keyCol), lit(P)) * A % P, col(keyCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= n).drop("rn")
   }
 
   /** Micro-unit bucket in [0, 10⁶) — the fine-grained sibling of
     * [[hashBucket]] for probability-proportional decisions. */
   def hashMicro(key: Column): Column =
-    ((key % P) * A % P) % 1000000L
+    (pmod(key, lit(P)) * A % P) % 1000000L
 
   /** Probability-proportional-to-size sampling, RNG-free: keep a row iff
     * `hashMicro(key) · cap < value · 10⁶`, i.e. with probability
@@ -105,8 +118,10 @@ object Sampling {
     * mixture from heterogeneous sources. A union of deterministic
     * subsamples is itself deterministic; each leg keeps its own pushed-down
     * filter, so nothing is scanned beyond the sampled sources. */
-  def mixCorpora(corpora: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame =
+  def mixCorpora(corpora: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame = {
+    require(corpora.nonEmpty, "mixCorpora: need at least one corpus")
     corpora.map { case (tag, df, pct) =>
       sampleByHash(df, keyCol, pct).withColumn("corpus", lit(tag))
     }.reduce(_ unionByName _)
+  }
 }

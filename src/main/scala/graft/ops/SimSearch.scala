@@ -92,6 +92,10 @@ object SimSearch {
     * corpus × nProbe / nCells per query, independent of corpus size. */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    // nProbe = 0 (or nCells = 0) silently probed nothing and returned an
+    // empty result — a parameter misuse, not a defined degenerate
+    require(nCells >= 1, s"ivfTopK: nCells must be >= 1, got $nCells")
+    require(nProbe >= 1, s"ivfTopK: nProbe must be >= 1, got $nProbe")
     val cos = cosineNative(embeddings) _
     val centroids = embeddings.where(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
@@ -161,7 +165,23 @@ object SimSearch {
     * recall — tune bits up when the corpus has strong near-dup structure. */
   def lshTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       bits: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = embeddings.select(
+    // bits > 63 would alias through shiftleft's mod-64 shift (bucket bit i
+    // and bit i-64 collide SILENTLY); bits = 0 used to die in an obscure
+    // empty.reduce; tables = 0 silently returned an empty result
+    require(bits >= 1 && bits <= 63, s"lshTopK: bits must be in [1, 63], got $bits")
+    require(tables >= 1, s"lshTopK: tables must be >= 1, got $tables")
+    require(dim >= 1, s"lshTopK: dim must be >= 1, got $dim")
+    // a row shorter than `dim` null-pads the projection (every bit falls to
+    // 0 — the corpus collapses into one bucket and candidate volume explodes
+    // at scale); a longer row silently ignores its suffix. Both are
+    // parameter/data mismatches that must surface, not degrade recall.
+    // assert_true is codegen'd and returns NULL on success, so the filter
+    // keeps every valid row at one branch per row.
+    val checked = embeddings.where(assert_true(
+      size(col("embedding")) === dim,
+      concat(lit("lshTopK: embedding length "), size(col("embedding")),
+        lit(s" != dim=$dim"))).isNull)
+    val bucketed = checked.select(
       col("vec_id"), col("embedding"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"), srpBucket(col("embedding"), t, bits, dim).as("bucket"))): _*))
@@ -251,16 +271,24 @@ object SimSearch {
     * replays the whole path bit-for-bit. */
   def pqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       m: Int = 8, nCentroids: Int = 16): DataFrame = {
+    // m = 0 used to die in an obscure `dim % 0`; nCentroids = 0 silently
+    // returned empty on a NON-empty corpus (the ivfAssign contract is:
+    // empty in → empty out, missing seeds otherwise → loud)
+    require(m >= 1, s"pqTopK: m must be >= 1, got $m")
+    require(nCentroids >= 1, s"pqTopK: nCentroids must be >= 1, got $nCentroids")
     val q = embeddings.select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 100).cast("long")).as("qv"))
     val seeds = q.where(col("vec_id") < nCentroids)
       .orderBy("vec_id").collect()
       .map(r => r.getSeq[Long](1).toArray)
-    if (seeds.isEmpty) // empty-corpus guard (same contract as kmeans/semDedup)
+    if (seeds.isEmpty) { // empty-corpus guard (same contract as kmeans/semDedup)
+      require(q.isEmpty,
+        s"pqTopK: no codebook seeds with vec_id < $nCentroids in a non-empty corpus")
       return q.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0L).as("adc"),
         lit(0).as("rank")).limit(0)
+    }
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -329,6 +357,12 @@ object SimSearch {
   def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       nCells: Int = 8, nProbe: Int = 3, m: Int = 8,
       nCentroids: Int = 16): DataFrame = {
+    // same parameter discipline as ivfTopK/pqTopK: zero cells/probes/
+    // subspaces/centroids is misuse, not a defined degenerate
+    require(nCells >= 1, s"ivfPqTopK: nCells must be >= 1, got $nCells")
+    require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
+    require(m >= 1, s"ivfPqTopK: m must be >= 1, got $m")
+    require(nCentroids >= 1, s"ivfPqTopK: nCentroids must be >= 1, got $nCentroids")
     GraftExtensions.ensureRegistered(embeddings.sparkSession)
     val q = embeddings.select(col("vec_id"),
       transform(col("embedding"),
@@ -337,10 +371,14 @@ object SimSearch {
       .collect().map(_.getSeq[Long](1).toArray)
     val pqSeeds = q.where(col("vec_id") < nCentroids).orderBy("vec_id")
       .collect().map(_.getSeq[Long](1).toArray)
-    if (cellSeeds.isEmpty || pqSeeds.isEmpty)
+    if (cellSeeds.isEmpty || pqSeeds.isEmpty) {
+      require(q.isEmpty, // empty-corpus guard; missing seeds otherwise → loud
+        s"ivfPqTopK: no seeds with vec_id < min($nCells, $nCentroids) " +
+          "in a non-empty corpus")
       return q.select(col("vec_id").as("query_id"),
         col("vec_id").as("neighbor_id"), lit(0L).as("adc"),
         lit(0).as("rank")).limit(0)
+    }
     val dim = cellSeeds.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
@@ -406,6 +444,10 @@ object SimSearch {
     * set and a window over 3 × nQueries rows. */
   def recallCensus(embeddings: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
+    // nQueries·k is the recall denominator: zero would make recall_milli a
+    // silent NULL (non-ANSI `div` by zero), and meets_floor NULL with it
+    require(nQueries >= 1, s"recallCensus: nQueries must be >= 1, got $nQueries")
+    require(k >= 1, s"recallCensus: k must be >= 1, got $k")
     val brute = bruteForceTopK(embeddings, nQueries, k)
       .select("query_id", "neighbor_id")
     val variants: Seq[(String, DataFrame)] = Seq(
@@ -456,6 +498,10 @@ object SimSearch {
     * the fusion stage. */
   def rrfFusion(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
       c: Int = 60): DataFrame = {
+    // a negative C makes C + rank hit zero at rank = -C: the nano-score
+    // turns silently NULL (non-ANSI `div` by zero) and that leg vanishes
+    // from the fusion; C >= 0 keeps every denominator >= 1
+    require(c >= 0, s"rrfFusion: c must be >= 0, got $c")
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))

@@ -191,6 +191,9 @@ object Streaming {
     * operator's required tiebreak. */
   def topKPerKey(spark: SparkSession, events: DataFrame, k: Int = 3):
       Dataset[TopKEntry] = {
+    // k = 0 would keep the board permanently empty-and-unchanged: the
+    // stream runs forever and never emits — a silent no-op query
+    require(k >= 1, s"topKPerKey: k must be >= 1, got $k")
     import spark.implicits._
     events
       .select(col("event_type"), col("event_id"), col("value"))
@@ -248,6 +251,9 @@ object Streaming {
       every: Long = 10L,
       timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout,
       inactivityTimeout: String = "1 hour"): Dataset[UserRunning] = {
+    // every = 0 is an executor-side ArithmeticException (n1 / every) that
+    // would kill the stream mid-batch instead of failing at build time
+    require(every >= 1, s"runningUserStats: every must be >= 1, got $every")
     import spark.implicits._
     events
       .select(col("user_id"), col("event_id"))
