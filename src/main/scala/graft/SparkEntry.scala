@@ -1584,13 +1584,18 @@ object SparkEntry {
         |FROM s ORDER BY l_returnflag""".stripMargin,
     // z rounded to 6 BEFORE the threshold on both sides: the keep/drop
     // decision then never depends on last-ulp variance differences
+    // sd IS NOT NULL AND sd <> 0 mirrors the engine's explicit
+    // zero-variance guard: a constant group divides 0/0 — NaN in Spark
+    // (ranked above every number) but NULL here — so without the shared
+    // predicate the two engines would disagree on such groups
     "anomaly_zscore" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
         |              stddev_samp(value) AS sd FROM events GROUP BY 1)
         |SELECT e.event_type, e.event_id, round(e.value, 6) AS value,
         |  round((e.value - st.mu) / st.sd, 6) AS z
         |FROM events e JOIN st USING (event_type)
-        |WHERE abs(round((e.value - st.mu) / st.sd, 6)) > 3.0
+        |WHERE st.sd IS NOT NULL AND st.sd <> 0
+        |  AND abs(round((e.value - st.mu) / st.sd, 6)) > 3.0
         |ORDER BY event_type, event_id""".stripMargin,
     // per-order distinct brand baskets, ordered pairs, integer supports
     "affinity_brand_pairs" ->

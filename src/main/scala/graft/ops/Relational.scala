@@ -512,6 +512,15 @@ object Relational {
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
     events.select(col("event_id"), col("event_type"), col("value"))
       .join(broadcast(stats), "event_type")
+      // zero/undefined variability means NO outliers, explicitly: a
+      // CONSTANT group has sd = 0 and z = 0/0 — NaN in Spark (IEEE double
+      // division survives ANSI) but NULL in DuckDB, and Spark orders NaN
+      // ABOVE every number, so `abs(z) > t` would flag every row of the
+      // group here while the oracle flags none. Single-row groups have
+      // sd = NULL and were already excluded by null propagation; the
+      // explicit predicate makes both cases engine-independent (mirrored
+      // in the oracle SQL).
+      .where(col("sd").isNotNull && col("sd") =!= 0d)
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 6))
       .where(abs(col("z")) > threshold)
       .select(col("event_type"), col("event_id"),
@@ -596,7 +605,9 @@ object Relational {
     * binned-aggregation shape behind every distribution dashboard. Pure
     * per-row bin math (no windows, no joins); one aggregate shuffle over
     * ≤ 12 bins. */
-  def priceHistogram(orders: DataFrame, binWidth: Int = 50000): DataFrame =
+  def priceHistogram(orders: DataFrame, binWidth: Int = 50000): DataFrame = {
+    // binWidth = 0 → floor(x/0) = Inf → a silent Int.MaxValue bin
+    require(binWidth >= 1, s"priceHistogram: binWidth must be >= 1, got $binWidth")
     orders
       .select(floor(col("o_totalprice") / binWidth).cast("int").as("bin"),
         col("o_totalprice"))
@@ -608,6 +619,7 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(18,2)").cast("double").as("total_price"))
       .orderBy("bin")
+  }
 
   /** Salt-and-replicate equi-join for skewed keys (SURVEY scale notes): the
     * large side derives a deterministic salt from its full row hash, the
@@ -617,6 +629,9 @@ object Relational {
     * skew-join handles sort-merge cases adaptively; this is the explicit
     * form for when the skew is known up front or AQE is unavailable. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    // salts = 0 is a silent empty join: pmod(x, 0) is NULL on the large
+    // side while sequence(0, -1) DESCENDS on the small side
+    require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     val l = large.withColumn("_salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
@@ -764,6 +779,10 @@ object Relational {
     * partials table is groups × shards rows however big the fact is, so
     * persisting it (the real-world use) costs nothing at any scale. */
   def mergePartialsRollup(orders: DataFrame, shards: Int = 16): DataFrame = {
+    // shards = 0 folds every row into one NULL shard — the result stays
+    // correct (merge is shard-agnostic) but the partial stage silently
+    // loses the sharding the operator exists to demonstrate
+    require(shards >= 1, s"mergePartialsRollup: shards must be >= 1, got $shards")
     val partials = orders
       .select(col("o_orderpriority"),
         col("o_totalprice").cast("decimal(12,2)").as("price"),
@@ -956,6 +975,7 @@ object Relational {
     * events, so per-user work is linear and arrival order never shows. */
   def funnelSteps(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: need at least one step")
     val stepsArr = array(steps.map(lit): _*)
     events
       .groupBy("user_id")
@@ -1039,6 +1059,9 @@ object Relational {
     * shuffle volume bounded by 7 × |distinct (day, user)|, never 7 × events.
     */
   def rollingDistinctUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    // days = 0 → sequence(day, day-1) DESCENDS: each pair would credit the
+    // PRECEDING as-of day instead of contributing to none
+    require(days >= 1, s"rollingDistinctUsers: days must be >= 1, got $days")
     val du = events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
     val dayList = du.select(col("day").as("asof_day")).distinct()
     du.select(

@@ -154,6 +154,33 @@ class ParamGuardSpec extends AnyFunSuite {
       graft.ops.Profile.profile(docs, Seq.empty))
   }
 
+  test("valueOutliers: zero/undefined variance groups flag nothing") {
+    import graft.ops.Relational
+    // group "v": 30 zeros + one 100 → z ≈ 5.4 for the spike (a real
+    // outlier); group "c": constant → sd = 0 → z = 0/0 = NaN, which Spark
+    // ranks ABOVE every number, so without the variance guard abs(z) > 3
+    // flagged the whole group (while DuckDB's 0/0 is NULL and flags none —
+    // a latent engine/oracle divergence); group "s": single row → sd NULL
+    val rows =
+      (1 to 30).map(i => (i.toLong, "v", 0.0)) ++
+        Seq((31L, "v", 100.0)) ++
+        (40 to 44).map(i => (i.toLong, "c", 7.0)) ++
+        Seq((50L, "s", 9.0))
+    val ev = rows.toDF("event_id", "event_type", "value")
+    val got = Relational.valueOutliers(ev).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(31L), got.mkString(", "))
+  }
+
+  test("relational ops reject divisor/range-shaped zero parameters") {
+    import graft.ops.Relational
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException](Relational.saltedJoin(df, df, "k", 0))
+    intercept[IllegalArgumentException](Relational.priceHistogram(df, 0))
+    intercept[IllegalArgumentException](Relational.rollingDistinctUsers(df, 0))
+    intercept[IllegalArgumentException](Relational.mergePartialsRollup(df, 0))
+    intercept[IllegalArgumentException](Relational.funnelSteps(df, Seq.empty))
+  }
+
   test("labelCentroids fails loudly on NULL embedding elements") {
     val bad = Seq(
       ("a", Array(1.0f, 2.0f)),
