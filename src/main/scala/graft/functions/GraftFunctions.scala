@@ -92,6 +92,9 @@ object GraftFunctions {
     * oracle SQL (which embeds them as literals) — one stream, three
     * consumers, so the signature is cross-engine reproducible. */
   def minhashCoeffs(k: Int): (Array[Long], Array[Long]) = {
+    // k = 0 would build an EMPTY signature downstream — a degenerate that
+    // matches everything; mirror the native MinHashSignature's contract
+    require(k >= 1, s"minhashCoeffs: k must be >= 1, got $k")
     val rnd = new scala.util.Random(0x5EED)
     val a = new Array[Long](k); val b = new Array[Long](k)
     (0 until k).foreach { i =>
@@ -153,13 +156,18 @@ object GraftFunctions {
     * iff a band matches exactly; the band index is part of the bucket key,
     * so the fold needs no per-band seed. Previously xxhash64 over the slots
     * — the fold is the cross-engine-reproducible form. */
-  def minhash_bands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def minhash_bands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    // zero bands = an empty (match-nothing) bucketing, zero rowsPerBand = a
+    // constant-0 hash per band (one corpus-wide bucket) — both silent
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"minhash_bands: need bands, rowsPerBand >= 1, got $bands, $rowsPerBand")
     array((0 until bands).map { j =>
       (0 until rowsPerBand)
         .map(r => element_at(sig, j * rowsPerBand + r + 1))
         .foldLeft(lit(0L): Column)((acc, s) =>
           (acc * lit(1000003L) + s) % lit(MinhashP))
     }: _*)
+  }
 
   /** 64-bit SimHash over a token array: per token, the dual-residue
     * polynomial hash's bits (62 effective — bits 62/63 are always 0, so

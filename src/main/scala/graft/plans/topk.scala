@@ -38,6 +38,11 @@ case class TopKPerKeyPlan(
     child: LogicalPlan,
     rankAttr: AttributeReference)
   extends UnaryNode {
+  // k <= 0 would SILENTLY emit one row per key: the exec's first-row branch
+  // seeds each key's heap unconditionally, and only subsequent rows check
+  // the limit. (The WindowTopKRewrite path already guards kv >= 1; this
+  // covers direct construction through ops.TopK.)
+  require(k >= 1, s"top_k_per_key: k must be >= 1, got $k")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   // rn is GENERATED here, not consumed from the child — without this the
   // analyzer reports MISSING_ATTRIBUTES

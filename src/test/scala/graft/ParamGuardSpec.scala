@@ -147,11 +147,21 @@ class ParamGuardSpec extends AnyFunSuite {
       Corpus.stripBoilerplate(docs, segTokens = 0))
     intercept[IllegalArgumentException](
       Corpus.decontaminateSemantic(emb, thrDen = 0))
-    // the HOF shingles share the native expression's build-time contract
+    // the HOF shingles/minhash helpers share the native expressions'
+    // build-time contracts
     intercept[IllegalArgumentException](
       graft.functions.GraftFunctions.shingles(col("toks"), 0))
     intercept[IllegalArgumentException](
+      graft.functions.GraftFunctions.minhashCoeffs(0))
+    intercept[IllegalArgumentException](
+      graft.functions.GraftFunctions.minhash_bands(col("sig"), 0, 1))
+    intercept[IllegalArgumentException](
       graft.ops.Profile.profile(docs, Seq.empty))
+    // the heap top-k operator seeds each key's heap with the first row
+    // unconditionally — k = 0 would emit one row per key, so the plan
+    // rejects it at construction
+    intercept[IllegalArgumentException](
+      graft.ops.TopK.perKey(docs, Seq("source"), Seq(("doc_id", false)), 0))
   }
 
   test("valueOutliers: zero/undefined variance groups flag nothing") {
