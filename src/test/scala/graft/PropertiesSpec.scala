@@ -55,6 +55,31 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: hashBucket/hashMicro land in range for ARBITRARY longs " +
+      "and equal the reference formula on non-negatives") {
+    import graft.ops.Sampling
+    val genKey = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(-5000L, 5000L)) // dense coverage near the sign boundary
+    forAll(Gen.listOfN(300, genKey), runs = 4) { keys =>
+      val rows = keys.toDF("k")
+        .select(col("k"), Sampling.hashBucket(col("k")).as("b"),
+          Sampling.hashMicro(col("k")).as("m"))
+        .collect()
+      val P = 2147483647L; val A = 1103515245L
+      rows.foreach { r =>
+        val (k, b, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(b >= 0 && b < 100, s"bucket $b out of range for key $k")
+        assert(m >= 0 && m < 1000000L, s"micro $m out of range for key $k")
+        // the reference formula with a true positive mod — what the
+        // sign-safe oracle SQL computes for every key, negative or not
+        val pm = ((k % P) + P) % P
+        assert(b == pm * A % P % 100, s"bucket mismatch for key $k")
+        assert(m == pm * A % P % 1000000L, s"micro mismatch for key $k")
+      }
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
