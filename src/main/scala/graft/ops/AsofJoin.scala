@@ -31,6 +31,17 @@ object AsofJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, rightPayload: Seq[String],
       prefix: String = "matched_", forward: Boolean = false): DataFrame = {
+    // the union-scan introduces scratch columns; a caller frame already
+    // using one of these names would be silently shadowed in the tagged
+    // projection rather than erroring
+    val reserved = Set("_t", "_side", "_l", "_r", "_m")
+    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    require(clash.isEmpty,
+      s"asof: input columns ${clash.mkString(", ")} collide with the " +
+        "operator's scratch names (_t, _side, _l, _r, _m) — rename them first")
+    require(keys.nonEmpty,
+      "asof: need at least one join key (a keyless as-of would funnel both " +
+        "sides through one global window partition)")
     val leftCols = left.columns.toSeq
     val keyCols = keys.map(col)
     val lStruct = struct(leftCols.map(col): _*)

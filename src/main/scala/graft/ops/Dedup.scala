@@ -508,6 +508,9 @@ object Dedup {
     * pair predicate, so the census and the resolver can never silently
     * diverge on which candidate set they examined. */
   private def blockedNamePairs(customer: DataFrame, keySpan: Int): DataFrame = {
+    // keySpan = 0 is `div 0` — an executor-side error under ANSI, a silent
+    // NULL block (one corpus-wide bucket) without it
+    require(keySpan >= 1, s"blocked linkage: keySpan must be >= 1, got $keySpan")
     val keyed = customer.select(
       expr(s"c_custkey div $keySpan").as("block"),
       col("c_custkey"), col("c_name"))
@@ -580,6 +583,11 @@ object Dedup {
     * by the prefix posting-list sizes, not n². */
   def prefixFilterPairs(documents: DataFrame, minJaccardPct: Int = 50,
       n: Int = 3): DataFrame = {
+    // t <= 0 makes the prefix the WHOLE set (the all-pairs inverted index
+    // the prefix filter exists to avoid) and the verify threshold vacuous;
+    // t > 100 is an impossible Jaccard
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"prefixFilterPairs: minJaccardPct must be in [1, 100], got $minJaccardPct")
     import org.apache.spark.sql.expressions.Window
     // Set elements travel as int64 polynomial hashes (the cross-engine
     // minhash base hash, replayed in the oracle SQL), NOT as shingle

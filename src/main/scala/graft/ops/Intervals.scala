@@ -26,6 +26,11 @@ object Intervals {
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
       bucketSeconds: Long = 3600L): DataFrame = {
+    // bucketSeconds = 0 divides every bucket bound by zero: both sides land
+    // in the single Inf-cast bucket and the join SILENTLY degenerates into
+    // the all-pairs nested loop this operator exists to avoid
+    require(bucketSeconds >= 1,
+      s"overlapJoin: bucketSeconds must be >= 1, got $bucketSeconds")
     val us = bucketSeconds * 1000000L
     def bucketed(df: DataFrame, s: String, e: String) = df.withColumn("_b",
       // [start, end): the bucket of the last contained microsecond

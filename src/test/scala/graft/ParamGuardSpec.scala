@@ -191,6 +191,24 @@ class ParamGuardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Relational.funnelSteps(df, Seq.empty))
   }
 
+  test("join/linkage operators reject degenerate blocking parameters") {
+    import graft.ops.{AsofJoin, Dedup, Intervals}
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // bucketSeconds = 0 silently degenerated into one all-pairs bucket
+    intercept[IllegalArgumentException](
+      Intervals.overlapJoin(df, "k", "k", df, "k", "k", bucketSeconds = 0))
+    // keySpan = 0 is `div 0`; minJaccardPct = 0 is the all-pairs prefix
+    intercept[IllegalArgumentException](Dedup.fuzzyLinkBlocked(df, keySpan = 0))
+    intercept[IllegalArgumentException](
+      Dedup.prefixFilterPairs(df, minJaccardPct = 0))
+    // as-of scratch-name collision and keyless (global-window) misuse
+    val clash = Seq((1L, 2L)).toDF("k", "_t")
+    intercept[IllegalArgumentException](
+      AsofJoin.asof(clash, clash, Seq("k"), "k", "k", Seq("k")))
+    intercept[IllegalArgumentException](
+      AsofJoin.asof(df, df, Seq.empty, "k", "k", Seq("v")))
+  }
+
   test("labelCentroids fails loudly on NULL embedding elements") {
     val bad = Seq(
       ("a", Array(1.0f, 2.0f)),
