@@ -80,6 +80,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: asof union-scan == naive per-row lookup on random data") {
+    import graft.ops.AsofJoin
+    // the operator's tie contract: backward = latest right at-or-before
+    // (ties on time -> greatest payload struct); forward = earliest right
+    // at-or-after (ties on time -> greatest payload struct). The naive
+    // reference below computes exactly that per left row, independently of
+    // the union-scan/window machinery.
+    val genRow = for {
+      k <- Gen.choose(0, 3); t <- Gen.choose(0L, 40L); v <- Gen.choose(0L, 9L)
+    } yield (k, t, v)
+    forAll(Gen.zip(Gen.listOfN(60, genRow), Gen.listOfN(60, genRow)),
+        runs = 6) { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t, _), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "lt")
+      val right = rs.map { case (k, t, v) => (k, t, v) }.toDF("k", "rt", "pay")
+      def naive(forward: Boolean): Map[Long, Option[Long]] =
+        ls.zipWithIndex.map { case ((k, t, _), i) =>
+          val cands = rs.filter(r => r._1 == k &&
+            (if (forward) r._2 >= t else r._2 <= t))
+          val best =
+            if (cands.isEmpty) None
+            else {
+              val bestT = if (forward) cands.map(_._2).min else cands.map(_._2).max
+              Some(cands.filter(_._2 == bestT).map(_._3).max)
+            }
+          i.toLong -> best
+        }.toMap
+      for (fwd <- Seq(false, true)) {
+        val got = AsofJoin.asof(left, right, Seq("k"), "lt", "rt",
+            Seq("rt", "pay"), forward = fwd).collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+        assert(got == naive(fwd), s"forward=$fwd")
+      }
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
