@@ -117,6 +117,38 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: bucketed overlapJoin == naive all-pairs on random intervals") {
+    import graft.ops.Intervals
+    // intervals planted AROUND bucket boundaries (bucketSeconds = 60 below,
+    // times in seconds near multiples of 60): the report-once filter and
+    // the last-contained-microsecond bucket arithmetic are exactly the
+    // edges a fixed spec misses
+    val genIv = for {
+      s <- Gen.choose(0L, 360L)
+      len <- Gen.oneOf(Gen.choose(1L, 5L), Gen.choose(55L, 65L),
+        Gen.const(120L))
+    } yield (s, s + len)
+    forAll(Gen.zip(Gen.listOfN(25, genIv), Gen.listOfN(25, genIv)),
+        runs = 6) { case (ls, rs) =>
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val left = ls.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, ts(s), ts(e)) }.toDF("lid", "ls", "le")
+      val right = rs.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, ts(s), ts(e)) }.toDF("rid", "rs", "re")
+      val got = Intervals.overlapJoin(left, "ls", "le", right, "rs", "re",
+          bucketSeconds = 60L)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((lsS, leS), i) <- ls.zipWithIndex
+        ((rsS, reS), j) <- rs.zipWithIndex
+        if lsS < reS && rsS < leS
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got == want,
+        s"bucketed result diverges from the naive overlap predicate")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
