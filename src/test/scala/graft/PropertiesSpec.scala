@@ -149,6 +149,30 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: heap top-k == Scala sort-and-take on random tied data") {
+    import graft.ops.TopK
+    // heavy ties in the value column (domain 0..4) + a unique id tiebreak:
+    // the partial/final heap split must agree with a plain sort for ANY
+    // input partitioning — the partial pass prunes per (key, partition),
+    // which is exactly where a tie-handling bug would hide
+    val genRow = for {
+      k <- Gen.choose(0, 2); v <- Gen.choose(0L, 4L)
+    } yield (k, v)
+    forAll(Gen.zip(Gen.listOfN(120, genRow), Gen.choose(1, 5),
+        Gen.choose(1, 13)), runs = 6) { case (rows0, k, parts) =>
+      val rows = rows0.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = TopK.perKey(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+        grp.sortBy(t => (-t._2, t._3)).take(k).zipWithIndex
+          .map { case ((_, v, id), i) => (g, v, id, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+      assert(got == want, s"k=$k parts=$parts")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
