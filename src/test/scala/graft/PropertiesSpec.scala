@@ -173,6 +173,63 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: scd2 window build == Scala run-length fold on random streams") {
+    import graft.ops.Star
+    // few keys, few states, colliding timestamps: run-length compression,
+    // the (ts, tiebreak) total order, and the open-interval NULL are all
+    // exercised; the reference folds each key's sorted history by hand
+    val genEv = for {
+      u <- Gen.choose(0, 2); t <- Gen.choose(0L, 20L); s <- Gen.oneOf("a", "b", "c")
+    } yield (u, t, s)
+    forAll(Gen.listOfN(80, genEv), runs = 6) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, t, s), i) =>
+        (u.toLong, t, s, i.toLong) }
+      val df = evs.toDF("user_id", "ts", "state", "event_id")
+      val got = Star.scd2(df, "user_id", "ts", "state", "event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).sorted.toSeq
+      val want = evs.groupBy(_._1).toSeq.flatMap { case (u, grp) =>
+        val sorted = grp.sortBy(e => (e._2, e._4))
+        // keep only change points (run-length compress), then pair each
+        // with the next change's ts (or -1 for the open interval)
+        val changes = sorted.foldLeft(Vector.empty[(Long, String)]) {
+          case (acc, (_, t, s, _)) =>
+            if (acc.nonEmpty && acc.last._2 == s) acc else acc :+ (t, s)
+        }
+        changes.zipWithIndex.map { case ((t, s), i) =>
+          (u, s, t, if (i + 1 < changes.length) changes(i + 1)._1 else -1L)
+        }
+      }.sorted
+      assert(got == want)
+    }
+  }
+
+  test("property: packSequences == Scala prefix sum under any partitioning") {
+    import graft.ops.Corpus
+    val genDoc = for {
+      src <- Gen.oneOf("s1", "s2"); n <- Gen.choose(0, 12)
+    } yield (src, Seq.fill(n)("w").mkString(" "))
+    forAll(Gen.zip(Gen.listOfN(50, genDoc), Gen.choose(1, 11)),
+        runs = 6) { case (docs0, parts) =>
+      val docs = docs0.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      val df = docs.toDF("doc_id", "source", "text").repartition(parts)
+      val budget = 8
+      val got = Corpus.packSequences(df, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).sorted.toSeq
+      val want = docs.groupBy(_._2).toSeq.flatMap { case (src, grp) =>
+        var off = 0L
+        grp.sortBy(_._1).map { case (id, _, text) =>
+          val n = text.split("\\s+").count(_.nonEmpty)
+          val row = (src, id, n, (off / budget).toInt, (off % budget).toInt)
+          off += n
+          row
+        }
+      }.sorted
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
