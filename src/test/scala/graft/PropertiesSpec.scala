@@ -230,6 +230,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: CDC chunk census == Scala rolling-hash chunker on random docs") {
+    import graft.ops.Corpus
+    val P = 2147483647L
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    def chunksOf(text: String, window: Int, mask: Int): Seq[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = toks.length
+      val cuts =
+        (if (n < window) Seq.empty[Int]
+         else (0 to n - window).filter { j =>
+           polyHash(toks.slice(j, j + window).mkString(" ")) % mask == 0 &&
+             j + window < n
+         }.map(_ + window)) :+ n
+      cuts.zipWithIndex.map { case (c, i) =>
+        toks.slice(if (i == 0) 0 else cuts(i - 1), c).mkString(" ")
+      }
+    }
+    // tiny vocab => frequent shared chunks across docs, so the cross-doc
+    // duplicate census (the operator's second half) is non-trivial
+    val genDoc = Gen.listOf(Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" "))
+    forAll(Gen.listOfN(30, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Corpus.cdcChunks(df, window = 2, mask = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+      val ref = docs.map { case (id, t) => id -> chunksOf(t, 2, 2) }
+      val dupChunks = ref.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).collect { case (c, ids) if ids.map(_._2).distinct.size >= 2 => c }
+        .toSet
+      val want = ref.map { case (id, cs) =>
+        (id, cs.length, cs.count(dupChunks).toLong)
+      }.sorted
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
