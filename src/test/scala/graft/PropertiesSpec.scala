@@ -267,6 +267,55 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: iterated BPE merges == Scala reference trainer") {
+    import graft.ops.TextOps
+    // classic BPE over a word-frequency dict: census adjacent symbol
+    // pairs (weighted by word count), take the most frequent (ties on the
+    // pair strings), apply left-to-right non-overlapping, repeat. Tiny
+    // alphabet => dense tie-breaking and re-merge cases (e.g. "aaa" under
+    // merge (a,a) must yield ["aa","a"], never re-fuse the fused symbol).
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    def refTrain(words: Seq[String], rounds: Int, topK: Int)
+        : Seq[(Int, Int, String, String, Long)] = {
+      var dict: Map[Vector[String], Long] = words.groupBy(identity)
+        .map { case (w, g) => w.split("").toVector -> g.size.toLong }
+      val out = Seq.newBuilder[(Int, Int, String, String, Long)]
+      var r = 1
+      var go = true
+      while (r <= rounds && go) {
+        val census = dict.toSeq.flatMap { case (syms, cnt) =>
+          syms.zip(syms.tail).map(p => p -> cnt)
+        }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+        if (census.isEmpty) go = false
+        else {
+          val top = census.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(topK)
+          out ++= top.zipWithIndex.map { case (((a, b), n), i) =>
+            (r, i + 1, a, b, n)
+          }
+          val (a, b) = top.head._1
+          dict = dict.groupBy { case (syms, _) => applyMerge(syms, a, b) }
+            .map { case (merged, g) => merged -> g.map(_._2).sum }
+        }
+        r += 1
+      }
+      out.result()
+    }
+    val genWord = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    forAll(Gen.listOfN(40, genWord), runs = 4) { words =>
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+      val got = TextOps.bpeMerges(df, rounds = 3, topK = 4).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3),
+          r.getLong(4))).toSeq.sorted
+      assert(got == refTrain(words, 3, 4).sorted)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
