@@ -316,6 +316,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: stripDuplicateSpans == Scala coverage reference") {
+    import graft.ops.Corpus
+    val k = 3 // span length in tokens
+    def spansOf(toks: Seq[String]): Seq[(Int, String)] =
+      if (toks.isEmpty) Seq.empty
+      else if (toks.length < k) Seq(0 -> toks.mkString(" "))
+      else (0 to toks.length - k).map(j => j -> toks.slice(j, j + k).mkString(" "))
+    val genDoc = Gen.listOf(Gen.oneOf("x", "y", "z")).map(_.mkString(" "))
+    forAll(Gen.listOfN(25, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = docs.toDF("doc_id", "text")
+      val got = Corpus.stripDuplicateSpans(df, k).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      val tokMap = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val dup = tokMap.flatMap { case (id, toks) =>
+        spansOf(toks).map(_._2).distinct.map(_ -> id) }
+        .groupBy(_._1)
+        .collect { case (s, ids) if ids.map(_._2).distinct.size >= 2 => s }
+        .toSet
+      val want = tokMap.map { case (id, toks) =>
+        val spanLen = math.min(k, toks.length)
+        val covered = spansOf(toks)
+          .filter { case (_, s) => dup(s) }
+          .flatMap { case (p, _) => p until p + spanLen }
+          .toSet
+        val kept = toks.zipWithIndex.collect {
+          case (t, p) if !covered(p) => t }
+        (id, toks.length, covered.size.toLong, kept.mkString(" "))
+      }.sorted
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
