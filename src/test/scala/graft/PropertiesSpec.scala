@@ -351,6 +351,51 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: Misra-Gries heavy hitters are EXACT for any partitioning") {
+    import graft.ops.Profile
+    // the MG guarantee: any key with global frequency > n/capacity survives
+    // pass 1 in some partition, so pass 2's exact counts over the candidate
+    // superset make the final output EXACTLY the guaranteed zone. A skewed
+    // Zipf-ish generator + tiny capacity + random partitioning exercises
+    // the decrement-all eviction loop far harder than gate data does.
+    val genKey = Gen.frequency(
+      (8, Gen.const("hot")), (4, Gen.const("warm")),
+      (2, Gen.oneOf("c", "d", "e")), (1, Gen.choose(0, 50).map("t" + _)))
+    forAll(Gen.zip(Gen.listOfN(400, genKey), Gen.choose(1, 13)),
+        runs = 6) { case (keys, parts) =>
+      val df = keys.toDF("k").repartition(parts)
+      val got = Profile.heavyHitters(df, "k", capacity = 4, k = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val counts = keys.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+      val want = counts.toSeq
+        .filter { case (_, n) => n * 4 > keys.length }
+        .sortBy { case (k, n) => (-n, k) }.take(10)
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("property: funnelSteps == Scala greedy subsequence match") {
+    import graft.ops.Relational
+    val genEv = for {
+      u <- Gen.choose(0, 4); t <- Gen.choose(0L, 30L)
+      e <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t, e)
+    forAll(Gen.listOfN(100, genEv), runs = 6) { evs0 =>
+      val evs = evs0.zipWithIndex.map { case ((u, t, e), i) =>
+        (u.toLong, t, i.toLong, e) }
+      val df = evs.toDF("user_id", "ts", "event_id", "event_type")
+      val steps = Seq("view", "click", "purchase")
+      val got = Relational.funnelSteps(df, steps).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = evs.groupBy(_._1).map { case (u, grp) =>
+        val path = grp.sortBy(e => (e._2, e._3)).map(_._4)
+        u -> path.foldLeft(0) { (acc, e) =>
+          if (acc < steps.length && e == steps(acc)) acc + 1 else acc }
+      }
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
