@@ -437,4 +437,18 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       "single-partition window audit failed:\n" + offenders.mkString("\n"))
   }
+
+  test("every gate query is oracled, and the headline set exists") {
+    // a query without oracle SQL silently downgrades to the driver's
+    // rows-only check — the inventory's hash-level guarantee depends on
+    // the two maps never drifting apart (and stale oracle entries for
+    // removed queries would mask a rename)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q diff o).isEmpty, s"queries without oracle SQL: ${q diff o}")
+    assert((o diff q).isEmpty, s"orphan oracle entries: ${o diff q}")
+    val missingHeadline = SparkEntry.headlineQueries.filterNot(q)
+    assert(missingHeadline.isEmpty,
+      s"headline names not in the inventory: $missingHeadline")
+  }
 }
