@@ -396,6 +396,50 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: winnowed pairs == Scala winnowing reference + detection floor") {
+    import graft.ops.Dedup
+    val P = 2147483647L
+    val (shingleSize, window) = (2, 2)
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    def fpsOf(text: String): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val hs =
+        (if (toks.length < shingleSize) Seq(toks.mkString(" "))
+         else (0 to toks.length - shingleSize)
+           .map(j => toks.slice(j, j + shingleSize).mkString(" ")))
+          .map(polyHash)
+      if (hs.length <= window) Set(hs.min)
+      else (0 to hs.length - window).map(j => hs.slice(j, j + window).min).toSet
+    }
+    val genDoc = Gen.choose(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("p", "q", "r")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(20, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.winnowedPairs(docs.toDF("doc_id", "text"),
+          shingleSize, window, minShared = 1, maxFpDf = 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val fps = docs.map { case (id, t) => id -> fpsOf(t) }
+      val want = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        shared = (fa intersect fb).size if shared >= 1
+      } yield (a, b, shared.toLong)).sorted
+      assert(got == want)
+      // the paper's guarantee: docs sharing a token run of length >=
+      // window + shingleSize - 1 collide on at least one fingerprint
+      val runLen = window + shingleSize - 1
+      val gotPairs = got.map(t => (t._1, t._2)).toSet
+      for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        wa = ta.split("\\s+").filter(_.nonEmpty).toSeq
+        wb = tb.split("\\s+").filter(_.nonEmpty).toSeq
+        if wa.sliding(runLen).filter(_.length == runLen).toSet
+          .intersect(wb.sliding(runLen).filter(_.length == runLen).toSet)
+          .nonEmpty
+      } assert(gotPairs((a, b)), s"detection floor violated for ($a, $b)")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
