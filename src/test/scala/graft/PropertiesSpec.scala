@@ -440,6 +440,50 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: minhash LSH pipeline == Scala reference end to end") {
+    import graft.ops.Dedup
+    import graft.functions.GraftFunctions
+    val P = 2147483647L
+    val (shingleSize, k, bands) = (2, 8, 4)
+    val r = k / bands
+    val (as, bs) = GraftFunctions.minhashCoeffs(k)
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    def sigOf(toks: Seq[String]): Seq[Long] = {
+      val hs =
+        (if (toks.length < shingleSize) Seq(toks.mkString(" "))
+         else (0 to toks.length - shingleSize)
+           .map(j => toks.slice(j, j + shingleSize).mkString(" ")))
+          .map(polyHash)
+      (0 until k).map(i => hs.map(h => (as(i) * h + bs(i)) % P).min)
+    }
+    def bandsOf(sig: Seq[Long]): Seq[(Int, Long)] =
+      (0 until bands).map(j => j ->
+        sig.slice(j * r, (j + 1) * r)
+          .foldLeft(0L)((acc, s) => (acc * 1000003L + s) % P))
+    val genDoc = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("m", "n", "o")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(18, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.minhashLsh(docs.toDF("doc_id", "text"),
+          shingleSize, k, bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .sorted.toSeq
+      val toksOf = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val bandSets = docs.map { case (id, _) =>
+        id -> bandsOf(sigOf(toksOf(id))).toSet }.toMap
+      val want = (for {
+        (a, _) <- docs; (b, _) <- docs if a < b
+        if (bandSets(a) intersect bandSets(b)).nonEmpty
+      } yield {
+        val (sa, sb) = (toksOf(a).toSet, toksOf(b).toSet)
+        (a, b, (sa intersect sb).size, (sa union sb).size)
+      }).sorted
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
