@@ -484,6 +484,39 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: simhash near-dup pipeline == Scala reference end to end") {
+    import graft.ops.Dedup
+    def poly(s: String, mult: Long, p: Long): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * mult + c) % p)
+    def simhash(toks: Seq[String]): Long = {
+      val hs = toks.map(t =>
+        poly(t, 31L, 2147483647L) * 2147483648L + poly(t, 131L, 2147483629L))
+      (0 until 64).map { j =>
+        val votes = hs.map(h => if (((h >> j) & 1L) == 1L) 1 else -1).sum
+        if (votes > 0) 1L << j else 0L
+      }.reduce(_ | _)
+    }
+    val genDoc = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("u", "v", "w")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(16, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val maxHamming = 16
+      val got = Dedup.simhashNearDup(docs.toDF("doc_id", "text"), maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sorted.toSeq
+      val fps = docs.map { case (id, t) =>
+        id -> simhash(t.split("\\s+").filter(_.nonEmpty).toSeq) }.toMap
+      def chunks(fp: Long): Set[(Int, Long)] =
+        (0 until 4).map(i => i -> ((fp >> (i * 16)) & 0xFFFFL)).toSet
+      val want = (for {
+        (a, _) <- docs; (b, _) <- docs if a < b
+        if (chunks(fps(a)) intersect chunks(fps(b))).nonEmpty
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= maxHamming
+      } yield (a, b, h)).sorted
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
