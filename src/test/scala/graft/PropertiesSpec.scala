@@ -517,6 +517,41 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: PPJoin prefix filter has zero false negatives (== naive)") {
+    import graft.ops.Dedup
+    // the PPJoin claim is EXACTNESS: every pair with set Jaccard >= t and
+    // none below it — the length and positional filters are pure pruning.
+    // Random tiny-vocab corpora make near-threshold pairs common, which is
+    // where an off-by-one in the ceil-div overlap bound would drop a pair.
+    val P = 2147483647L
+    val n = 2
+    def polyHash(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % P)
+    def hsOf(text: String): Set[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.length < n) Seq(toks.mkString(" "))
+       else (0 to toks.length - n).map(j => toks.slice(j, j + n).mkString(" ")))
+        .map(polyHash).toSet
+    }
+    val genDoc = Gen.choose(0, 8).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("f", "g")).map(_.mkString(" ")))
+    forAll(Gen.zip(Gen.listOfN(16, genDoc), Gen.oneOf(30, 50, 80)),
+        runs = 6) { case (texts, t) =>
+      val docs = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"), t, n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3))).sorted.toSeq
+      val hs = docs.map { case (id, txt) => id -> hsOf(txt) }
+      val want = (for {
+        (a, ha) <- hs; (b, hb) <- hs if a < b
+        common = (ha intersect hb).size
+        union = (ha union hb).size
+        if common * 100 >= union * t
+      } yield (a, b, common, union)).sorted
+      assert(got == want, s"t=$t")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
