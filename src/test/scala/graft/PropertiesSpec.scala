@@ -552,6 +552,66 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: stripBoilerplate == Scala segment-df reference") {
+    import graft.ops.Corpus
+    val (segTokens, maxSegDf) = (2, 2)
+    def segsOf(toks: Seq[String]): Seq[String] =
+      toks.grouped(segTokens).map(_.mkString(" ")).toSeq
+    val genDoc = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("s", "t")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(18, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Corpus.stripBoilerplate(docs.toDF("doc_id", "text"),
+          segTokens, maxSegDf).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      val segMap = docs.map { case (id, t) =>
+        id -> segsOf(t.split("\\s+").filter(_.nonEmpty).toSeq) }
+      // segment document frequency counts DISTINCT docs per segment value
+      val df = segMap.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct.size }
+      val want = segMap.map { case (id, ss) =>
+        val kept = ss.filter(s => df(s) <= maxSegDf)
+        (id, ss.length, kept.size.toLong, kept.mkString(" "))
+      }.sorted
+      assert(got == want)
+    }
+  }
+
+  test("property: mergeUpsert == Scala latest-wins merge") {
+    import graft.ops.Star
+    val genRow = for {
+      k <- Gen.choose(0, 4); t <- Gen.choose(0L, 10L); v <- Gen.choose(0L, 99L)
+    } yield (k.toLong, t, v)
+    forAll(Gen.zip(Gen.listOfN(30, genRow), Gen.listOfN(30, genRow)),
+        runs = 6) { case (base0, changes0) =>
+      val base = base0.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, v, t, i.toLong) }
+      val changes = changes0.zipWithIndex.map { case ((k, t, v), i) =>
+        (k, v, t, (i + 1000).toLong) }
+      def latest(rows: Seq[(Long, Long, Long, Long)]): Map[Long, (Long, Long)] =
+        rows.groupBy(_._1).map { case (k, g) =>
+          val best = g.maxBy(r => (r._3, r._4)) // (ts, tiebreak)
+          k -> (best._2, best._3)
+        }
+      val b = latest(base); val c = latest(changes)
+      val want = (b.keySet ++ c.keySet).toSeq.map { k =>
+        val (v, t) = c.getOrElse(k, b(k))
+        val op =
+          if (!b.contains(k)) "insert"
+          else if (!c.contains(k)) "keep"
+          else "update"
+        (k, v, t, op)
+      }.sorted
+      val got = Star.mergeUpsert(
+          base.toDF("k", "v", "ts", "tb"), changes.toDF("k", "v", "ts", "tb"),
+          "k", "ts", "tb", Seq("v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .sorted.toSeq
+      assert(got == want)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
