@@ -612,6 +612,91 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: BFS hops == Scala shortest paths on random digraphs") {
+    import graft.ops.Graph
+    val genEdge = for {
+      s <- Gen.choose(0, 9); d <- Gen.choose(0, 9)
+    } yield (s"n$s", s"n$d", 1L)
+    forAll(Gen.listOfN(25, genEdge), runs = 6) { edges =>
+      val df = edges.toDF("src", "dst", "w")
+      val got = Graph.shortestHops(df, "n0", maxHops = 9).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      // Scala BFS over the simple digraph (self-loops dropped like the op)
+      val adj = edges.filter(e => e._1 != e._2)
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct }
+      var dist = Map("n0" -> 0)
+      var frontier = Set("n0")
+      var i = 1
+      while (frontier.nonEmpty && i <= 9) {
+        val next = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> i)
+        frontier = next
+        i += 1
+      }
+      assert(got == dist)
+    }
+  }
+
+  test("property: k-core peel == Scala reference on random digraphs") {
+    import graft.ops.Graph
+    val genEdge = for {
+      s <- Gen.choose(0, 7); d <- Gen.choose(0, 7)
+    } yield (s"n$s", s"n$d", 1L)
+    forAll(Gen.listOfN(20, genEdge), runs = 6) { edges =>
+      val df = edges.toDF("src", "dst", "w")
+      val rounds = 3
+      val got = Graph.kcore(df, rounds).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      // undirected simple graph as DIRECTED survivor edges (both arcs)
+      val und = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq((e._1, e._2), (e._2, e._1))).distinct
+      val deg0 = und.groupBy(_._1).map { case (v, g) => v -> g.size.toLong }
+      if (deg0.nonEmpty) {
+        val s = deg0.values.sum; val nn = deg0.size.toLong
+        val k = (s + 2 * nn - 1) / (2 * nn) // ceil(avg degree / 2)
+        var aliveDeg = deg0.filter(_._2 >= k)
+        for (_ <- 1 to rounds) {
+          val alive = aliveDeg.keySet
+          val e = und.filter(p => alive(p._1) && alive(p._2))
+          aliveDeg = e.groupBy(_._1).map { case (v, g) => v -> g.size.toLong }
+            .filter(_._2 >= k)
+        }
+        val want = aliveDeg.toSeq.map { case (v, d) => (v, d, k) }.sorted
+        assert(got == want)
+      } else assert(got.isEmpty)
+    }
+  }
+
+  test("property: integer pagerank == Scala reference on random weighted graphs") {
+    import graft.ops.Graph
+    val genEdge = for {
+      s <- Gen.choose(0, 5); d <- Gen.choose(0, 5); w <- Gen.choose(1L, 5L)
+    } yield (s"n$s", s"n$d", w)
+    forAll(Gen.listOfN(15, genEdge), runs = 6) { edges0 =>
+      // the operator aggregates (src, dst) weights itself in the query
+      // composition; here edges arrive pre-aggregated like nationTradeEdges
+      val edges = edges0.groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+      val nodes = (0 to 5).map(i => s"n$i")
+      val seed = 1000000000000L
+      val teleport = seed - seed * 17L / 20L
+      val wout = edges.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+      var ranks = nodes.map(_ -> seed).toMap
+      for (_ <- 1 to 3) {
+        val contribs = edges.groupBy(_._2).map { case (d, g) =>
+          d -> g.map(e => ranks(e._1) / wout(e._1) * e._3).sum
+        }
+        ranks = nodes.map(n =>
+          n -> (teleport + contribs.getOrElse(n, 0L) * 17L / 20L)).toMap
+      }
+      val got = Graph.pagerank(edges.toDF("src", "dst", "w"),
+          nodes.toDF("n_name"), iters = 3).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == ranks)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
