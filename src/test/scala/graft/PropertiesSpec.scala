@@ -697,6 +697,48 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: triangle counts and degree census == Scala references") {
+    import graft.ops.Graph
+    val genEdge = for {
+      s <- Gen.choose(0, 6); d <- Gen.choose(0, 6); w <- Gen.choose(1L, 4L)
+    } yield (s"n$s", s"n$d", w)
+    forAll(Gen.listOfN(22, genEdge), runs = 6) { edges0 =>
+      // pre-aggregated like the real caller (nationTradeEdges' groupBy):
+      // the census counts rows, so multiplicity must be folded first
+      val edges = edges0.groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).sum) }.toSeq
+      val df = edges.toDF("src", "dst", "w")
+      // triangles: undirected simple graph, each counted once via a<b<c
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (Seq(e._1, e._2).min, Seq(e._1, e._2).max)).distinct
+      val undSet = und.toSet
+      val verts = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val tris = for {
+        a <- verts; b <- verts if a < b && undSet((a, b))
+        c <- verts if b < c && undSet((b, c)) && undSet((a, c))
+      } yield (a, b, c)
+      val triWant = tris.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+        .toSeq.sorted
+      val triGot = Graph.triangleCounts(df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(triGot == triWant)
+      // degree census: distinct partners + weight sums + reciprocated arcs
+      val simple = edges.filter(e => e._1 != e._2)
+      val degWant = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted.map { v =>
+        val out = simple.filter(_._1 == v); val in = simple.filter(_._2 == v)
+        val rec = out.count(e => simple.exists(r =>
+          r._1 == e._2 && r._2 == e._1))
+        (v, out.size.toLong, in.size.toLong,
+          out.map(_._3).sum, in.map(_._3).sum, rec.toLong)
+      }
+      val degGot = Graph.degreeCensus(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+      assert(degGot == degWant)
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
