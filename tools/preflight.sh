@@ -4,6 +4,8 @@
 #
 #   tools/preflight.sh            # full: test + verify/oracle + bench diff + smoke
 #   tools/preflight.sh --quick    # skip sbt test (just gates + smoke)
+#   tools/preflight.sh --full     # everything + the 208-query inventory bench
+#                                 # vs BENCH_FULL_ANCHOR.json (~10 min extra)
 #
 # Individual pieces are documented in .claude/skills/verify/SKILL.md.
 set -u
@@ -33,6 +35,20 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
 # (see BASELINE.md on co-tenant noise); re-time flagged queries isolated
 # with SPARK_GRAFT_BENCH_ONLY=<q> SPARK_GRAFT_BENCH_REPS=5 before acting.
 python3 tools/bench_diff.py BENCH_ANCHOR.json bench_out.json 3.0 || rc=1
+
+if [ "${1:-}" = "--full" ]; then
+  step "Full-inventory bench vs full anchor (sf0.1, ~10 min)"
+  SPARK_GRAFT_BENCH_ALL=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -q '"metric":"total"' || rc=1
+  # the two allowed entries are the documented rank-based percentile
+  # trades (BASELINE.md): exact distributed order statistics cost more at
+  # toy scale than the value-buffering sort-aggregates they replaced
+  # factor 2.0 (the verdict threshold), NOT the headline step's noise-
+  # tolerant 3.0: both allowed trades sit between 2x and 4x, and the
+  # stale-allowlist check errors if an allowed name fails to trip
+  python3 tools/bench_diff.py BENCH_FULL_ANCHOR.json bench_out.json 2.0 \
+    --allow=agg_winsorized_prices,profile_robust_outliers || rc=1
+fi
 
 echo
 [ $rc -eq 0 ] && echo "PREFLIGHT PASS" || echo "PREFLIGHT FAIL"
