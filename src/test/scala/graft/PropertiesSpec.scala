@@ -739,6 +739,73 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: sourceOverlap == Scala shingle-set reference") {
+    import graft.ops.Corpus
+    val n = 2
+    def gramsOf(text: String): Set[String] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      (if (toks.length < n) Seq(toks.mkString(" "))
+       else (0 to toks.length - n).map(j => toks.slice(j, j + n).mkString(" ")))
+        .toSet
+    }
+    val genDoc = for {
+      src <- Gen.oneOf("s1", "s2", "s3")
+      toks <- Gen.choose(0, 7).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("h", "i", "j")))
+    } yield (src, toks.mkString(" "))
+    forAll(Gen.listOfN(20, genDoc), runs = 6) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+      val got = Corpus.sourceOverlap(docs.toDF("doc_id", "source", "text"), n)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .sorted.toSeq
+      val bySrc = docs.groupBy(_._2)
+        .map { case (s, g) => s -> g.map(d => gramsOf(d._3)).fold(Set.empty)(_ ++ _) }
+      val want = (for {
+        (a, ga) <- bySrc.toSeq; (b, gb) <- bySrc.toSeq if a < b
+        shared = (ga intersect gb).size if shared >= 1
+      } yield {
+        val j = shared.toDouble / (ga.size + gb.size - shared)
+        (a, b, shared.toLong,
+          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }).sorted
+      assert(got == want)
+    }
+  }
+
+  test("property: EWMA and Holt folds == Scala with identical op order") {
+    import graft.ops.Relational
+    val genOrder = for {
+      c <- Gen.choose(0, 3); d <- Gen.choose(1, 28); p <- Gen.choose(100, 9999)
+    } yield (c.toLong, f"2024-01-$d%02d", p.toDouble)
+    forAll(Gen.listOfN(40, genOrder), runs = 6) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((c, d, p), i) =>
+        (c, i.toLong, java.sql.Date.valueOf(d), p) }
+      val df = rows.toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      def sortedPrices(c: Long): Seq[Double] =
+        rows.filter(_._1 == c).sortBy(r => (r._3.toString, r._2)).map(_._4)
+      val gotE = Relational.ewmaPrice(df).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val wantE = rows.map(_._1).distinct.map { c =>
+        val ps = sortedPrices(c)
+        val s = ps.tail.foldLeft(ps.head)((acc, x) => 0.25 * x + 0.75 * acc)
+        c -> math.floor(s * 1000000d) / 1000000d
+      }.toMap
+      assert(gotE == wantE, "ewma")
+      val gotH = Relational.holtPrice(df).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val wantH = rows.map(_._1).distinct.map { c =>
+        val ps = sortedPrices(c)
+        val (l, b) = ps.tail.foldLeft((ps.head, 0.0)) { case ((l0, b0), x) =>
+          val l1 = 0.25 * x + 0.75 * (l0 + b0)
+          (l1, 0.2 * (l1 - l0) + 0.8 * b0)
+        }
+        c -> math.floor((l + b) * 1000000d) / 1000000d
+      }.toMap
+      assert(gotH == wantH, "holt")
+    }
+  }
+
   test("property: jaccard is symmetric, bounded, and 1 on self") {
     val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
     forAll(Gen.zip(words, words), runs = 8) { case (x, y) =>
