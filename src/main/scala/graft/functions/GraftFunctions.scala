@@ -156,11 +156,18 @@ object GraftFunctions {
     * iff a band matches exactly; the band index is part of the bucket key,
     * so the fold needs no per-band seed. Previously xxhash64 over the slots
     * — the fold is the cross-engine-reproducible form. */
-  def minhash_bands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+  def minhash_bands(sig: Column, bands: Int, rowsPerBand: Int,
+      sigLen: Int): Column = {
     // zero bands = an empty (match-nothing) bucketing, zero rowsPerBand = a
     // constant-0 hash per band (one corpus-wide bucket) — both silent
     require(bands >= 1 && rowsPerBand >= 1,
       s"minhash_bands: need bands, rowsPerBand >= 1, got $bands, $rowsPerBand")
+    // a grid overrunning the signature reads past its end: element_at past
+    // the array yields NULL under non-ANSI mode, folding every overrunning
+    // band hash to NULL — a silent corpus-wide bucket collision
+    require(bands * rowsPerBand <= sigLen,
+      s"minhash_bands: bands*rowsPerBand (${bands * rowsPerBand}) overruns " +
+        s"the $sigLen-slot signature")
     array((0 until bands).map { j =>
       (0 until rowsPerBand)
         .map(r => element_at(sig, j * rowsPerBand + r + 1))

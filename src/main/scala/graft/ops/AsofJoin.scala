@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  // the union-scan's scratch columns, named ONCE so the clash guard and the
+  // implementation body can never drift apart (a scratch column added to
+  // the body but not the guard would silently shadow a caller's column)
+  private val T = "_t"
+  private val Side = "_side"
+  private val L = "_l"
+  private val R = "_r"
+  private val M = "_m"
+  private val Reserved = Set(T, Side, L, R, M)
+
   /** @param rightPayload right columns to attach, renamed `prefix`+name.
     * @param forward false = latest right at-or-before (backward, the
     *   default direction); true = earliest right at-or-after. */
@@ -34,11 +44,11 @@ object AsofJoin {
     // the union-scan introduces scratch columns; a caller frame already
     // using one of these names would be silently shadowed in the tagged
     // projection rather than erroring
-    val reserved = Set("_t", "_side", "_l", "_r", "_m")
-    val clash = (left.columns ++ right.columns).filter(reserved).distinct
+    val clash = (left.columns ++ right.columns).filter(Reserved).distinct
     require(clash.isEmpty,
       s"asof: input columns ${clash.mkString(", ")} collide with the " +
-        "operator's scratch names (_t, _side, _l, _r, _m) — rename them first")
+        s"operator's scratch names (${Reserved.mkString(", ")}) — " +
+        "rename them first")
     require(keys.nonEmpty,
       "asof: need at least one join key (a keyless as-of would funnel both " +
         "sides through one global window partition)")
@@ -46,27 +56,27 @@ object AsofJoin {
     val keyCols = keys.map(col)
     val lStruct = struct(leftCols.map(col): _*)
     val rStruct = struct(rightPayload.map(col): _*)
-    val lType = left.select(lStruct.as("_l")).schema("_l").dataType
-    val rType = right.select(rStruct.as("_r")).schema("_r").dataType
+    val lType = left.select(lStruct.as(L)).schema(L).dataType
+    val rType = right.select(rStruct.as(R)).schema(R).dataType
     val lSide = left.select(
-      keyCols :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
-        lStruct.as("_l") :+ lit(null).cast(rType).as("_r"): _*)
+      keyCols :+ col(leftTime).as(T) :+ lit(1).as(Side) :+
+        lStruct.as(L) :+ lit(null).cast(rType).as(R): _*)
     val rSide = right.select(
-      keyCols :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
-        lit(null).cast(lType).as("_l") :+ rStruct.as("_r"): _*)
+      keyCols :+ col(rightTime).as(T) :+ lit(0).as(Side) :+
+        lit(null).cast(lType).as(L) :+ rStruct.as(R): _*)
     // forward = backward on reversed time: scan descending, so "last right
     // seen" is the smallest right time >= the left time. _side stays ASC in
     // both directions (right first at equal times = inclusive bound); _r in
     // the sort makes equal-time right rows deterministically ordered.
     val timeOrder =
-      if (forward) Seq(col("_t").desc, col("_side").asc, col("_r").asc)
-      else Seq(col("_t").asc, col("_side").asc, col("_r").asc)
+      if (forward) Seq(col(T).desc, col(Side).asc, col(R).asc)
+      else Seq(col(T).asc, col(Side).asc, col(R).asc)
     val w = Window.partitionBy(keyCols: _*).orderBy(timeOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_l.$c").as(c)) ++
-        rightPayload.map(p => col(s"_m.$p").as(prefix + p)): _*)
+      .withColumn(M, last(col(R), ignoreNulls = true).over(w))
+      .where(col(Side) === 1)
+      .select(leftCols.map(c => col(s"$L.$c").as(c)) ++
+        rightPayload.map(p => col(s"$M.$p").as(prefix + p)): _*)
   }
 }

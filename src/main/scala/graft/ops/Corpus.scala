@@ -578,7 +578,7 @@ object Corpus {
       .withColumn("n_toks", size(col("toks_d")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = base.select(col("doc_id"),
-      posexplode(minhash_bands(col("sig"), k, 1))
+      posexplode(minhash_bands(col("sig"), k, 1, k))
         .as(Seq("band_idx", "band_hash")))
     val buckets = bandRows.groupBy("band_idx", "band_hash")
       .agg(collect_list("doc_id").as("ids"))

@@ -91,7 +91,8 @@ object Dedup {
       .withColumn("sig",
         call_function("minhash_sig", col("toks"), lit(shingleSize), lit(k)))
       .select(col("doc_id"),
-        posexplode(minhash_bands(col("sig"), bands, r)).as(Seq("band_idx", "band_hash")))
+        posexplode(minhash_bands(col("sig"), bands, r, k))
+          .as(Seq("band_idx", "band_hash")))
   }
 
   def minhashLsh(documents: DataFrame, shingleSize: Int = 3, k: Int = 32,

@@ -443,7 +443,7 @@ object SimSearch {
     * the census adds only semi-joins against the (nQueries × k)-row truth
     * set and a window over 3 × nQueries rows. */
   def recallCensus(embeddings: DataFrame, nQueries: Int = 5,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, dim: Int = 64): DataFrame = {
     // nQueries·k is the recall denominator: zero would make recall_milli a
     // silent NULL (non-ANSI `div` by zero), and meets_floor NULL with it
     require(nQueries >= 1, s"recallCensus: nQueries must be >= 1, got $nQueries")
@@ -451,7 +451,12 @@ object SimSearch {
     val brute = bruteForceTopK(embeddings, nQueries, k)
       .select("query_id", "neighbor_id")
     val variants: Seq[(String, DataFrame)] = Seq(
-      "lsh" -> lshTopK(embeddings, nQueries, k),
+      // dim is plumbed through to the LSH leg: its hyperplane codebook is
+      // dim-shaped, and lshTopK's strict embedding-length assert would
+      // otherwise make the census throw on any non-64-dim corpus with no
+      // way to configure it (ivf/ivfpq derive their codebooks from the
+      // data and need no dim)
+      "lsh" -> lshTopK(embeddings, nQueries, k, dim = dim),
       "ivf" -> ivfTopK(embeddings, nQueries, k),
       "ivfpq" -> ivfPqTopK(embeddings, nQueries, k))
     val floorMilli = Map("lsh" -> 400, "ivf" -> 400, "ivfpq" -> 200)

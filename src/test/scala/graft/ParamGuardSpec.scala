@@ -154,7 +154,10 @@ class ParamGuardSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.functions.GraftFunctions.minhashCoeffs(0))
     intercept[IllegalArgumentException](
-      graft.functions.GraftFunctions.minhash_bands(col("sig"), 0, 1))
+      graft.functions.GraftFunctions.minhash_bands(col("sig"), 0, 1, 32))
+    // band grid overrunning the signature: 9 bands × 4 rows > 32 slots
+    intercept[IllegalArgumentException](
+      graft.functions.GraftFunctions.minhash_bands(col("sig"), 9, 4, 32))
     intercept[IllegalArgumentException](
       graft.ops.Profile.profile(docs, Seq.empty))
     // the heap top-k operator seeds each key's heap with the first row
