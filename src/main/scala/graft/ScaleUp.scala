@@ -26,10 +26,23 @@ import org.apache.spark.sql.functions._
   *
   * Each table lands as a single `name.parquet` FILE (written then moved),
   * matching the TESTDATA layout the loaders and the streaming gates expect.
+  *
+  * `--salt-keys` (optional 4th arg) additionally salts the CATEGORICAL
+  * blocking columns that default replication copies verbatim — customer
+  * names, supplier names, part brands (suffix `_i` per replica, exactly
+  * the document-text treatment) — the control run for the scale curve:
+  * verbatim replicas put every copy of a name/brand in the same block, so
+  * pair-expansion queries grow ~copies² per block by construction of the
+  * REPLICA; salted keys make the replicas behave like organically new
+  * entities. A query whose growth stays super-linear under `--salt-keys`
+  * has a genuine plan problem, not a replication artifact
+  * (BENCH_SCALE.json `control` section).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleUp <srcDir> <outDir> <copies>")
+    require(args.length == 3 || (args.length == 4 && args(3) == "--salt-keys"),
+      "usage: ScaleUp <srcDir> <outDir> <copies> [--salt-keys]")
+    val saltKeys = args.length == 4
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
     require(copies >= 1, s"copies must be >= 1, got $copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -85,9 +98,17 @@ object ScaleUp {
     val partSpan = span(part, "p_partkey")
     val orderSpan = span(orders, "o_orderkey")
 
-    writeOne(replicate(customer, Map("c_custkey" -> custSpan)), "customer")
-    writeOne(replicate(supplier, Map("s_suppkey" -> suppSpan)), "supplier")
-    writeOne(replicate(part, Map("p_partkey" -> partSpan)), "part")
+    // --salt-keys: suffix a categorical column per replica (no-op replica 0)
+    def saltCol(name: String)(d: DataFrame, i: Int): DataFrame =
+      if (!saltKeys || i == 0) d
+      else d.withColumn(name, concat(col(name), lit(s"_$i")))
+
+    writeOne(replicate(customer, Map("c_custkey" -> custSpan),
+      salt = saltCol("c_name")), "customer")
+    writeOne(replicate(supplier, Map("s_suppkey" -> suppSpan),
+      salt = saltCol("s_name")), "supplier")
+    writeOne(replicate(part, Map("p_partkey" -> partSpan),
+      salt = saltCol("p_brand")), "part")
     writeOne(replicate(orders,
       Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
     writeOne(replicate(read("lineitem"),

@@ -1484,8 +1484,8 @@ object SparkEntry {
         |  CAST(sum(dropped) AS BIGINT) AS n_dropped
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     // trigram-shingle sets per source (engine: native shingles expression),
-    // self-join bounded by sources² per gram; jaccard in double AFTER the
-    // exact integer counts, rounded to 6 on both sides
+    // self-join bounded by sources² per gram; jaccard on the micro grid —
+    // integer floor division over the exact counts on both sides
     "corpus_source_overlap" ->
       s"""WITH g0 AS (SELECT DISTINCT source, gram FROM (
          |    SELECT source, unnest(list_distinct(
@@ -1498,12 +1498,15 @@ object SparkEntry {
          |      FROM g0 a JOIN g0 b ON a.gram = b.gram AND a.source < b.source
          |      GROUP BY 1, 2)
          |SELECT p.src_a, p.src_b, p.n_shared,
-         |  round(p.n_shared / (sa.n_grams + sb.n_grams - p.n_shared), 6) AS jaccard
+         |  CAST(p.n_shared * 1000000 // (sa.n_grams + sb.n_grams - p.n_shared)
+         |    AS BIGINT) AS jaccard_micro
          |FROM p JOIN sizes sa ON p.src_a = sa.source
          |       JOIN sizes sb ON p.src_b = sb.source
          |ORDER BY src_a, src_b""".stripMargin,
-    // sparse tf-idf cosine in the [2,100]-df shingle band; ln parity with
-    // text_tfidf, cosine rounded to 6 before the threshold on both sides
+    // sparse tf-idf cosine in the [2,100]-df shingle band; idf quantized to
+    // the milli grid (round(1000·ln) — one transcendental per distinct df,
+    // exact int arithmetic after), score = ⌊10⁶·dot²/(na·nb)⌋ replayed here
+    // in int128 against the engine's decimal(38,0)
     "sim_tfidf_pairs" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(
@@ -1516,17 +1519,21 @@ object SparkEntry {
          |       GROUP BY 1 HAVING count(*) BETWEEN 2 AND 100),
          |n AS (SELECT count(*) AS n FROM documents),
          |w AS (SELECT tf.doc_id, tf.gram,
-         |        tf.tf * ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)) AS w
+         |        tf.tf * CAST(round(1000 * ln(CAST(n.n + 1 AS DOUBLE) / (df.df + 1)))
+         |                 AS BIGINT) AS wq
          |      FROM tf JOIN df USING (gram) CROSS JOIN n),
-         |nm AS (SELECT doc_id, sum(w*w) AS n2 FROM w GROUP BY 1),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+         |nm AS (SELECT doc_id, CAST(sum(wq*wq) AS HUGEINT) AS n2 FROM w GROUP BY 1),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        CAST(sum(a.wq*b.wq) AS HUGEINT) AS dot
          |      FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
          |      GROUP BY 1, 2)
-         |SELECT p.doc_a, p.doc_b,
-         |  round(p.dot / sqrt(na.n2 * nb.n2), 6) AS cos_tfidf
-         |FROM p JOIN nm na ON p.doc_a = na.doc_id
-         |       JOIN nm nb ON p.doc_b = nb.doc_id
-         |WHERE round(p.dot / sqrt(na.n2 * nb.n2), 6) >= 0.1
+         |SELECT doc_a, doc_b, cos2_micro FROM (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(p.dot * p.dot * 1000000 // (na.n2 * nb.n2) AS BIGINT) AS cos2_micro
+         |  FROM p JOIN nm na ON p.doc_a = na.doc_id
+         |         JOIN nm nb ON p.doc_b = nb.doc_id
+         |  WHERE na.n2 > 0 AND nb.n2 > 0)
+         |WHERE cos2_micro >= 10000
          |ORDER BY doc_a, doc_b""".stripMargin,
     // the oracle runs the TEXTBOOK window form on raw rows; the engine's
     // aggregate-first formulation must emit identical (rank, dense_rank)

@@ -164,10 +164,11 @@ object GraftFunctions {
       s"minhash_bands: need bands, rowsPerBand >= 1, got $bands, $rowsPerBand")
     // a grid overrunning the signature reads past its end: element_at past
     // the array yields NULL under non-ANSI mode, folding every overrunning
-    // band hash to NULL — a silent corpus-wide bucket collision
-    require(bands * rowsPerBand <= sigLen,
-      s"minhash_bands: bands*rowsPerBand (${bands * rowsPerBand}) overruns " +
-        s"the $sigLen-slot signature")
+    // band hash to NULL — a silent corpus-wide bucket collision. Long
+    // product: an Int product can wrap (65536 × 65536 → 0) and slip past.
+    require(bands.toLong * rowsPerBand <= sigLen,
+      s"minhash_bands: bands*rowsPerBand (${bands.toLong * rowsPerBand}) " +
+        s"overruns the $sigLen-slot signature")
     array((0 until bands).map { j =>
       (0 until rowsPerBand)
         .map(r => element_at(sig, j * rowsPerBand + r + 1))

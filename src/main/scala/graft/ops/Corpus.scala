@@ -187,8 +187,10 @@ object Corpus {
     * each shingle contributes at most |sources|² pair rows no matter how
     * big the corpus is, so the join output is O(distinct_shingles ·
     * sources²) — bounded by the SOURCE count, not the document count. The
-    * Jaccard division runs in double after the exact integer counts,
-    * rounded to 6 on both sides. */
+    * Jaccard is reported on the micro grid (`⌊10⁶·shared/union⌋`, integer
+    * floor division over the exact counts): one integer op both engines
+    * compute identically, no double division whose rounding could differ
+    * cross-engine at a boundary. */
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
     // bucket-then-pair (the Dedup.bucketPairs shape), not a self-join, and
     // ONE corpus-sized shuffle total: collect_set dedups per gram (no
@@ -218,8 +220,10 @@ object Corpus {
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6)
-          .as("jaccard"))
+        // union ≥ n_shared ≥ 1 (a pair row exists only via a shared gram),
+        // so the divisor is never 0; n_shared·10⁶ stays inside int64 up to
+        // 9.2e12 distinct shared shingles — far past any real corpus census
+        expr("n_shared * 1000000L DIV (na + nb - n_shared)").as("jaccard_micro"))
       .orderBy("src_a", "src_b")
   }
 

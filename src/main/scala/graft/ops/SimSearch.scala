@@ -431,13 +431,18 @@ object SimSearch {
 
   /** Recall census — the first number an ANN user asks of an index: per
     * (method, query), how many of the exact top-k survive in the
-    * approximate top-k. LSH, IVF and IVF-PQ each run at their default
-    * parameters against [[bruteForceTopK]] as ground truth; hits are
-    * integer counts (hits/k is the recall when a consumer wants the
-    * ratio). The per-method milli-recall and a floor verdict ride every
-    * row, so a recall regression fails the DRIVER gate, not just a spec:
-    * the floors (LSH/IVF 400‰, IVF-PQ 200‰ — the levels the specs have
-    * asserted since round 3) are part of the oracled output.
+    * approximate top-k. IVF and IVF-PQ run at their default parameters
+    * (their codebooks derive from the data); the LSH leg runs at the
+    * caller-supplied `dim` (its hyperplane codebook is dim-shaped), against
+    * [[bruteForceTopK]] as ground truth. Hits are integer counts (hits/k
+    * is the recall when a consumer wants the ratio). The per-method
+    * milli-recall and a floor verdict ride every row, so a recall
+    * regression fails the DRIVER gate, not just a spec: the floors
+    * (LSH/IVF 400‰, IVF-PQ 200‰ — the levels the specs have asserted
+    * since round 3) are part of the oracled output. Those floors were
+    * calibrated on the 64-dim synthetic corpus; on another `dim`,
+    * `meets_floor` still reports against the same published levels — treat
+    * it as uncalibrated advisory there, not a tuned guarantee.
     *
     * Scale shape: each variant already bounds its own candidate volume;
     * the census adds only semi-joins against the (nQueries × k)-row truth

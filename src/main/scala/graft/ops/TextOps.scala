@@ -328,9 +328,20 @@ object TextOps {
     * space (ubiquitous shingles carry no discriminative weight; excluding
     * them from the metric is the textbook stop-token treatment).
     * Whole-token vectors would be useless here AND at scale: tf-idf
-    * similarity lives in the rare-feature subspace by construction. The
-    * cosine is double math after integer (tf, df) aggregates, rounded to 6
-    * so summation-order noise can't flip the threshold on either engine. */
+    * similarity lives in the rare-feature subspace by construction.
+    *
+    * Numeric design (the Ml.kmeans integer-grid discipline): the idf is
+    * quantized ONCE per distinct df — `idf_milli = round(1000·ln((N+1)/
+    * (df+1)))`, an integer both engines derive from the same exact (N, df)
+    * pair — and every downstream sum (weights `tf·idf_milli`, norms, dots)
+    * is exact int64/decimal arithmetic, so no shuffle-order-dependent
+    * double sum ever reaches the threshold. The reported score is the
+    * squared cosine on the micro grid, `cos2_micro = ⌊10⁶·dot²/(na·nb)⌋`
+    * (integer floor division — no sqrt, no float), thresholded at
+    * `round(10⁶·minScore²)`. Residual cross-engine surface: only the ≤
+    * (maxDf−minDf+1) distinct `round(1000·ln(·))` sites, each a fixed
+    * data-dependent value (1-ulp ln differences sit ~1e-10 away from any
+    * .5 boundary after the ×1000) — not a per-run summation-order race. */
   def tfidfSimilarPairs(documents: DataFrame, n: Int = 3, minDf: Long = 2,
       maxDf: Long = 100, minScore: Double = 0.1): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
@@ -344,29 +355,49 @@ object TextOps {
     val df = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df").between(minDf, maxDf))
+    // idf on the milli grid: N and df are exact integers, so both engines
+    // quantize the same transcendental at the same ≤ (maxDf−minDf+1) sites;
+    // weights tf·idf_milli are int64 from here on
     val w = tf.join(df, "gram").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("gram"),
-        (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
-          .as("w"))
+        (col("tf") * round(lit(1000d) *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+          .cast("long")).as("wq"))
       .localCheckpoint(true) // read three times: norms + both join sides
-    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
-    w.select(col("gram"), col("doc_id").as("doc_a"), col("w").as("wa"))
-      .join(w.select(col("gram"), col("doc_id").as("doc_b"), col("w").as("wb")),
+    // loud int64/decimal(38) overflow guard (the semDedup discipline): all
+    // sums are bounded by g·m² (g = max banded grams in a doc, m = max
+    // weight), and the squared-cosine numerator dot²·10⁶ by (g·m²)²·10⁶ —
+    // keep g·m² ≤ 3e15 so the sums stay in int64 and the numerator within
+    // 37 decimal digits. One k-bounded aggregate over the checkpointed w.
+    val bounds = w.groupBy("doc_id")
+      .agg(count(lit(1)).as("g"), max(abs(col("wq"))).as("m"))
+      // the guard product runs in double (53-bit mantissa ≫ the 3e15
+      // threshold's 52 bits of headroom) so the GUARD itself cannot wrap
+      .agg(max(col("g").cast("double") * col("m") * col("m")).as("gm2")).head()
+    if (!bounds.isNullAt(0))
+      require(bounds.getDouble(0) <= 3.0e15,
+        s"tfidfSimilarPairs: g·m² = ${bounds.getDouble(0)} exceeds the " +
+          "int64/decimal(38)-safe bound 3e15 — shrink the idf grid")
+    val norms = w.groupBy("doc_id").agg(sum(col("wq") * col("wq")).as("n2"))
+    val minScore2Micro = math.round(minScore * minScore * 1e6)
+    w.select(col("gram"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+      .join(w.select(col("gram"), col("doc_id").as("doc_b"), col("wq").as("wb")),
         "gram")
       .where(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")), "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")), "doc_b")
+      // zero-norm docs (every banded gram at idf 0) can't score: drop before
+      // the division rather than let ⌊x/0⌋ produce engine-specific NULLs
+      .where(col("na") > 0 && col("nb") > 0)
       .select(col("doc_a"), col("doc_b"),
-        // dot and the norms are shuffle-order-dependent double sums, so a
-        // cosine landing within an ulp of a .5e-6 rounding boundary could
-        // in principle round differently across engines and flip a pair
-        // in/out. Accepted repo convention (same as corpus_source_overlap);
-        // if this gate ever flakes, the fix is the ML ops' integer-grid
-        // quantization of the weights, not a wider margin.
-        round(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_tfidf"))
-      .where(col("cos_tfidf") >= minScore)
+        // exact integer squared cosine on the micro grid: dot² ≤ (3e15)²
+        // needs decimal(38,0) (int64 tops out at 9.2e18); DIV floors, and
+        // the DuckDB oracle replays the same arithmetic in int128
+        expr("CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000 DIV " +
+          "(CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)").as("cos2_micro"))
+      .where(col("cos2_micro") >= minScore2Micro)
       .orderBy("doc_a", "doc_b")
   }
 

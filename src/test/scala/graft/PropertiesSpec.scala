@@ -757,18 +757,15 @@ class PropertiesSpec extends AnyFunSuite {
       val docs = docs0.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
       val got = Corpus.sourceOverlap(docs.toDF("doc_id", "source", "text"), n)
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-          BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+          r.getLong(3)))
         .sorted.toSeq
       val bySrc = docs.groupBy(_._2)
         .map { case (s, g) => s -> g.map(d => gramsOf(d._3)).fold(Set.empty)(_ ++ _) }
       val want = (for {
         (a, ga) <- bySrc.toSeq; (b, gb) <- bySrc.toSeq if a < b
         shared = (ga intersect gb).size if shared >= 1
-      } yield {
-        val j = shared.toDouble / (ga.size + gb.size - shared)
-        (a, b, shared.toLong,
-          BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-      }).sorted
+      } yield (a, b, shared.toLong,
+        shared.toLong * 1000000L / (ga.size + gb.size - shared))).sorted
       assert(got == want)
     }
   }

@@ -191,8 +191,8 @@ class Round3Spec extends AnyFunSuite {
       (3L, "zz yy xx ww vv uu", "s3")
     ).toDF("doc_id", "text", "source")
     val got = Corpus.sourceOverlap(docs).collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
-    assert(got(("s1", "s2")) == 1.0) // identical shingle sets
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(got(("s1", "s2")) == 1000000L) // identical shingle sets: micro-1
     assert(!got.contains(("s1", "s3"))) // zero shared shingles: no pair row
   }
 
@@ -206,9 +206,9 @@ class Round3Spec extends AnyFunSuite {
       (4L, "zz yy xx ww vv uu tt ss")
     ).toDF("doc_id", "text")
     val got = TextOps.tfidfSimilarPairs(docs).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(got((1L, 2L)) == 1.0)
-    assert(got((3L, 4L)) == 1.0)
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 1000000L) // identical vectors: cos²·10⁶ = 10⁶
+    assert(got((3L, 4L)) == 1000000L)
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 4L)))
   }
 
