@@ -10,12 +10,33 @@ object Bench {
     // SPARK_GRAFT_CPUS pins it for reproducible small runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
+    // realistic-exchange posture (BENCH_SCALE control runs): a cluster plan
+    // pays per-partition fixed costs the local cpus-partition default
+    // hides — SPARK_GRAFT_SHUFFLE_PARTITIONS=200 SPARK_GRAFT_AQE=1 times
+    // the same queries under cluster-shaped exchanges + runtime re-plan
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // scale-curve runs (BENCH_SCALE control): a cluster reads N× data as
+    // ~N× fixed-size blocks, but the single-file TESTDATA layout reads it
+    // as ONE split until 128 MB — per-task input then grows with scale and
+    // scan-stage wall-clock scales serially, which is a harness artifact,
+    // not a plan property. Pinning e.g. 4m keeps bytes-per-task constant
+    // across scale points, the honest cluster-shaped posture.
+    val maxPartitionBytes =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // AQE stays at the session default unless explicitly pinned, so anchor
+    // comparability is unchanged when the knob is absent
+    val b = sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some(v) => b0.config("spark.sql.adaptive.enabled", v == "1")
+      case None => b0
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: fault every table into the page cache and execute the
     // signature/similarity code paths on tiny slices, so timed queries

@@ -105,8 +105,14 @@ object Dedup {
     // null text tokenizes to NULL: without the filter all null-text docs
     // collide in one (band_idx, NULL) bucket and reach the output as
     // garbage pairs with NULL n_common/n_union — every sibling variant
-    // drops them naturally (explode of NULL emits no rows)
-    val toksDf = documents.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // drops them naturally (explode of NULL emits no rows).
+    // tokenize + the k-slot signature are CPU-bound per-row work: spread an
+    // under-split scan across the cores first (the gramRows discipline;
+    // no-op on a real many-split scan) — without it the whole fingerprint
+    // stage runs on however few splits one parquet file yields, and its
+    // wall-clock scales serially with corpus size instead of with cores
+    val toksDf = Spread.toCores(documents)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(col("toks").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingles/signature each materialized ONCE per row (withColumn), then
@@ -143,7 +149,10 @@ object Dedup {
   private def simhashChunkRows(documents: DataFrame): DataFrame = {
     GraftExtensions.ensureRegistered(documents.sparkSession)
     val chunks = 4
-    documents
+    // simhash64 is the most CPU-dense per-row expression in the dedup
+    // family (per-token dual-residue hash + 64 bit-votes): spread an
+    // under-split scan first, same rationale as gramRows/minhashLsh
+    Spread.toCores(documents)
       .select(col("doc_id"),
         call_function("simhash64", tokens(col("text"))).as("fp"))
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
