@@ -158,6 +158,10 @@ class ParamGuardSpec extends AnyFunSuite {
     // band grid overrunning the signature: 9 bands × 4 rows > 32 slots
     intercept[IllegalArgumentException](
       graft.functions.GraftFunctions.minhash_bands(col("sig"), 9, 4, 32))
+    // Int-wrapping grid (65536 × 65536 = 0 in Int arithmetic): the guard
+    // must compute the product in Long or this overrun slips through
+    intercept[IllegalArgumentException](
+      graft.functions.GraftFunctions.minhash_bands(col("sig"), 65536, 65536, 32))
     intercept[IllegalArgumentException](
       graft.ops.Profile.profile(docs, Seq.empty))
     // the heap top-k operator seeds each key's heap with the first row
