@@ -739,6 +739,49 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: tfidfSimilarPairs == exact BigInt reference (integer grid)") {
+    import graft.ops.TextOps
+    val n = 3
+    def toksOf(t: String): Seq[String] = t.split("\\s+").filter(_.nonEmpty).toSeq
+    def gramsOf(toks: Seq[String]): Seq[String] =
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else (0 to toks.length - n).map(j => toks.slice(j, j + n).mkString(" "))
+    val genDoc = Gen.choose(1, 8).flatMap(m =>
+      Gen.listOfN(m, Gen.oneOf("h", "i", "j", "k")).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, genDoc), runs = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = TextOps.tfidfSimilarPairs(docs.toDF("doc_id", "text"), n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // exact replay: milli-quantized idf (HALF_UP on the identical double,
+      // the ONLY float op), then pure BigInt arithmetic end-to-end
+      val nDocs = docs.length
+      val grams = docs.map { case (id, t) => id -> gramsOf(toksOf(t)) }
+      val tf = grams.flatMap { case (id, gs) => gs.map(g => (id, g)) }
+        .groupBy(identity).map { case ((id, g), occ) => (id, g, occ.size.toLong) }
+      val df = grams.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.size.toLong }
+        .filter { case (_, d) => d >= 2 && d <= 100 }
+      val wq = tf.collect { case (id, g, t) if df.contains(g) =>
+        val idfMilli = BigDecimal(1000d * math.log((nDocs + 1).toDouble / (df(g) + 1)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        (id, g, t * idfMilli)
+      }.toSeq
+      val norms = wq.groupBy(_._1).map { case (id, ws) =>
+        id -> ws.map(w => BigInt(w._3) * w._3).sum }
+      val byGram = wq.groupBy(_._2)
+      val dots = byGram.values.flatMap { ws =>
+        for {
+          (a, _, wa) <- ws; (b, _, wb) <- ws if a < b
+        } yield ((a, b), BigInt(wa) * wb)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val want = dots.toSeq.collect {
+        case ((a, b), dot) if norms(a) > 0 && norms(b) > 0 =>
+          (a, b, (dot * dot * 1000000 / (norms(a) * norms(b))).toLong)
+      }.filter(_._3 >= 10000L).sortBy(p => (p._1, p._2))
+      assert(got == want)
+    }
+  }
+
   test("property: sourceOverlap == Scala shingle-set reference") {
     import graft.ops.Corpus
     val n = 2
