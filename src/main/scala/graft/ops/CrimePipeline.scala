@@ -113,7 +113,7 @@ object CrimePipeline {
 
   /** S4: the reference's TSV sink shape — `key TAB v1,v2,...` text rows. */
   def toTsv(df: DataFrame, keyColumn: String): DataFrame = {
-    val valueCols = df.columns.filterNot(_ == keyColumn).map(col)
+    val valueCols = df.columns.toIndexedSeq.filterNot(_ == keyColumn).map(col)
     df.select(concat_ws("\t", col(keyColumn), concat_ws(",", valueCols: _*)).as("line"))
   }
 

@@ -633,7 +633,7 @@ object Relational {
     // side while sequence(0, -1) DESCENDS on the small side
     require(salts >= 1, s"saltedJoin: salts must be >= 1, got $salts")
     val l = large.withColumn("_salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(large.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     l.join(s, Seq(key, "_salt")).drop("_salt")
   }

@@ -147,7 +147,7 @@ object SimSearch {
     }
     // greatest() requires ≥ 2 children
     val bestCell = if (codebook.length == 1) lit(codebook.head._1)
-    else greatest(codebook.map { case (cellId, cEmb) =>
+    else greatest(codebook.toIndexedSeq.map { case (cellId, cEmb) =>
       struct(round(cos(col("embedding"), typedlit(cEmb)), 6).as("c"),
         lit(-cellId).as("neg"), lit(cellId).as("id"))
     }: _*).getField("id")
