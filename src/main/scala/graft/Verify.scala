@@ -14,12 +14,22 @@ object Verify {
     // SPARK_GRAFT_CPUS pins it for reproducible small runs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val spark = SparkSession.builder()
+    // exchange-posture knobs (same contract as Bench): the invariance sweep
+    // re-runs the whole surface under shuffle.partitions=200 + AQE and
+    // hash-compares against the oracle — results must not depend on
+    // partition count or on AQE's runtime re-planning
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b = sys.env.get("SPARK_GRAFT_AQE") match {
+      case Some(v) => b0.config("spark.sql.adaptive.enabled", v == "1")
+      case None => b0
+    }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // 4 queries in flight: Spark's scheduler interleaves the jobs, roughly
