@@ -524,8 +524,19 @@ object Dedup {
     val keyed = customer.select(
       expr(s"c_custkey div $keySpan").as("block"),
       col("c_custkey"), col("c_name"))
+    // shuffle_hash, never broadcast: while the build-side ESTIMATE is under
+    // the broadcast threshold Spark (statically, or AQE at runtime) plans
+    // this self-join as a BroadcastHashJoin, and the in-block pair
+    // explosion + edit-distance verify then inherit the PROBE SCAN's split
+    // count — one ~100 MB parquet file is 1-3 splits, so the whole verify
+    // runs nearly serial (measured on the 64× replica: 3 tasks, one doing
+    // 27 s of 27.7 s total; the 128× replica crossed the threshold,
+    // shuffled, and ran the verify 6× faster on 2× the pairs). A
+    // block-hashed exchange costs one linear shuffle of (block, key, name)
+    // rows and makes the verify width `shuffle.partitions` at EVERY scale
+    // — blocks are keySpan-bounded, so per-partition build state is tiny.
     keyed.select(col("block"), col("c_custkey").as("key_a"),
-        col("c_name").as("name_a"))
+        col("c_name").as("name_a")).hint("shuffle_hash")
       .join(keyed.select(col("block"), col("c_custkey").as("key_b"),
         col("c_name").as("name_b")), "block")
       .where(col("key_a") < col("key_b"))

@@ -57,6 +57,25 @@ class Round12Spec extends AnyFunSuite {
     assert(e.getMessage.contains("int64/decimal(38)-safe"))
   }
 
+  test("blocked fuzzy linkage never broadcasts its self-join") {
+    // while the build-side ESTIMATE is under the broadcast threshold Spark
+    // plans the block self-join as BroadcastHashJoin and the in-block pair
+    // explosion + lev verify inherit the probe SCAN's split count (1-3
+    // tasks on a single parquet file) — measured 27 s of 27.7 s in one
+    // task on the 64× replica. The shuffle_hash hint pins a block-hashed
+    // exchange so verify width is shuffle.partitions at every scale.
+    val cust = (0L until 64L).map(i => (i, s"Customer#$i"))
+      .toDF("c_custkey", "c_name")
+    // assert via fuzzyLinkBlocked: it shares blockedNamePairs (ONE pair
+    // definition) with fuzzyEntityClusters, whose own final plan hides the
+    // join behind connectedComponents' eager checkpoint
+    val plan = Dedup.fuzzyLinkBlocked(cust).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the block self-join to shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"block self-join must not broadcast:\n${plan.take(1500)}")
+  }
+
   // ---- Spread engagement on the fingerprint stages -------------------------
 
   test("simhashNearDup and minhashLsh pre-spread an under-split scan") {
