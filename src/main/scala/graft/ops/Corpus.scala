@@ -191,6 +191,17 @@ object Corpus {
     * floor division over the exact counts): one integer op both engines
     * compute identically, no double division whose rounding could differ
     * cross-engine at a boundary. */
+  /** `⌊10⁶·shared/union⌋` over columns (n_shared, na, nb). union ≥
+    * n_shared ≥ 1 (a pair row exists only via a shared gram), so the
+    * divisor is never 0. The ·10⁶ blow-up runs in decimal(38) (the tfidf
+    * cos2_micro discipline), NOT int64: n_shared past 9.2e12 would wrap
+    * int64 SILENTLY under non-ANSI Spark while the DuckDB oracle errors
+    * loudly — decimal keeps any overflow loud on both engines (and the
+    * floored quotient ≤ 10⁶ always fits the BIGINT result). */
+  private[graft] def jaccardMicroExpr: org.apache.spark.sql.Column =
+    expr("CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000 DIV " +
+      "(na + nb - n_shared) AS BIGINT)")
+
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
     // bucket-then-pair (the Dedup.bucketPairs shape), not a self-join, and
     // ONE corpus-sized shuffle total: collect_set dedups per gram (no
@@ -220,10 +231,7 @@ object Corpus {
       .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
       .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
       .select(col("src_a"), col("src_b"), col("n_shared"),
-        // union ≥ n_shared ≥ 1 (a pair row exists only via a shared gram),
-        // so the divisor is never 0; n_shared·10⁶ stays inside int64 up to
-        // 9.2e12 distinct shared shingles — far past any real corpus census
-        expr("n_shared * 1000000L DIV (na + nb - n_shared)").as("jaccard_micro"))
+        jaccardMicroExpr.as("jaccard_micro"))
       .orderBy("src_a", "src_b")
   }
 

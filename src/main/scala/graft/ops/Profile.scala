@@ -307,10 +307,16 @@ object Profile {
     // percentile_disc sort-aggregate buffers all of it in one task
     // med is groups-bounded (5 rows) but costs a full ranking pass, and
     // TWO consumers read it (the MAD pass and the final census via dev) —
-    // persist so the pass runs once, not per consumer
+    // materialize once so the pass runs once, not per consumer. Eager
+    // localCheckpoint, NOT persist: a cached relation inside dev's plan
+    // would trip Rank.stableLocal's InMemoryRelation guard and force the
+    // MAD pass to materialize its ENTIRE ranked frame (full-width
+    // checkpoint of every order row) just to keep range bounds
+    // consistent; an RDD-backed 5-row checkpoint keeps dev reuse-stable
+    // and the MAD ranking fully lazy with one shared range exchange.
     val med = Rank.discPercentiles(orders, Seq("o_orderpriority"),
       "o_totalprice", Seq((1, 2)), Seq("med"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("dev", abs(col("o_totalprice") - col("med")))
     val mad = Rank.discPercentiles(dev, Seq("o_orderpriority"), "dev",

@@ -118,23 +118,20 @@ object Rank {
         s"internal/output columns (${names.mkString(", ")}); rename them first")
   }
 
-  /** Adds `rank` (1-based within group), `n` (group size) to `df`.
-    * Row-identical to
-    * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCols))`
-    * plus `count(*) over (partition by groupCols)`, with no unbounded
-    * window partition anywhere in the plan.
-    *
-    * `groupCols` may be EMPTY: then this is a scalable global contiguous
-    * index (`row_number` over the whole dataset — the ordered, gap-free id
-    * assignment `monotonically_increasing_id` does not give and a global
-    * window computes on one reducer), and the offset metadata is exactly P
-    * rows. */
-  def groupRanks(df: DataFrame, groupCols: Seq[String],
-      orderCols: Seq[Column]): DataFrame = {
+  /** Shared core of the rank-based operators: range-shuffle + local stateful
+    * rank, plus the P × |groups| offsets metadata. Returns
+    * `(local, offsets)` where `local` = input columns + (`_pid`, `_lrank`)
+    * and `offsets` = `_pid` ++ groupCols ++ (`_cnt`, `_offset`, `n`) —
+    * per-(partition, group) row count, cumulative offset in partition
+    * order, and group total. Consumers either join offsets back onto every
+    * row ([[groupRanks]]) or address specific order statistics on the
+    * metadata alone ([[discPercentiles]]). */
+  private def rankedParts(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column], extraNames: Seq[String]): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    requireFreeNames(df, Seq("_pid", "_lrank", "_offset", "rank", "n") ++
-      groupCols.indices.map(i => s"_rk_g$i"))
+    requireFreeNames(df, Seq("_pid", "_lrank", "_cnt", "_offset", "n") ++
+      extraNames ++ groupCols.indices.map(i => s"_rk_g$i"))
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val sortCols = groupCols.map(col) ++ orderCols
@@ -183,10 +180,10 @@ object Rank {
       val total = cnts.map(_._2).sum
       var acc = 0L
       val rows = cnts.map { case (pid, cnt) =>
-        val off = acc; acc += cnt; (pid, off, total)
+        val off = acc; acc += cnt; (pid, cnt, off, total)
       }
       spark.createDataFrame(rows.toIndexedSeq)
-        .toDF("_pid", "_offset", "n")
+        .toDF("_pid", "_cnt", "_offset", "n")
     } else {
       val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
       val nW = Window.partitionBy(groupCols.map(col): _*)
@@ -194,9 +191,28 @@ object Rank {
         .agg(count(lit(1)).as("_cnt"))
         .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
         .withColumn("n", sum(col("_cnt")).over(nW))
-        .select(("_pid" +: groupCols).map(col) :+ col("_offset") :+ col("n"): _*)
+        .select(("_pid" +: groupCols).map(col) :+ col("_cnt") :+
+          col("_offset") :+ col("n"): _*)
     }
-    joinOffsets(local, offsets, groupCols)
+    (local, offsets)
+  }
+
+  /** Adds `rank` (1-based within group), `n` (group size) to `df`.
+    * Row-identical to
+    * `row_number().over(Window.partitionBy(groupCols).orderBy(orderCols))`
+    * plus `count(*) over (partition by groupCols)`, with no unbounded
+    * window partition anywhere in the plan.
+    *
+    * `groupCols` may be EMPTY: then this is a scalable global contiguous
+    * index (`row_number` over the whole dataset — the ordered, gap-free id
+    * assignment `monotonically_increasing_id` does not give and a global
+    * window computes on one reducer), and the offset metadata is exactly P
+    * rows. */
+  def groupRanks(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[Column]): DataFrame = {
+    val (local, offsets) =
+      rankedParts(df, groupCols, orderCols, Seq("rank"))
+    joinOffsets(local, offsets.drop("_cnt"), groupCols)
       .withColumn("rank", (col("_offset") + col("_lrank")).cast("long"))
       .drop("_pid", "_lrank", "_offset")
   }
@@ -276,11 +292,13 @@ object Rank {
     * percentile_disc(q) is the value at in-group sorted position
     * ceil(q·n). Each requested q is a RATIONAL (num, den) so the position
     * is exact integer arithmetic — `(n·num + den − 1) div den` — with no
-    * float-threshold edge at q·n boundaries. One [[groupRanks]] pass
-    * (range shuffle + P×groups offsets) ranks the values; ties get
-    * arbitrary distinct ranks, which cannot change the value AT a
-    * position; a partial-aggregated max-when folds the ≤ |qs| hit rows
-    * per group into one row of named boundary columns.
+    * float-threshold edge at q·n boundaries. One range shuffle + local
+    * rank pass ([[rankedParts]]) orders the values; ties get arbitrary
+    * distinct positions, which cannot change the value AT a position. The
+    * positions are then resolved to (partition, local rank) ADDRESSES on
+    * the P×groups offsets metadata and broadcast back as a filter — the
+    * ranked rows are scanned once, emit ≤ |groups|·|qs| hits, and a tiny
+    * aggregate folds them into one row of named boundary columns.
     *
     * NULL values are ignored, exactly as `percentile_disc` ignores them
     * (they would otherwise shift every position). One deliberate
@@ -295,18 +313,48 @@ object Rank {
       valueCol: String, qs: Seq[(Int, Int)],
       outNames: Seq[String]): DataFrame = {
     require(qs.length == outNames.length, "one output name per percentile")
+    require(outNames.distinct.length == outNames.length,
+      s"output names must be distinct, got $outNames")
     require(qs.forall { case (num, den) => num > 0 && num < den },
       s"percentiles must be proper fractions, got $qs")
-    val ranked = groupRanks(
+    val (local, offsets) = rankedParts(
       df.select(groupCols.map(col) :+ col(valueCol): _*)
         .where(col(valueCol).isNotNull),
-      groupCols, Seq(col(valueCol)))
-    val aggs = qs.zip(outNames).map { case ((num, den), name) =>
-      max(when(expr(s"rank = (n * $num + ${den - 1}) div $den"),
-        col(valueCol))).as(name)
+      groupCols, Seq(col(valueCol)),
+      Seq("_q", "_t", "_rk_pid", "_rk_lrank") ++ outNames)
+    // address each order statistic on the P × |groups| METADATA alone:
+    // position ceil(q·n) = (n·num + den−1) div den falls inside the one
+    // (partition, group) slice whose cumulative span covers it, at local
+    // rank pos − _offset. The join back onto the ranked rows is then a
+    // broadcast FILTER producing ≤ |groups|·|qs| rows — no global rank
+    // needs to be attached to every row and no full-data aggregation
+    // follows (the previous form joined offsets onto all rows and scanned
+    // them with max-when; same answer, one full-width pass more).
+    val qArr = array(qs.zip(outNames).map { case ((num, den), name) =>
+      struct(lit(name).as("_q"),
+        expr(s"(n * $num + ${den - 1}) div $den").as("_pos"))
+    }: _*)
+    val targets = offsets
+      .select((col("_pid") +: groupCols.map(col)) :+ col("_cnt") :+
+        col("_offset") :+ explode(qArr).as("_t"): _*)
+      .where(col("_t._pos") > col("_offset") &&
+        col("_t._pos") <= col("_offset") + col("_cnt"))
+      .select((col("_pid").as("_rk_pid") +:
+        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"_rk_g$i") }) :+
+        (col("_t._pos") - col("_offset")).as("_rk_lrank") :+
+        col("_t._q").as("_q"): _*)
+    // group-key equality must be null-safe, the joinOffsets discipline
+    val cond = groupCols.indices
+      .map(i => col(groupCols(i)) <=> col(s"_rk_g$i"))
+      .foldLeft(col("_pid") === col("_rk_pid") &&
+        col("_lrank") === col("_rk_lrank"))(_ && _)
+    val hits = local.join(broadcast(targets), cond)
+      .select(groupCols.map(col) :+ col(valueCol) :+ col("_q"): _*)
+    val aggs = qs.zip(outNames).map { case (_, name) =>
+      max(when(col("_q") === name, col(valueCol))).as(name)
     }
-    if (groupCols.isEmpty) ranked.select(aggs: _*)
-    else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (groupCols.isEmpty) hits.agg(aggs.head, aggs.tail: _*)
+    else hits.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Spark's `ntile(k)` from (rank, n): the first `n mod k` buckets take

@@ -340,8 +340,23 @@ object TextOps {
     * (integer floor division — no sqrt, no float), thresholded at
     * `round(10⁶·minScore²)`. Residual cross-engine surface: only the ≤
     * (maxDf−minDf+1) distinct `round(1000·ln(·))` sites, each a fixed
-    * data-dependent value (1-ulp ln differences sit ~1e-10 away from any
-    * .5 boundary after the ×1000) — not a per-run summation-order race. */
+    * data-dependent value — not a per-run summation-order race — and a
+    * runtime guard asserts every site sits > 1e-6 from its .5 rounding
+    * boundary, so a 1-ulp libm divergence fails LOUDLY, never silently. */
+  /** Guard for one idf quantization site: `1000·ln((N+1)/(df+1))` must sit
+    * more than 1e-6 from its .5 rounding boundary, else a 1-ulp libm
+    * difference between JDK `Math.log` and the oracle engine's libm could
+    * flip `round()` at the site and diverge SILENTLY. Called per distinct
+    * (N, df) pair — ≤ (maxDf−minDf+1) sites per run. */
+  private[graft] def assertIdfSiteClear(nDocs: Long, dfv: Long): Unit = {
+    val x = 1000d * math.log((nDocs + 1).toDouble / (dfv + 1))
+    val frac = x - math.floor(x)
+    require(math.abs(frac - 0.5) > 1e-6,
+      s"tfidfSimilarPairs: idf site 1000*ln((N+1)/(df+1)) = $x at " +
+        s"(N=$nDocs, df=$dfv) is within 1e-6 of a .5 rounding boundary " +
+        "- cross-engine rounding could diverge; adjust the idf grid")
+  }
+
   def tfidfSimilarPairs(documents: DataFrame, n: Int = 3, minDf: Long = 2,
       maxDf: Long = 100, minScore: Double = 0.1): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
@@ -362,8 +377,20 @@ object TextOps {
       .select(col("doc_id"), col("gram"),
         (col("tf") * round(lit(1000d) *
             log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
-          .cast("long")).as("wq"))
+          .cast("long")).as("wq"),
+        // carried for the boundary guard below (pruned from every
+        // downstream join; costs 16 B/row in the checkpoint)
+        col("df"), col("n_docs"))
       .localCheckpoint(true) // read three times: norms + both join sides
+    // idf-grid boundary guard (engine independence of the milli
+    // quantization): each distinct 1000·ln((N+1)/(df+1)) site must sit
+    // clear of the .5 rounding boundary, else a 1-ulp libm difference
+    // between JDK Math.log and the oracle engine's libm could flip
+    // round() at that site and diverge silently. ≤ (maxDf−minDf+1)
+    // sites — checked exactly, loudly, on every run (a tiny driver job
+    // over the checkpointed weights).
+    w.select(col("n_docs"), col("df")).distinct().collect()
+      .foreach(r => assertIdfSiteClear(r.getLong(0), r.getLong(1)))
     // loud int64/decimal(38) overflow guard (the semDedup discipline): all
     // sums are bounded by g·m² (g = max banded grams in a doc, m = max
     // weight), and the squared-cosine numerator dot²·10⁶ by (g·m²)²·10⁶ —
