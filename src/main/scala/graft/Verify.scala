@@ -1,9 +1,76 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * `SPARK_GRAFT_FP=<q1,q2>` switches the named queries to AGGREGATE
+  * FINGERPRINT comparison: instead of materializing the full result (the
+  * two interval-overlap joins are inherently QUADRATIC in ScaleUp replica
+  * count — 4·10⁹ rows at 32×, which no row-level comparator can hold),
+  * the engine emits one row `(n_rows, hash_sum)` — count plus the
+  * commutative decimal(38) sum of a 56-bit md5-derived hash of each
+  * canonical row — and oracle_sql.json carries the SAME aggregation
+  * wrapped around the original oracle SQL in DuckDB syntax. Both engines
+  * stream their pair joins through the aggregate; neither materializes
+  * the quadratic output. Canonical row = columns sorted by name, each
+  * cast to a cross-engine-stable string (timestamps via epoch micros),
+  * NULL-coalesced, comma-joined. Restricted to exactly-representable
+  * column types (no float/double/decimal — their to-string formats are
+  * not cross-engine-stable); guarded loudly. */
 object Verify {
+
+  private val FpTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType, BooleanType,
+      StringType, DateType, TimestampType)
+  }
+
+  /** Engine side of the fingerprint: one row (n_rows BIGINT,
+    * hash_sum STRING). */
+  private[graft] def fingerprint(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    val bad = df.schema.fields.filterNot(f => FpTypes.contains(f.dataType))
+    require(bad.isEmpty,
+      s"fingerprint: non-exact column types ${bad.map(f => s"${f.name}:${f.dataType}").mkString(", ")} " +
+        "- the canonical string is only cross-engine-stable for integer/" +
+        "string/bool/date/timestamp columns")
+    val cols = df.schema.fields.sortBy(_.name).map { f =>
+      val base = f.dataType match {
+        case TimestampType => unix_micros(col(f.name)).cast("string")
+        case _ => col(f.name).cast("string")
+      }
+      coalesce(base, lit("NULL"))
+    }
+    val h = conv(substring(md5(concat_ws(",", cols.toIndexedSeq: _*)), 1, 14),
+      16, 10).cast("decimal(38,0)")
+    df.select(count(lit(1)).cast("long").as("n_rows"),
+      // 56-bit values summed exactly in decimal(38): ~10²⁶ at 4·10⁹ rows,
+      // 12 digits of headroom; emitted as STRING so both engines' output
+      // reprs agree byte-for-byte in the comparator
+      coalesce(sum(h).cast("string"), lit("0")).as("hash_sum"))
+  }
+
+  /** Oracle side: the same aggregation in DuckDB syntax, wrapped around
+    * the original oracle SQL; built from the ENGINE result schema so both
+    * sides canonicalize identical column orders and types. */
+  private[graft] def fingerprintOracle(inner: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.TimestampType
+    val cols = schema.fields.sortBy(_.name).map { f =>
+      val base = f.dataType match {
+        case TimestampType => s"epoch_us(${f.name})::VARCHAR"
+        case _ => s"${f.name}::VARCHAR"
+      }
+      s"coalesce($base, 'NULL')"
+    }
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      "coalesce(CAST(sum(('0x' || substr(md5(concat_ws(','," +
+      s" ${cols.mkString(", ")})), 1, 14))::BIGINT) AS VARCHAR), '0')" +
+      s" AS hash_sum FROM ($inner) fp_t"
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local iteration;
     // the driver always runs the full surface)
@@ -38,13 +105,17 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fp: Set[String] = sys.env.get("SPARK_GRAFT_FP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val res = fn(spark, sfDir)
+          val out = if (fp.contains(name)) fingerprint(res) else res
+          out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -67,7 +138,14 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // fingerprinted queries carry the WRAPPED oracle, built from the
+        // engine result schema (schema-only: no execution)
+        val sql = if (fp.contains(k))
+          fingerprintOracle(v, SparkEntry.queries(k)(spark, sfDir).schema)
+        else v
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

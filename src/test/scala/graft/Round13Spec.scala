@@ -106,6 +106,34 @@ class Round13Spec extends AnyFunSuite {
       s"targets must come back as a broadcast filter join:\n$plan")
   }
 
+  // ---- aggregate fingerprint (scaled-sweep comparator for quadratic-
+  // output queries) ---------------------------------------------------------
+
+  test("Verify.fingerprint: order-invariant, value-sensitive, null-safe") {
+    val a = Seq((1L, "x"), (2L, null: String), (3L, "z")).toDF("id", "s")
+    val fpA = Verify.fingerprint(a).head()
+    assert(fpA.getLong(0) == 3L)
+    // row order must not matter (commutative sum)
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, null: String)).toDF("id", "s")
+    assert(Verify.fingerprint(shuffled).head().getString(1) == fpA.getString(1))
+    // column order must not matter (canonical name sort)
+    val swapped = Seq(("x", 1L), (null: String, 2L), ("z", 3L)).toDF("s", "id")
+    assert(Verify.fingerprint(swapped).head().getString(1) == fpA.getString(1))
+    // one changed value must change the sum
+    val mutated = Seq((1L, "x"), (2L, null: String), (3L, "Z")).toDF("id", "s")
+    assert(Verify.fingerprint(mutated).head().getString(1) != fpA.getString(1))
+    // empty input: (0, "0"), not a NULL sum
+    val empty = a.where(lit(false))
+    val fpE = Verify.fingerprint(empty).head()
+    assert(fpE.getLong(0) == 0L && fpE.getString(1) == "0")
+  }
+
+  test("Verify.fingerprint rejects float-typed columns loudly") {
+    val d = Seq((1L, 0.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](Verify.fingerprint(d))
+    assert(e.getMessage.contains("cross-engine-stable"))
+  }
+
   test("robustOutliers: no InMemoryRelation left to trip stableLocal") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val plan = Profile.robustOutliers(orders)
