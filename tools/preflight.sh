@@ -40,14 +40,12 @@ if [ "${1:-}" = "--full" ]; then
   step "Full-inventory bench vs full anchor (sf0.1, ~10 min)"
   SPARK_GRAFT_BENCH_ALL=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -q '"metric":"total"' || rc=1
-  # the two allowed entries are the documented rank-based percentile
-  # trades (BASELINE.md): exact distributed order statistics cost more at
-  # toy scale than the value-buffering sort-aggregates they replaced
   # factor 2.0 (the verdict threshold), NOT the headline step's noise-
-  # tolerant 3.0: both allowed trades sit between 2x and 4x, and the
-  # stale-allowlist check errors if an allowed name fails to trip
-  python3 tools/bench_diff.py BENCH_FULL_ANCHOR.json bench_out.json 2.0 \
-    --allow=agg_winsorized_prices,profile_robust_outliers || rc=1
+  # tolerant 3.0. No allowlist: the round-13 anchors record the two
+  # rank-based order-statistics queries AT their distributed-plan cost
+  # (BASELINE.md "Permanent trade"), so a >2x move on any row is a real
+  # regression
+  python3 tools/bench_diff.py BENCH_FULL_ANCHOR.json bench_out.json 2.0 || rc=1
 fi
 
 echo

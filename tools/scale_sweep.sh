@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Hash-level oracle sweep at a ScaleUp-replicated scale factor: build the
+# replica (if absent), run the full Verify surface against it, and compare
+# every query against DuckDB running the same oracle SQL on the same
+# scaled parquet. The two interval-overlap joins — whose OUTPUT is
+# inherently quadratic in replica count (replicas share one time axis) —
+# are compared via the aggregate-fingerprint oracle (SPARK_GRAFT_FP):
+# count + commutative 56-bit-hash sum, streamed through the aggregate on
+# both engines, so NO query is exempt at any scale.
+#
+#   tools/scale_sweep.sh 8          # 8x verbatim replica of sf0.1
+#   tools/scale_sweep.sh 32 --salt-keys
+#
+# Engine stdout lands in /tmp/graft_sweep<N>.log; the comparator's
+# per-query lines in /tmp/graft_sweep<N>_oracle.log.
+set -u
+cd "$(dirname "$0")/.."
+COPIES="${1:?usage: scale_sweep.sh <copies> [--salt-keys]}"
+SALT="${2:-}"
+SRC="${SPARK_GRAFT_BASE_SF:-/root/testdata/sf0.1}"
+DATA="/tmp/sf0.${COPIES}${SALT:+s}"
+OUT="/tmp/graft_sweep${COPIES}${SALT:+s}"
+LOG="/tmp/graft_sweep${COPIES}${SALT:+s}.log"
+
+JO="-XX:+IgnoreUnrecognizedVMOptions"
+for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  JO="$JO --add-opens=java.base/$m=ALL-UNNAMED"
+done
+for m in jdk.internal.ref sun.nio.ch sun.nio.cs sun.security.action \
+         sun.util.calendar; do
+  JO="$JO --add-opens=java.base/$m=ALL-UNNAMED"
+done
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+
+if [ ! -f "$DATA/lineitem.parquet" ]; then
+  echo "=== building ${COPIES}x replica at $DATA ${SALT:+(salted keys)} ==="
+  java $JO -Xmx48g -cp "$CP" graft.ScaleUp "$SRC" "$DATA" "$COPIES" $SALT \
+    >"$LOG.scaleup" 2>&1 || { echo "ScaleUp failed — see $LOG.scaleup"; exit 1; }
+fi
+
+echo "=== Verify full surface at ${COPIES}x (fingerprint: interval joins) ==="
+rm -rf "$OUT"
+vrc=0
+SPARK_GRAFT_FP=join_interval_overlap,join_overlap_auto \
+  java $JO -Xmx48g -cp "$CP" graft.Verify "$DATA" "$OUT" >"$LOG" 2>&1 || vrc=$?
+if [ $vrc -ne 0 ]; then echo "Verify crashed (exit $vrc) — see $LOG"; exit 1; fi
+grep "\[verify\].*failed" "$LOG" && { echo "per-query failures above"; exit 1; }
+
+echo "=== DuckDB oracle compare on the ${COPIES}x parquet ==="
+python3 tools/check_oracle.py "$DATA" "$OUT" \
+  | tee "/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log" | tail -1
