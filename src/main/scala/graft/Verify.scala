@@ -15,9 +15,14 @@ import java.nio.file.{Files, Paths}
   * stream their pair joins through the aggregate; neither materializes
   * the quadratic output. Canonical row = columns sorted by name, each
   * cast to a cross-engine-stable string (timestamps via epoch micros),
-  * NULL-coalesced, comma-joined. Restricted to exactly-representable
-  * column types (no float/double/decimal — their to-string formats are
-  * not cross-engine-stable); guarded loudly. */
+  * then ENCODED per column as `md5(value)` with NULL → the marker `N`
+  * (not a hex string, so it aliases with no value), and the 32-hex/`N`
+  * field codes comma-joined. The per-column hash makes the canonical
+  * form injective: a value containing a comma or the literal text
+  * "NULL" cannot bleed across field boundaries (the r13 form's known
+  * aliasing hole). Restricted to exactly-representable column types
+  * (no float/double/decimal — their to-string formats are not
+  * cross-engine-stable); guarded loudly. */
 object Verify {
 
   private val FpTypes: Set[org.apache.spark.sql.types.DataType] = {
@@ -41,7 +46,10 @@ object Verify {
         case TimestampType => unix_micros(col(f.name)).cast("string")
         case _ => col(f.name).cast("string")
       }
-      coalesce(base, lit("NULL"))
+      // per-column md5 → injective canonical row: each field is exactly
+      // 32 hex chars or the 1-char non-hex NULL marker, so no value
+      // (embedded comma, literal "NULL") can alias a field boundary
+      coalesce(md5(base), lit("N"))
     }
     val h = conv(substring(md5(concat_ws(",", cols.toIndexedSeq: _*)), 1, 14),
       16, 10).cast("decimal(38,0)")
@@ -59,11 +67,14 @@ object Verify {
       schema: org.apache.spark.sql.types.StructType): String = {
     import org.apache.spark.sql.types.TimestampType
     val cols = schema.fields.sortBy(_.name).map { f =>
+      // quote identifiers: a column name needing quoting (keyword, dot,
+      // space) must not break the generated wrapper far from its cause
+      val qn = "\"" + f.name.replace("\"", "\"\"") + "\""
       val base = f.dataType match {
-        case TimestampType => s"epoch_us(${f.name})::VARCHAR"
-        case _ => s"${f.name}::VARCHAR"
+        case TimestampType => s"epoch_us($qn)::VARCHAR"
+        case _ => s"$qn::VARCHAR"
       }
-      s"coalesce($base, 'NULL')"
+      s"coalesce(md5($base), 'N')"
     }
     "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
       "coalesce(CAST(sum(('0x' || substr(md5(concat_ws(','," +
@@ -107,13 +118,23 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val fp: Set[String] = sys.env.get("SPARK_GRAFT_FP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // pre-fingerprint result schemas, captured while each query runs: the
+    // oracle-JSON writer must NOT re-invoke the builder to learn the schema
+    // (several builders do eager driver work at construction — the idf
+    // guard collect, robustOutliers' localCheckpoint — so a rebuild would
+    // silently re-execute them at full scale)
+    val fpSchemas = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
         try {
           val res = fn(spark, sfDir)
-          val out = if (fp.contains(name)) fingerprint(res) else res
+          val out = if (fp.contains(name)) {
+            fpSchemas.put(name, res.schema)
+            fingerprint(res)
+          } else res
           out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -124,6 +145,20 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracleJson(only, fp, fpSchemas))
+    spark.stop()
+  }
+
+  /** oracle_sql.json content. Fingerprinted queries carry the WRAPPED
+    * oracle, built from the schema captured during the run (NOT a builder
+    * re-invocation — several builders do eager driver work at
+    * construction). A fingerprinted query that failed has no captured
+    * schema — its inner SQL is left unwrapped; the comparator fails that
+    * query loudly anyway because its engine output directory is missing. */
+  private[graft] def oracleJson(only: Option[Set[String]], fp: Set[String],
+      fpSchemas: java.util.Map[String, org.apache.spark.sql.types.StructType])
+      : String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -136,17 +171,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) =>
-        // fingerprinted queries carry the WRAPPED oracle, built from the
-        // engine result schema (schema-only: no execution)
-        val sql = if (fp.contains(k))
-          fingerprintOracle(v, SparkEntry.queries(k)(spark, sfDir).schema)
+        val sql = if (fp.contains(k) && fpSchemas.containsKey(k))
+          fingerprintOracle(v, fpSchemas.get(k))
         else v
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

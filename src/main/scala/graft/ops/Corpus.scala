@@ -196,8 +196,12 @@ object Corpus {
     * divisor is never 0. The ·10⁶ blow-up runs in decimal(38) (the tfidf
     * cos2_micro discipline), NOT int64: n_shared past 9.2e12 would wrap
     * int64 SILENTLY under non-ANSI Spark while the DuckDB oracle errors
-    * loudly — decimal keeps any overflow loud on both engines (and the
-    * floored quotient ≤ 10⁶ always fits the BIGINT result). */
+    * loudly. Decimal(38) widens the headroom past any reachable n_shared
+    * (10⁶·n_shared hits 38 digits only at n_shared ≈ 10³², astronomically
+    * beyond any corpus); note it is NOT loud under ansi-off Spark —
+    * decimal overflow there yields NULL silently — the defense is the
+    * unreachable bound, not an error path. The floored quotient ≤ 10⁶
+    * always fits the BIGINT result. */
   private[graft] def jaccardMicroExpr: org.apache.spark.sql.Column =
     expr("CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000 DIV " +
       "(na + nb - n_shared) AS BIGINT)")

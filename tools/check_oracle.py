@@ -66,6 +66,17 @@ def rows_of(df):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # capability probe: the fingerprint-mode oracles rely on DuckDB's
+    # '0x…'::BIGINT hex cast and md5(); assert both once, up front, so an
+    # older DuckDB fails HERE with a clear message instead of deep inside
+    # a per-query compare far from the cause
+    try:
+        got = con.sql(
+            "SELECT ('0x' || substr(md5('probe'), 1, 14))::BIGINT").fetchone()[0]
+        assert isinstance(got, int) and got > 0
+    except Exception as e:
+        sys.exit(f"DuckDB capability probe failed (hex-cast/md5 needed by "
+                 f"fingerprint oracles): {type(e).__name__}: {e}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
