@@ -154,8 +154,13 @@ object Verify {
     * oracle, built from the schema captured during the run (NOT a builder
     * re-invocation — several builders do eager driver work at
     * construction). A fingerprinted query that failed has no captured
-    * schema — its inner SQL is left unwrapped; the comparator fails that
-    * query loudly anyway because its engine output directory is missing. */
+    * schema — it gets a fast-failing SENTINEL (a reference to a
+    * nonexistent column), never the raw inner SQL: the inner SQL of the
+    * interval-overlap queries is inherently quadratic (4·10⁹ rows at
+    * 32×), and a comparator that evaluates the oracle before checking the
+    * engine output directory would try to materialize it. The sentinel
+    * errors instantly in any engine, keeping the failure loud without the
+    * quadratic-execution hazard. */
   private[graft] def oracleJson(only: Option[Set[String]], fp: Set[String],
       fpSchemas: java.util.Map[String, org.apache.spark.sql.types.StructType])
       : String = {
@@ -174,9 +179,12 @@ object Verify {
     SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) =>
-        val sql = if (fp.contains(k) && fpSchemas.containsKey(k))
-          fingerprintOracle(v, fpSchemas.get(k))
-        else v
+        val sql =
+          if (fp.contains(k)) {
+            if (fpSchemas.containsKey(k)) fingerprintOracle(v, fpSchemas.get(k))
+            else "SELECT fingerprint_schema_missing_" +
+              k.replaceAll("[^A-Za-z0-9_]", "_")
+          } else v
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")
   }

@@ -70,14 +70,20 @@ class Round14Spec extends AnyFunSuite {
     assert(json.contains("md5"), json)
   }
 
-  test("oracleJson: a failed fingerprint query falls back to the inner SQL") {
+  test("oracleJson: a failed fingerprint query emits a fast-failing sentinel") {
     val k = "join_interval_overlap"
     val empty = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
     val json = Verify.oracleJson(Some(Set(k)), Set(k), empty)
-    // no captured schema (query failed) -> inner SQL verbatim, no wrapper;
-    // the comparator fails the query loudly via its missing output dir
+    // no captured schema (query failed) -> a sentinel that errors instantly
+    // (nonexistent column), NOT the raw inner SQL: the inner interval-
+    // overlap join is inherently quadratic, and a comparator that runs the
+    // oracle before checking the engine output dir must not materialize it
     assert(!json.contains("AS n_rows"), json)
-    assert(json.contains(SparkEntry.oracleSql(k).replace("\n", "\\n")
-      .replace("\"", "\\\"").take(40)), json)
+    assert(json.contains(s"fingerprint_schema_missing_$k"), json)
+    // the quadratic inner SQL is absent entirely: the only entry is the
+    // sentinel, which contains no FROM clause (escape-free assertion — the
+    // old form re-implemented Verify's JSON escaping and broke on any
+    // backslash/tab in the SQL's first 40 chars)
+    assert(!json.toLowerCase.contains("from"), json)
   }
 }

@@ -70,13 +70,19 @@ def main():
     # '0x…'::BIGINT hex cast and md5(); assert both once, up front, so an
     # older DuckDB fails HERE with a clear message instead of deep inside
     # a per-query compare far from the cause
+    # expected = int(hashlib.md5(b'probe').hexdigest()[:14], 16): the probe
+    # must return this EXACT value (explicit if/sys.exit, not assert — a
+    # bare assert is stripped under `python -O`)
+    probe_expected = 39872981717295194
     try:
         got = con.sql(
             "SELECT ('0x' || substr(md5('probe'), 1, 14))::BIGINT").fetchone()[0]
-        assert isinstance(got, int) and got > 0
     except Exception as e:
         sys.exit(f"DuckDB capability probe failed (hex-cast/md5 needed by "
                  f"fingerprint oracles): {type(e).__name__}: {e}")
+    if got != probe_expected:
+        sys.exit(f"DuckDB capability probe failed: md5/hex-cast returned "
+                 f"{got!r}, expected {probe_expected}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
