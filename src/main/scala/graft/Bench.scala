@@ -97,6 +97,17 @@ object Bench {
         // reps 2+ a warm cache and the median would report a number no
         // cold run can reproduce
         spark.catalog.clearCache()
+        // clearCache only empties the Dataset-level CacheManager;
+        // localCheckpoint(true) blocks (tfidfSimilarPairs' weight frame,
+        // robustOutliers' ranked parts, Ml's quantized grid) are RDD-level
+        // and otherwise accumulate across reps until the ContextCleaner's
+        // GC happens to fire — at replica scales the residue evicts live
+        // blocks and the later reps (so the median) pay for state no
+        // single cold run carries. Unpersisting BETWEEN reps never forces
+        // a truncated-lineage recompute: the next rep rebuilds its whole
+        // plan from the source tables.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

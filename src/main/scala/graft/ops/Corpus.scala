@@ -412,7 +412,11 @@ object Corpus {
     // vacuously false (nothing ever flags — a silently useless decontam)
     require(thrDen >= 1 && thrNum >= 0,
       s"decontaminateSemantic: need thrDen >= 1 and thrNum >= 0, got $thrNum/$thrDen")
-    val q = embeddings.select(col("vec_id"),
+    // spread before the per-row quantize + |bench|-way integer dot scoring:
+    // the single-file embeddings scan is one split at any replica scale, so
+    // un-spread the whole corpus-side scoring runs on one core (the bench
+    // collect's vec_id filter still pushes through the exchange to the scan)
+    val q = Spread.toCores(embeddings).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * 100).cast("long")).as("qv"))
     val bench = q.where(col("vec_id") < benchMaxVecId)

@@ -156,9 +156,14 @@ object Ml {
       .orderBy("cluster")
   }
 
-  /** (vec_id, qv): embeddings on the round(x·scale) integer grid. */
+  /** (vec_id, qv): embeddings on the round(x·scale) integer grid. Spread
+    * first: the interpreted-HOF quantization AND every downstream per-row
+    * centroid argmin (plus the localCheckpoint that pins this partitioning
+    * for all k-means rounds) inherit the scan's splits, and the single-file
+    * embeddings table is ONE split at any replica scale — un-spread, the
+    * whole clustering pipeline runs on one core. */
   private def quantized(embeddings: DataFrame, scale: Double = 1000d): DataFrame =
-    embeddings.select(col("vec_id"),
+    Spread.toCores(embeddings).select(col("vec_id"),
       transform(col("embedding"),
         x => round(x.cast("double") * scale).cast("long")).as("qv"))
 
@@ -192,7 +197,10 @@ object Ml {
     * carries O(|labels| · dim · partitions) — never corpus-sized. The output
     * itself is |labels| · dim rows: centroid metadata, not data. */
   def labelCentroids(embeddings: DataFrame): DataFrame =
-    embeddings
+    // spread before the per-row micro-quantize + dim-way posexplode
+    // (single-split scan would serialize the fan-out; the per-(label,dim)
+    // partial aggregate then combines map-side per spread partition)
+    Spread.toCores(embeddings)
       .select(col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000d).cast("long")).as("qv"))

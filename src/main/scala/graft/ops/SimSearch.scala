@@ -33,7 +33,14 @@ object SimSearch {
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    // Spread the CORPUS side before the per-row cosine work: the embeddings
+    // table is one parquet file, so an un-spread scan hands the whole
+    // |corpus| × |queries| scoring stage to a single task (the same
+    // single-split serialization minhashLsh hit before its r12 pre-spread).
+    // The queries side stays on the raw scan so vec_id < nQueries pushes
+    // down to the file.
+    val scored = Spread.toCores(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       // quantized to 6 decimals BEFORE ranking: ties then break on
       // neighbor_id identically in any engine, making top-k deterministic
@@ -151,7 +158,11 @@ object SimSearch {
       struct(round(cos(col("embedding"), typedlit(cEmb)), 6).as("c"),
         lit(-cellId).as("neg"), lit(cellId).as("id"))
     }: _*).getField("id")
-    embeddings.select(col("vec_id"), col("embedding"), bestCell.as("cell"))
+    // spread before the per-row argmax: nCells inlined cosines per row on a
+    // single-split scan would otherwise run on one core (codebook collect
+    // above stays on the raw scan — its vec_id filter pushes to the file)
+    Spread.toCores(embeddings)
+      .select(col("vec_id"), col("embedding"), bestCell.as("cell"))
   }
 
   /** LSH ANN top-k: candidates from `tables` independent b-bit SRP bucketings,
@@ -176,8 +187,15 @@ object SimSearch {
     // at scale); a longer row silently ignores its suffix. Both are
     // parameter/data mismatches that must surface, not degrade recall.
     // assert_true is codegen'd and returns NULL on success, so the filter
-    // keeps every valid row at one branch per row.
-    val checked = embeddings.where(assert_true(
+    // keeps every valid row at one branch per row. Spread first: the
+    // ×tables explode, the b·dim·tables-multiply SRP bucketing, and the
+    // per-candidate exact re-rank below all inherit the scan's splits, and
+    // the single-file embeddings table is ONE split — isolated 64×→128×
+    // re-times showed this stage serializing on one core (2.48×/octave)
+    // until the corpus was spread. (The queries branch re-filters
+    // vec_id < nQueries below the spread; that predicate still pushes
+    // through the round-robin exchange to the file scan.)
+    val checked = Spread.toCores(embeddings).where(assert_true(
       size(col("embedding")) === dim,
       concat(lit("lshTopK: embedding length "), size(col("embedding")),
         lit(s" != dim=$dim"))).isNull)
@@ -229,7 +247,8 @@ object SimSearch {
   def quantizedCosineAdjacent(embeddings: DataFrame): DataFrame = {
     GraftExtensions.ensureRegistered(embeddings.sparkSession)
     val asDouble = transform(col("embedding"), x => x.cast("double"))
-    val base = embeddings.select(col("vec_id"), col("embedding"),
+    // spread before the interpreted-HOF quantization (single-split scan)
+    val base = Spread.toCores(embeddings).select(col("vec_id"), col("embedding"),
       quantize8(asDouble).as("q"))
     val a = base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
       col("q").as("q_a"))
@@ -313,7 +332,10 @@ object SimSearch {
     GraftExtensions.ensureRegistered(embeddings.sparkSession)
     val flatCodebook: Seq[Seq[Long]] =
       (0 until m).flatMap(s => codebook(s).map(_.toSeq))
-    val encoded = q.select(col("vec_id"),
+    // spread before the per-row m-subspace argmin encode (single-split
+    // scan = one core otherwise; the seed/query collects above keep their
+    // pushed-down vec_id filters on the raw scan)
+    val encoded = Spread.toCores(q).select(col("vec_id"),
       call_function("pq_codes", col("qv"), lit(subDim),
         lit(seeds.length), typedlit(flatCodebook)).as("codes"))
     // ONE corpus scan for all queries: the query dimension is an exploded
@@ -385,7 +407,9 @@ object SimSearch {
     def sq(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
     // coarse route: pq_codes with ONE dim-wide subspace = nearest cell id
-    val assigned = q.withColumn("cell",
+    // (spread first — the route + m-subspace encode below are per-row
+    // multiply-heavy and would serialize on the single-split scan)
+    val assigned = Spread.toCores(q).withColumn("cell",
       element_at(call_function("pq_codes", col("qv"), lit(dim),
         lit(cellSeeds.length),
         typedlit(cellSeeds.map(_.toSeq).toSeq)), 1))
@@ -514,7 +538,10 @@ object SimSearch {
     require(c >= 0, s"rrfFusion: c must be >= 0, got $c")
     val queries = embeddings.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    // corpus side spread before the per-row cosine + L2 scoring (the
+    // bruteForceTopK single-split rationale; queries keep the pushed scan)
+    val scored = Spread.toCores(embeddings)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       // round-6 quantization before ranking: the brute-force discipline —
       // ties then break on neighbor_id identically in any engine
