@@ -4,8 +4,12 @@ session (/tmp/scalebench_<label>.json per point) plus own-JVM isolate
 re-times (/tmp/iso_r15_<query>_<label>.json, written by
 tools/isolate_octaves.sh).
 
-Usage: python3 tools/assemble_scale_json.py <recorded_round> <git_sha>
-Writes BENCH_SCALE.json in the repo root.
+Usage: python3 tools/assemble_scale_json.py <recorded_round> <git_sha> \
+           [notes.json]
+Writes BENCH_SCALE.json in the repo root. The optional notes.json is
+merged verbatim under an "adjudication" key — the place for named-cause
+write-ups of any isolate that still reads over 2.0 (task-metrics
+evidence, not hand-waving).
 """
 import glob
 import json
@@ -73,10 +77,11 @@ def main():
     out = {
         "metric": "scale_curve",
         "recorded_round": rnd,
-        "code_state": f"round-{rnd} code, all rows: every scale point and "
-            f"every isolate measured back-to-back in one session on the one "
-            f"binary built from commit {sha} (the committed round-{rnd} "
-            f"tree). No row predates any plan fix.",
+        "code_state": f"round-{rnd} code, all rows: every scale point "
+            f"measured back-to-back in one session on the one binary built "
+            f"from commit {sha} (the committed round-{rnd} tree); every "
+            f"isolate own-JVM median-of-5 on that same binary on a quiet "
+            f"machine. No row predates any plan fix.",
         "description": "Scale-curve query set at 1x (sf0.1) and ScaleUp "
             "replicas 8x (verbatim), 8xs/32xs/64xs/128xs (--salt-keys: "
             "c_name/s_name/p_brand suffixed per replica; document text "
@@ -96,6 +101,9 @@ def main():
         "totals": totals,
         "isolated_retimes": isolates,
     }
+    if len(sys.argv) > 3:
+        with open(sys.argv[3]) as f:
+            out["adjudication"] = json.load(f)
     with open("BENCH_SCALE.json", "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
