@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Convert a tools/check_oracle.py per-query log into a committed sweep
+artifact (SWEEP_<label>.json): per-query status + row counts + summary +
+provenance. Keeps the scale-sweep evidence in the repo instead of /tmp
+(the round-13 lesson: a run that isn't committed didn't happen).
+
+Usage: python3 tools/sweep_to_json.py <oracle_log> <out_json> \
+           <data_dir> <copies> <git_sha> [notes]
+"""
+import json
+import re
+import sys
+
+
+def main():
+    log, out, data_dir, copies, sha = sys.argv[1:6]
+    notes = sys.argv[6] if len(sys.argv) > 6 else None
+    queries = {}
+    n_pass = n_fail = None
+    with open(log) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            m = re.match(r"(PASS\*?|FAIL) (\S+?):? (.*)", line)
+            if m:
+                status, name, rest = m.groups()
+                rows = None
+                rm = re.search(r"\((?:rows-only, )?(\d+) rows", rest)
+                if rm:
+                    rows = int(rm.group(1))
+                entry = {"status": status, "rows": rows}
+                if "rows-only" in rest:
+                    entry["mode"] = "rows-only"
+                if status == "FAIL":
+                    entry["detail"] = rest[:400]
+                queries[name] = entry
+                continue
+            sm = re.match(r"(\d+) pass, (\d+) fail", line)
+            if sm:
+                n_pass, n_fail = int(sm.group(1)), int(sm.group(2))
+    if n_pass is None:
+        sys.exit(f"{log}: no summary line — comparator did not finish")
+    artifact = {
+        "metric": "scale_oracle_sweep",
+        "data_dir": data_dir,
+        "copies": int(copies),
+        "base_sf": "/root/testdata/sf0.1",
+        "code_sha": sha,
+        "n_pass": n_pass,
+        "n_fail": n_fail,
+        "n_queries": len(queries),
+        "queries": queries,
+    }
+    if notes:
+        artifact["notes"] = notes
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1)
+        f.write("\n")
+    print(f"{out}: {n_pass} pass, {n_fail} fail over {len(queries)} queries")
+
+
+if __name__ == "__main__":
+    main()
