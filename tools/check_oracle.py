@@ -22,6 +22,7 @@ import decimal
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -65,7 +66,36 @@ def rows_of(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # resume/skip controls for long replica-scale sweeps (a 32x sweep runs
+    # for hours; an OOM-killed comparator must not force re-running the
+    # queries that already passed):
+    #   --skip a,b,c   exclude named queries (run them separately via
+    #                  check_oracle_one.py with tuned resource pragmas)
+    #   --after NAME   only queries strictly after NAME alphabetically
+    skip, after = set(), None
+    argv = sys.argv[3:]
+    while argv:
+        if argv[0] == "--skip":
+            skip |= set(argv[1].split(","))
+            argv = argv[2:]
+        elif argv[0] == "--after":
+            after = argv[1]
+            argv = argv[2:]
+        else:
+            sys.exit(f"unknown arg: {argv[0]}")
+
+    def excluded(name):
+        return name in skip or (after is not None and name <= after)
+
     con = duckdb.connect()
+    # optional hard memory cap (e.g. DUCKDB_MEMORY_LIMIT=60GB): replica-
+    # scale sweeps on a shared box must spill rather than ride DuckDB's
+    # default 80%-of-RAM limit into the kernel OOM killer (which took out
+    # a 32x sweep at 103 GB RSS). Unset = driver-gate default behavior.
+    mem_cap = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem_cap:
+        con.execute(f"SET memory_limit='{mem_cap}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     # capability probe: the fingerprint-mode oracles rely on DuckDB's
     # '0x…'::BIGINT hex cast and md5(); assert both once, up front, so an
     # older DuckDB fails HERE with a clear message instead of deep inside
@@ -89,6 +119,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if excluded(name):
+            continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output")
@@ -129,7 +161,7 @@ def main():
     # so the array guard applies here too
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        if name in oracle:
+        if name in oracle or excluded(name):
             continue
         files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
