@@ -60,11 +60,54 @@ object Verify {
       coalesce(sum(h).cast("string"), lit("0")).as("hash_sum"))
   }
 
+  /** Strip a trailing top-level ORDER BY from the inner oracle SQL before
+    * wrapping it in the fingerprint aggregate: count + a commutative sum
+    * cannot observe row order, but DuckDB does NOT prune a subquery ORDER
+    * BY — at 32× the wrapper was sorting the 4·10⁹-row interval-join
+    * output (~150 GB of sort state) for a 1-row aggregate, past any
+    * RAM-or-temp-disk budget (the kernel OOM-killed the comparator at
+    * 103 GB RSS; the engine side is already covered by Spark's
+    * EliminateSorts rule). Conservative by construction: only an ORDER BY
+    * at paren depth 0 outside string literals counts, and it is kept when
+    * LIMIT/OFFSET/FETCH follows it (there the order IS semantic). */
+  private[graft] def stripTrailingOrderBy(sql: String): String = {
+    var depth = 0; var i = 0; var last = -1
+    var inSingle = false; var inDouble = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inSingle) { if (c == '\'') inSingle = false }
+      else if (inDouble) { if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '"'  => inDouble = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case 'o' | 'O' if depth == 0 =>
+          val boundedLeft = i == 0 || {
+            val p = sql.charAt(i - 1)
+            !Character.isLetterOrDigit(p) && p != '_'
+          }
+          if (boundedLeft && sql.regionMatches(true, i, "ORDER", 0, 5) &&
+              sql.substring(i + 5).matches("(?is)\\s+BY\\b.*")) last = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (last < 0) sql
+    else {
+      val tail = sql.substring(last)
+      if (tail.matches("(?is).*\\b(LIMIT|OFFSET|FETCH)\\b.*")) sql
+      else sql.substring(0, last).replaceAll("\\s+$", "")
+    }
+  }
+
   /** Oracle side: the same aggregation in DuckDB syntax, wrapped around
-    * the original oracle SQL; built from the ENGINE result schema so both
-    * sides canonicalize identical column orders and types. */
-  private[graft] def fingerprintOracle(inner: String,
+    * the original oracle SQL (minus its order-insensitive trailing ORDER
+    * BY); built from the ENGINE result schema so both sides canonicalize
+    * identical column orders and types. */
+  private[graft] def fingerprintOracle(rawInner: String,
       schema: org.apache.spark.sql.types.StructType): String = {
+    val inner = stripTrailingOrderBy(rawInner)
     import org.apache.spark.sql.types.TimestampType
     val cols = schema.fields.sortBy(_.name).map { f =>
       // quote identifiers: a column name needing quoting (keyword, dot,
