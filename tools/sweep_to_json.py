@@ -17,9 +17,20 @@ def main():
     notes = sys.argv[6] if len(sys.argv) > 6 else None
     queries = {}
     n_pass = n_fail = None
+    n_eval_bound = 0
     with open(log) as f:
         for line in f:
             line = line.rstrip("\n")
+            # EVAL-BOUND <name>: <detail> — the ORACLE EVALUATOR (not the
+            # engine, not the comparison) exceeded the sandbox's resource
+            # budget; recorded as its own status, distinct from a
+            # correctness FAIL, with the evidence in the detail text
+            eb = re.match(r"EVAL-BOUND (\S+?): (.*)", line)
+            if eb:
+                queries[eb.group(1)] = {
+                    "status": "EVAL-BOUND", "rows": None,
+                    "detail": eb.group(2)[:600]}
+                continue
             m = re.match(r"(PASS\*?|FAIL) (\S+?):? (.*)", line)
             if m:
                 status, name, rest = m.groups()
@@ -39,6 +50,8 @@ def main():
                 n_pass, n_fail = int(sm.group(1)), int(sm.group(2))
     if n_pass is None:
         sys.exit(f"{log}: no summary line — comparator did not finish")
+    n_eval_bound = sum(
+        1 for q in queries.values() if q["status"] == "EVAL-BOUND")
     artifact = {
         "metric": "scale_oracle_sweep",
         "data_dir": data_dir,
@@ -47,6 +60,7 @@ def main():
         "code_sha": sha,
         "n_pass": n_pass,
         "n_fail": n_fail,
+        "n_eval_bound": n_eval_bound,
         "n_queries": len(queries),
         "queries": queries,
     }
