@@ -48,5 +48,15 @@ if [ $vrc -ne 0 ]; then echo "Verify crashed (exit $vrc) — see $LOG"; exit 1; 
 grep "\[verify\].*failed" "$LOG" && { echo "per-query failures above"; exit 1; }
 
 echo "=== DuckDB oracle compare on the ${COPIES}x parquet ==="
+# DUCKDB_MEMORY_LIMIT: replica-scale oracles must spill, not ride DuckDB's
+# default 80%-of-RAM limit into the kernel OOM killer (which took out a
+# 32x sweep at 103 GB RSS). Known evaluator bound at >=32x:
+# corpus_retention_funnel's materialized-CTE oracle needs >=155 GB working
+# set — beyond this sandbox's RAM+free-disk; run it separately at the
+# largest feasible scale via
+#   tools/check_oracle_one.py <dir> <out> corpus_retention_funnel 80GB 16
+# and record it EVAL-BOUND (see SWEEP_32X.json / SCALING.md round 15).
+DUCKDB_MEMORY_LIMIT="${DUCKDB_MEMORY_LIMIT:-60GB}" \
 python3 tools/check_oracle.py "$DATA" "$OUT" \
+  ${SWEEP_SKIP:+--skip "$SWEEP_SKIP"} \
   | tee "/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log" | tail -1
