@@ -17,7 +17,6 @@ def main():
     notes = sys.argv[6] if len(sys.argv) > 6 else None
     queries = {}
     n_pass = n_fail = None
-    n_eval_bound = 0
     with open(log) as f:
         for line in f:
             line = line.rstrip("\n")
