@@ -80,4 +80,19 @@ class Round15Spec extends AnyFunSuite {
     assert(Verify.fingerprint(df).collect().toSeq
       == Verify.fingerprint(sorted).collect().toSeq)
   }
+
+  test("fingerprint over the interval join plans with no engine-side sort") {
+    // the DuckDB-side ORDER BY is stripped by fingerprintOracle; the
+    // engine side relies on Catalyst's EliminateSorts to prune the
+    // query's golden-output orderBy under the aggregate — pin that, or a
+    // Spark behavior change would silently re-introduce a 4·10⁹-row sort
+    // at replica scale
+    val df = SparkEntry.queries("join_interval_overlap")(
+      spark, "/root/testdata/sf0.001")
+    val plan = Verify.fingerprint(df).queryExecution.optimizedPlan
+    val sorts = plan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s
+    }
+    assert(sorts.isEmpty, plan.treeString.take(800))
+  }
 }
