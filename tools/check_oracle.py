@@ -95,6 +95,7 @@ def main():
     mem_cap = os.environ.get("DUCKDB_MEMORY_LIMIT")
     if mem_cap:
         con.execute(f"SET memory_limit='{mem_cap}'")
+        os.makedirs("/tmp/duck_spill", exist_ok=True)
         con.execute("SET temp_directory='/tmp/duck_spill'")
     # capability probe: the fingerprint-mode oracles rely on DuckDB's
     # '0x…'::BIGINT hex cast and md5(); assert both once, up front, so an

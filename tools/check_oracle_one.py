@@ -11,6 +11,7 @@ Usage: python3 tools/check_oracle_one.py <sfDir> <verifyOutDir> <query> \
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -30,6 +31,7 @@ def main():
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
     con.execute("SET preserve_insertion_order=false")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
