@@ -105,9 +105,13 @@ object Bench {
         // blocks and the later reps (so the median) pay for state no
         // single cold run carries. Unpersisting BETWEEN reps never forces
         // a truncated-lineage recompute: the next rep rebuilds its whole
-        // plan from the source tables.
+        // plan from the source tables. blocking = true: eviction runs
+        // OUTSIDE the timed window (t0 is taken after this line), so the
+        // synchronous wait is free — an async unpersist could still be
+        // evicting blocks when the next rep's clock starts, re-admitting
+        // exactly the cross-rep interference this cleanup exists to stop
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -68,8 +68,12 @@ object Verify {
     * RAM-or-temp-disk budget (the kernel OOM-killed the comparator at
     * 103 GB RSS; the engine side is already covered by Spark's
     * EliminateSorts rule). Conservative by construction: only an ORDER BY
-    * at paren depth 0 outside string literals counts, and it is kept when
-    * LIMIT/OFFSET/FETCH follows it (there the order IS semantic). */
+    * at paren depth 0 outside string literals AND outside SQL comments
+    * counts, and it is kept when LIMIT/OFFSET/FETCH follows it (there the
+    * order IS semantic). Comment awareness matters even though no current
+    * oracle SQL carries comments: an "ORDER BY" inside a trailing `--`
+    * line comment or a slash-star block comment would otherwise be taken
+    * as the clause start and the SQL truncated mid-comment. */
   private[graft] def stripTrailingOrderBy(sql: String): String = {
     var depth = 0; var i = 0; var last = -1
     var inSingle = false; var inDouble = false
@@ -77,6 +81,19 @@ object Verify {
       val c = sql.charAt(i)
       if (inSingle) { if (c == '\'') inSingle = false }
       else if (inDouble) { if (c == '"') inDouble = false }
+      else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        // line comment: skip to end-of-line (or end-of-string); the
+        // newline itself is ordinary whitespace, let the loop consume it
+        val nl = sql.indexOf('\n', i + 2)
+        i = if (nl < 0) sql.length - 1 else nl - 1
+      }
+      else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        // block comment: skip past the closing */; an unterminated block
+        // comment swallows the rest (matching SQL semantics — nothing
+        // after it can be a live ORDER BY either)
+        val close = sql.indexOf("*/", i + 2)
+        i = if (close < 0) sql.length - 1 else close + 1
+      }
       else c match {
         case '\'' => inSingle = true
         case '"'  => inDouble = true

@@ -59,20 +59,28 @@ def main():
             (sum(pts[b].values()) / sum(pts[a].values())) ** (1.0 / octs))
 
     isolates = {}
-    for p in sorted(glob.glob("/tmp/iso_r15_*.json")):
-        m = re.match(r"iso_r15_(.+)_(64xs|128xs)\.json",
+    for p in sorted(glob.glob("/tmp/iso_r*_*.json")):
+        m = re.match(r"iso_r\d+_(.+)_(8xs|32xs|64xs|128xs)\.json",
                      os.path.basename(p))
         if not m:
             continue
         q, lbl = m.groups()
+        if q not in queries:
+            # stale isolate from an earlier session for a query not in
+            # this suite run: skip it instead of KeyError-aborting the
+            # whole artifact assembly
+            print(f"warning: stale isolate {p} (query not in suite), "
+                  f"skipped", file=sys.stderr)
+            continue
         with open(p) as f:
             d = json.load(f)
         isolates.setdefault(q, {})[FIELD[lbl]] = r3(d["queries"][q])
     for q, row in isolates.items():
-        if "t_64x_salted" in row and "t_128x_salted" in row:
-            row["octave_64to128"] = r3(
-                row["t_128x_salted"] / row["t_64x_salted"])
-            row["suite_octave_64to128"] = queries[q]["octave_64to128"]
+        for a, b, name, lin, octs in OCTAVES:
+            fa, fb = FIELD[a], FIELD[b]
+            if fa in row and fb in row:
+                row[name] = r3((row[fb] / row[fa]) ** (1.0 / octs))
+                row["suite_" + name] = queries[q][name]
 
     out = {
         "metric": "scale_curve",

@@ -119,8 +119,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    skipped = []  # every excluded query, named in the summary: a sweep log
+    # that sweep_to_json.py ingests must not silently claim full coverage
+    # when --skip/--after carved queries out of this run
     for name in sorted(oracle):
         if excluded(name):
+            skipped.append(name)
             continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
@@ -162,7 +166,10 @@ def main():
     # so the array guard applies here too
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        if name in oracle or excluded(name):
+        if name in oracle:
+            continue
+        if excluded(name):
+            skipped.append(name)
             continue
         files = sorted(glob.glob(f"{d}/*.parquet"))
         if not files:
@@ -185,7 +192,15 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    if skipped:
+        # named, not just counted: the resume workflow is "re-run exactly
+        # these via check_oracle_one.py / --skip inversion", and the
+        # committed artifact must carry the same list
+        for name in skipped:
+            print(f"SKIP {name}: excluded by --skip/--after")
+        print(f"\n{n_pass} pass, {n_fail} fail, {len(skipped)} skipped")
+    else:
+        print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 

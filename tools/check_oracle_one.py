@@ -17,7 +17,7 @@ import sys
 import duckdb
 import pandas as pd
 
-from check_oracle import TABLES, rows_of
+from check_oracle import TABLES, ArrayColumn, rows_of
 
 
 def main():
@@ -37,14 +37,26 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    spark_df = pd.concat(
-        [pd.read_parquet(f) for f in files], ignore_index=True)
-    duck_df = con.sql(oracle[name]).df()
-    if sorted(spark_df.columns) != sorted(duck_df.columns):
-        sys.exit(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
-                 f"{sorted(duck_df.columns)}")
-    s_sorted, s_given = rows_of(spark_df)
-    d_sorted, d_given = rows_of(duck_df)
+    # same try/except structure as check_oracle.py's per-query loop: an
+    # array-typed column or a DuckDB evaluation error must surface as the
+    # parseable "FAIL <name>: ..." line the sweep logs and sweep_to_json.py
+    # expect, never as a raw traceback
+    try:
+        spark_df = pd.concat(
+            [pd.read_parquet(f) for f in files], ignore_index=True)
+        duck_df = con.sql(oracle[name]).df()
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            sys.exit(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+                     f"{sorted(duck_df.columns)}")
+        s_sorted, s_given = rows_of(spark_df)
+        d_sorted, d_given = rows_of(duck_df)
+    except ArrayColumn:
+        sys.exit(f"FAIL {name}: array-typed output column — the driver's "
+                 f"pandas comparator crashes on these (flatten to scalars)")
+    except SystemExit:
+        raise
+    except Exception as e:
+        sys.exit(f"FAIL {name}: {type(e).__name__}: {e}")
     if s_given == d_given:
         print(f"PASS {name} ({len(s_given)} rows)")
     elif s_sorted == d_sorted:

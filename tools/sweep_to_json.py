@@ -30,6 +30,15 @@ def main():
                     "status": "EVAL-BOUND", "rows": None,
                     "detail": eb.group(2)[:600]}
                 continue
+            sk = re.match(r"SKIP (\S+?): (.*)", line)
+            if sk:
+                # --skip/--after exclusions: recorded with their own status
+                # so the committed artifact cannot silently claim full
+                # coverage when the comparator only ran a subset
+                queries[sk.group(1)] = {
+                    "status": "SKIPPED", "rows": None,
+                    "detail": sk.group(2)[:200]}
+                continue
             m = re.match(r"(PASS\*?|FAIL) (\S+?):? (.*)", line)
             if m:
                 status, name, rest = m.groups()
@@ -44,13 +53,16 @@ def main():
                     entry["detail"] = rest[:400]
                 queries[name] = entry
                 continue
-            sm = re.match(r"(\d+) pass, (\d+) fail", line)
+            sm = re.match(r"(\d+) pass, (\d+) fail(?:, (\d+) skipped)?",
+                          line)
             if sm:
                 n_pass, n_fail = int(sm.group(1)), int(sm.group(2))
     if n_pass is None:
         sys.exit(f"{log}: no summary line — comparator did not finish")
     n_eval_bound = sum(
         1 for q in queries.values() if q["status"] == "EVAL-BOUND")
+    n_skipped = sum(
+        1 for q in queries.values() if q["status"] == "SKIPPED")
     artifact = {
         "metric": "scale_oracle_sweep",
         "data_dir": data_dir,
@@ -60,6 +72,7 @@ def main():
         "n_pass": n_pass,
         "n_fail": n_fail,
         "n_eval_bound": n_eval_bound,
+        "n_skipped": n_skipped,
         "n_queries": len(queries),
         "queries": queries,
     }
@@ -68,7 +81,8 @@ def main():
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
-    print(f"{out}: {n_pass} pass, {n_fail} fail over {len(queries)} queries")
+    print(f"{out}: {n_pass} pass, {n_fail} fail, {n_skipped} skipped "
+          f"over {len(queries)} queries")
 
 
 if __name__ == "__main__":
