@@ -1,0 +1,76 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Scale-adjudication probe: run ONE query once with a SparkListener and
+  * print per-stage task-time / record / shuffle / spill sums plus the
+  * job-level totals. This is the evidence a suite-octave anomaly gets
+  * judged on (the r12 blockedNamePairs and r15 sim_tfidf precedents):
+  * comparing two scale points' probes separates plan growth (task-time
+  * and shuffle volumes scale with the data) from environment draw
+  * (wall moves, work doesn't) and from serialization (one stage's max
+  * task ≈ the whole stage's task-time).
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/sf0.32s java ... graft.StageProbe <query>
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StageProbe <queryName>")
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    case class Row(name: String, var tasks: Int = 0, var taskMs: Long = 0,
+        var maxTaskMs: Long = 0, var inRecs: Long = 0, var outRecs: Long = 0,
+        var shufReadMB: Double = 0, var shufWriteMB: Double = 0,
+        var memSpillMB: Double = 0, var diskSpillMB: Double = 0)
+    val stages = mutable.LinkedHashMap[Int, Row]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        val r = stages.getOrElseUpdate(si.stageId,
+          Row(si.name.takeWhile(_ != '\n').take(60)))
+        r.tasks += si.numTasks
+        r.taskMs += m.executorRunTime
+        r.inRecs += m.inputMetrics.recordsRead
+        r.outRecs += m.shuffleWriteMetrics.recordsWritten
+        r.shufReadMB += m.shuffleReadMetrics.totalBytesRead / 1e6
+        r.shufWriteMB += m.shuffleWriteMetrics.bytesWritten / 1e6
+        r.memSpillMB += m.memoryBytesSpilled / 1e6
+        r.diskSpillMB += m.diskBytesSpilled / 1e6
+      }
+    })
+
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(spark, sfDir).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // listener events are posted asynchronously and the bus is
+    // private[spark]; a short settle is enough for a finished job's
+    // stage-completed events on a local master
+    Thread.sleep(2000)
+
+    println(f"PROBE $name rows=$n wall=$wall%.2fs sf=$sfDir")
+    println(f"${"stage"}%-8s${"tasks"}%6s${"taskSec"}%9s${"inRecs"}%12s" +
+      f"${"shufOutRecs"}%12s${"shufRdMB"}%10s${"shufWrMB"}%10s" +
+      f"${"spillMB"}%9s  name")
+    var taskSecTotal = 0.0
+    stages.toSeq.sortBy(_._1).foreach { case (id, r) =>
+      taskSecTotal += r.taskMs / 1e3
+      println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f${r.inRecs}%12d" +
+        f"${r.outRecs}%12d${r.shufReadMB}%10.1f${r.shufWriteMB}%10.1f" +
+        f"${r.memSpillMB + r.diskSpillMB}%9.1f  ${r.name}")
+    }
+    println(f"TOTAL taskSec=$taskSecTotal%.1f wall=$wall%.2f " +
+      f"parallelism=${taskSecTotal / wall}%.1f")
+    spark.stop()
+  }
+}
