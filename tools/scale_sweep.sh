@@ -50,13 +50,22 @@ grep "\[verify\].*failed" "$LOG" && { echo "per-query failures above"; exit 1; }
 echo "=== DuckDB oracle compare on the ${COPIES}x parquet ==="
 # DUCKDB_MEMORY_LIMIT: replica-scale oracles must spill, not ride DuckDB's
 # default 80%-of-RAM limit into the kernel OOM killer (which took out a
-# 32x sweep at 103 GB RSS). Known evaluator bound at >=32x:
-# corpus_retention_funnel's materialized-CTE oracle needs >=155 GB working
-# set — beyond this sandbox's RAM+free-disk; run it separately at the
-# largest feasible scale via
-#   tools/check_oracle_one.py <dir> <out> corpus_retention_funnel 80GB 16
-# and record it EVAL-BOUND (see SWEEP_32X.json / SCALING.md round 15).
+# 32x sweep at 103 GB RSS).
+# SWEEP_STAGED (default corpus_retention_funnel): WITH-chain oracles whose
+# MONOLITHIC evaluation DuckDB cannot hold at replica scale (the funnel's
+# one-shot chain needs >=155 GB at 32x because every CTE materializes
+# simultaneously) run through tools/staged_oracle.py instead — the SAME
+# committed SQL, parsed and executed one disk-backed stage at a time
+# (32x: 57 s in 48 GB). Their PASS/FAIL lines append to the same log.
+SWEEP_STAGED="${SWEEP_STAGED-corpus_retention_funnel}"
+OLOG="/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log"
 DUCKDB_MEMORY_LIMIT="${DUCKDB_MEMORY_LIMIT:-60GB}" \
 python3 tools/check_oracle.py "$DATA" "$OUT" \
-  ${SWEEP_SKIP:+--skip "$SWEEP_SKIP"} \
-  | tee "/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log" | tail -1
+  --skip "${SWEEP_STAGED}${SWEEP_SKIP:+,$SWEEP_SKIP}" \
+  | tee "$OLOG" | tail -1
+for q in ${SWEEP_STAGED//,/ }; do
+  echo "=== staged oracle: $q ==="
+  python3 tools/staged_oracle.py "$DATA" "$OUT" "$q" \
+    "${DUCKDB_MEMORY_LIMIT:-48GB}" 16 2>"/tmp/graft_staged_${q}.log" \
+    | tee -a "$OLOG"
+done

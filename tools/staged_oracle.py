@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Staged evaluator for monolithic WITH-chain oracles whose one-shot
+working set exceeds the sandbox (corpus_retention_funnel at 32x: DuckDB
+materializes every CTE of the chain simultaneously and needs >=155 GB;
+the ENGINE ran the same funnel in a 48 GB JVM). This runs the SAME
+committed oracle SQL — parsed, not re-written, so the staged form cannot
+drift from oracle_sql.json — as a sequence of disk-backed CREATE TABLE
+statements in CTE order, DROPping each table as soon as no later body
+references it. Per-stage peak is then one operator pipeline, the same
+bound the engine's own stage-by-stage shuffle execution enjoys.
+
+A recursive CTE (one whose body references its own name) is materialized
+by re-wrapping just that body in WITH RECURSIVE over the
+already-materialized predecessor tables.
+
+Usage: python3 tools/staged_oracle.py <sfDir> <verifyOutDir> <query> \
+           [memory_limit] [threads] [--selfcheck]
+
+--selfcheck additionally runs the monolithic SQL as-is and asserts the
+staged result matches it (use at small sf to prove the transformation is
+identity before trusting it at replica scale).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+import duckdb
+import pandas as pd
+
+from check_oracle import TABLES, ArrayColumn, rows_of
+
+
+def split_ctes(sql):
+    """Parse 'WITH [RECURSIVE] n1[(cols)] AS (b1), n2 AS (b2), ... final'
+    into ([(name, cols_or_None, body)], final_select). Depth/quote-aware;
+    returns ([], sql) when the SQL has no top-level WITH chain."""
+    m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I | re.S)
+    if not m:
+        return [], sql
+    i = m.end()
+    ctes = []
+    while True:
+        h = re.match(r"\s*([A-Za-z_]\w*)\s*(\(([^)]*)\))?\s+AS\s*\(",
+                     sql[i:], re.I | re.S)
+        if not h:
+            break
+        name, cols = h.group(1), h.group(3)
+        j = i + h.end()  # just past the opening paren of the body
+        depth = 1
+        in_s = in_d = False
+        while j < len(sql) and depth > 0:
+            c = sql[j]
+            if in_s:
+                in_s = c != "'"
+            elif in_d:
+                in_d = c != '"'
+            elif c == "'":
+                in_s = True
+            elif c == '"':
+                in_d = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        body = sql[i + h.end():j - 1]
+        ctes.append((name, cols, body))
+        k = re.match(r"\s*,", sql[j:])
+        if not k:
+            return ctes, sql[j:]
+        i = j + k.end()
+    return ctes, sql[i:]
+
+
+def references(name, later_sql):
+    """Word-boundary scan; false positives only KEEP a table longer
+    (safe), a true reference always matches."""
+    return re.search(rf"\b{re.escape(name)}\b", later_sql) is not None
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--selfcheck"]
+    selfcheck = "--selfcheck" in sys.argv
+    sf_dir, out_dir, name = args[0], args[1], args[2]
+    mem = args[3] if len(args) > 3 else "48GB"
+    threads = int(args[4]) if len(args) > 4 else 16
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracle[name]
+    ctes, final = split_ctes(sql)
+    if not ctes:
+        sys.exit(f"FAIL {name}: no top-level WITH chain — use "
+                 f"check_oracle_one.py for plain oracles")
+
+    # disk-backed database: materialized stages page out instead of
+    # holding the whole chain's working set in RAM
+    db = f"/tmp/staged_{name}.duckdb"
+    for f in glob.glob(db + "*"):
+        os.remove(f)
+    con = duckdb.connect(db)
+    con.execute(f"SET memory_limit='{mem}'")
+    con.execute(f"SET threads={threads}")
+    con.execute("SET preserve_insertion_order=false")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    try:
+        live = []
+        for idx, (cte, cols, body) in enumerate(ctes):
+            if references(cte, body):  # recursive: re-wrap just this body
+                decl = f"{cte}({cols})" if cols else cte
+                stmt = (f"CREATE TABLE {cte} AS WITH RECURSIVE "
+                        f"{decl} AS ({body}) SELECT * FROM {cte}")
+            else:
+                stmt = f"CREATE TABLE {cte} AS {body}"
+            con.execute(stmt)
+            n = con.sql(f"SELECT count(*) FROM {cte}").fetchone()[0]
+            live.append(cte)
+            rest = " ".join(b for _, _, b in ctes[idx + 1:]) + " " + final
+            for t in list(live):
+                if not references(t, rest):
+                    con.execute(f"DROP TABLE {t}")
+                    live.remove(t)
+            print(f"  stage {cte}: {n} rows "
+                  f"({'live: ' + ','.join(live)})", file=sys.stderr)
+        duck_df = con.sql(final).df()
+    except Exception as e:
+        sys.exit(f"FAIL {name}: staged oracle: {type(e).__name__}: {e}")
+
+    if selfcheck:
+        try:
+            mono = con.sql(sql).df()
+        except Exception as e:
+            sys.exit(f"FAIL {name}: selfcheck monolithic run: "
+                     f"{type(e).__name__}: {e}")
+        if rows_of(duck_df)[0] != rows_of(mono)[0]:
+            sys.exit(f"FAIL {name}: staged result != monolithic result")
+        print(f"selfcheck: staged == monolithic ({len(mono)} rows)",
+              file=sys.stderr)
+
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        sys.exit(f"FAIL {name}: no spark output")
+    try:
+        spark_df = pd.concat(
+            [pd.read_parquet(f) for f in files], ignore_index=True)
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            sys.exit(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+                     f"{sorted(duck_df.columns)}")
+        s_sorted, s_given = rows_of(spark_df)
+        d_sorted, d_given = rows_of(duck_df)
+    except ArrayColumn:
+        sys.exit(f"FAIL {name}: array-typed output column — flatten to "
+                 f"scalars")
+    except SystemExit:
+        raise
+    except Exception as e:
+        sys.exit(f"FAIL {name}: {type(e).__name__}: {e}")
+    if s_given == d_given:
+        print(f"PASS {name} ({len(s_given)} rows; staged oracle)")
+    elif s_sorted == d_sorted:
+        print(f"PASS* {name} ({len(s_given)} rows; staged oracle; "
+              f"order differs)")
+    else:
+        diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
+        sys.exit(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
+                 f"{len(diff)} differing; first: "
+                 f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
+
+
+if __name__ == "__main__":
+    main()

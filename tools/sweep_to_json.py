@@ -49,6 +49,8 @@ def main():
                 entry = {"status": status, "rows": rows}
                 if "rows-only" in rest:
                     entry["mode"] = "rows-only"
+                if "staged oracle" in rest:
+                    entry["mode"] = "staged-oracle"
                 if status == "FAIL":
                     entry["detail"] = rest[:400]
                 queries[name] = entry
@@ -59,6 +61,13 @@ def main():
                 n_pass, n_fail = int(sm.group(1)), int(sm.group(2))
     if n_pass is None:
         sys.exit(f"{log}: no summary line — comparator did not finish")
+    # recount from the per-query statuses: staged-oracle PASS/FAIL lines
+    # (tools/staged_oracle.py) are appended AFTER the comparator's summary
+    # line, and a SKIP later resolved by a staged run must count as its
+    # final status, not as skipped
+    n_pass = sum(
+        1 for q in queries.values() if q["status"] in ("PASS", "PASS*"))
+    n_fail = sum(1 for q in queries.values() if q["status"] == "FAIL")
     n_eval_bound = sum(
         1 for q in queries.values() if q["status"] == "EVAL-BOUND")
     n_skipped = sum(
