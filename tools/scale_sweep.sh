@@ -59,9 +59,13 @@ echo "=== DuckDB oracle compare on the ${COPIES}x parquet ==="
 # (32x: 57 s in 48 GB). Their PASS/FAIL lines append to the same log.
 SWEEP_STAGED="${SWEEP_STAGED-corpus_retention_funnel}"
 OLOG="/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log"
+# join the two skip lists, tolerating either being empty (an empty
+# SWEEP_STAGED= disables staging; no stray ',' or '' may reach --skip)
+ALLSKIP="$(printf '%s,%s' "$SWEEP_STAGED" "${SWEEP_SKIP:-}" \
+  | sed 's/^,//; s/,$//')"
 DUCKDB_MEMORY_LIMIT="${DUCKDB_MEMORY_LIMIT:-60GB}" \
 python3 tools/check_oracle.py "$DATA" "$OUT" \
-  --skip "${SWEEP_STAGED}${SWEEP_SKIP:+,$SWEEP_SKIP}" \
+  ${ALLSKIP:+--skip "$ALLSKIP"} \
   | tee "$OLOG" | tail -1
 for q in ${SWEEP_STAGED//,/ }; do
   echo "=== staged oracle: $q ==="

@@ -20,6 +20,7 @@ Usage: python3 tools/staged_oracle.py <sfDir> <verifyOutDir> <query> \
 staged result matches it (use at small sf to prove the transformation is
 identity before trusting it at replica scale).
 """
+import atexit
 import glob
 import json
 import os
@@ -32,10 +33,47 @@ import pandas as pd
 from check_oracle import TABLES, ArrayColumn, rows_of
 
 
+def strip_comments(sql):
+    """Remove '--…EOL' and '/*…*/' spans (quote-aware): comments are
+    semantics-free, and stripping them once up front keeps the CTE-header
+    regex, the body depth-walker, and references() from ever matching
+    text inside a comment — the same hazard class
+    Verify.stripTrailingOrderBy guards against engine-side."""
+    out = []
+    i = 0
+    in_s = in_d = False
+    while i < len(sql):
+        c = sql[i]
+        if in_s:
+            in_s = c != "'"
+            out.append(c)
+        elif in_d:
+            in_d = c != '"'
+            out.append(c)
+        elif c == "-" and sql[i:i + 2] == "--":
+            nl = sql.find("\n", i + 2)
+            i = len(sql) if nl < 0 else nl  # keep the newline as whitespace
+            continue
+        elif c == "/" and sql[i:i + 2] == "/*":
+            close = sql.find("*/", i + 2)
+            i = len(sql) if close < 0 else close + 2
+            out.append(" ")  # a comment can separate tokens
+            continue
+        else:
+            if c == "'":
+                in_s = True
+            elif c == '"':
+                in_d = True
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def split_ctes(sql):
     """Parse 'WITH [RECURSIVE] n1[(cols)] AS (b1), n2 AS (b2), ... final'
     into ([(name, cols_or_None, body)], final_select). Depth/quote-aware;
     returns ([], sql) when the SQL has no top-level WITH chain."""
+    sql = strip_comments(sql)
     m = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I | re.S)
     if not m:
         return [], sql
@@ -96,8 +134,15 @@ def main():
     # disk-backed database: materialized stages page out instead of
     # holding the whole chain's working set in RAM
     db = f"/tmp/staged_{name}.duckdb"
-    for f in glob.glob(db + "*"):
-        os.remove(f)
+
+    def rm_db():
+        for f in glob.glob(db + "*"):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    rm_db()
+    atexit.register(rm_db)  # also on sys.exit(FAIL …) paths
     con = duckdb.connect(db)
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
