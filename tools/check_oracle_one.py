@@ -20,13 +20,20 @@ import pandas as pd
 from check_oracle import TABLES, ArrayColumn, rows_of
 
 
+def fail(msg):
+    """Parseable FAIL line on STDOUT (sweep logs are '... | tee'; a
+    stderr-only sys.exit string never reaches them), then exit 1."""
+    print(msg)
+    sys.exit(1)
+
+
 def main():
     sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
     mem = sys.argv[4] if len(sys.argv) > 4 else "100GB"
     threads = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
-        sys.exit(f"FAIL {name}: no spark output")
+        fail(f"FAIL {name}: no spark output")
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
@@ -39,31 +46,31 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # same try/except structure as check_oracle.py's per-query loop: an
     # array-typed column or a DuckDB evaluation error must surface as the
-    # parseable "FAIL <name>: ..." line the sweep logs and sweep_to_json.py
-    # expect, never as a raw traceback
+    # parseable "FAIL <name>: ..." line ON STDOUT (fail() above) so a
+    # '... | tee log' capture records it, never as a raw traceback
     try:
         spark_df = pd.concat(
             [pd.read_parquet(f) for f in files], ignore_index=True)
         duck_df = con.sql(oracle[name]).df()
         if sorted(spark_df.columns) != sorted(duck_df.columns):
-            sys.exit(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+            fail(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
                      f"{sorted(duck_df.columns)}")
         s_sorted, s_given = rows_of(spark_df)
         d_sorted, d_given = rows_of(duck_df)
     except ArrayColumn:
-        sys.exit(f"FAIL {name}: array-typed output column — the driver's "
+        fail(f"FAIL {name}: array-typed output column — the driver's "
                  f"pandas comparator crashes on these (flatten to scalars)")
     except SystemExit:
         raise
     except Exception as e:
-        sys.exit(f"FAIL {name}: {type(e).__name__}: {e}")
+        fail(f"FAIL {name}: {type(e).__name__}: {e}")
     if s_given == d_given:
         print(f"PASS {name} ({len(s_given)} rows)")
     elif s_sorted == d_sorted:
         print(f"PASS* {name} ({len(s_given)} rows; order differs)")
     else:
         diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
-        sys.exit(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
+        fail(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
                  f"{len(diff)} differing; first: "
                  f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
 

@@ -12,8 +12,12 @@
 #   tools/scale_sweep.sh 32 --salt-keys
 #
 # Engine stdout lands in /tmp/graft_sweep<N>.log; the comparator's
-# per-query lines in /tmp/graft_sweep<N>_oracle.log.
-set -u
+# per-query lines in /tmp/graft_sweep<N>_oracle.log. The sweep is
+# SELF-RECORDING: it ends by assembling SWEEP_<N>X[S].json in the repo
+# root via sweep_to_json.py --expect (every query must carry a status)
+# and exits nonzero on any FAIL or missing status — a completed run
+# leaves a committable artifact with no manual assembly step.
+set -uo pipefail
 cd "$(dirname "$0")/.."
 COPIES="${1:?usage: scale_sweep.sh <copies> [--salt-keys]}"
 SALT="${2:-}"
@@ -63,13 +67,31 @@ OLOG="/tmp/graft_sweep${COPIES}${SALT:+s}_oracle.log"
 # SWEEP_STAGED= disables staging; no stray ',' or '' may reach --skip)
 ALLSKIP="$(printf '%s,%s' "$SWEEP_STAGED" "${SWEEP_SKIP:-}" \
   | sed 's/^,//; s/,$//')"
+# exit codes collected, not aborted on: a FAIL in one query must not
+# stop the rest of the surface from being measured and recorded — the
+# artifact carries every status, and the sweep exits nonzero at the end.
+orc=0
 DUCKDB_MEMORY_LIMIT="${DUCKDB_MEMORY_LIMIT:-60GB}" \
 python3 tools/check_oracle.py "$DATA" "$OUT" \
   ${ALLSKIP:+--skip "$ALLSKIP"} \
-  | tee "$OLOG" | tail -1
+  | tee "$OLOG" | tail -1 || orc=$?
 for q in ${SWEEP_STAGED//,/ }; do
   echo "=== staged oracle: $q ==="
+  # staged_oracle.py prints its PASS/FAIL line on stdout (stderr carries
+  # only per-stage progress); with pipefail a staged FAIL survives tee
   python3 tools/staged_oracle.py "$DATA" "$OUT" "$q" \
     "${DUCKDB_MEMORY_LIMIT:-48GB}" 16 2>"/tmp/graft_staged_${q}.log" \
-    | tee -a "$OLOG"
+    | tee -a "$OLOG" || orc=$?
 done
+
+echo "=== assembling committed artifact ==="
+ART="SWEEP_${COPIES}X${SALT:+S}.json"
+SHA="$(git rev-parse --short HEAD)"
+python3 tools/sweep_to_json.py "$OLOG" "$ART" "$DATA" "$COPIES" "$SHA" \
+  "self-recorded by tools/scale_sweep.sh" \
+  --expect "$OUT/oracle_sql.json" || { echo "sweep INCOMPLETE: $ART has queries with no status"; exit 1; }
+if [ "$orc" -ne 0 ]; then
+  echo "sweep FAILED: comparator reported failures (see $OLOG and $ART)"
+  exit 1
+fi
+echo "sweep OK: $ART"

@@ -19,6 +19,11 @@ Usage: python3 tools/staged_oracle.py <sfDir> <verifyOutDir> <query> \
 --selfcheck additionally runs the monolithic SQL as-is and asserts the
 staged result matches it (use at small sf to prove the transformation is
 identity before trusting it at replica scale).
+
+Limitation: a CTE whose name collides with a base table/view name is
+rejected at parse time (loud FAIL) — the staged form would both misread
+legal self-shadowing (inner name = base table) as recursion and collide
+with the same-named view on CREATE TABLE.
 """
 import atexit
 import glob
@@ -31,6 +36,14 @@ import duckdb
 import pandas as pd
 
 from check_oracle import TABLES, ArrayColumn, rows_of
+
+
+def fail(msg):
+    """Parseable FAIL line on STDOUT (the sweep tees stdout into its
+    oracle log; a stderr-only exit string would be recorded as SKIPPED by
+    sweep_to_json.py), then a nonzero exit for pipefail propagation."""
+    print(msg)
+    sys.exit(1)
 
 
 def strip_comments(sql):
@@ -128,8 +141,18 @@ def main():
     sql = oracle[name]
     ctes, final = split_ctes(sql)
     if not ctes:
-        sys.exit(f"FAIL {name}: no top-level WITH chain — use "
+        fail(f"FAIL {name}: no top-level WITH chain — use "
                  f"check_oracle_one.py for plain oracles")
+    # A CTE named like a base table would (a) make references() misread
+    # the legal self-shadowing form (inner name = base table) as
+    # recursion and (b) collide with the same-named view on CREATE TABLE.
+    # Loud parse-time rejection keeps the "parsed, not rewritten, cannot
+    # drift" identity claim honest instead of silently bounding it.
+    clash = sorted({c for c, _, _ in ctes} & set(TABLES))
+    if clash:
+        fail(f"FAIL {name}: CTE name(s) {clash} shadow base table(s) — "
+             f"the staged evaluator cannot materialize these; rename the "
+             f"CTE in the oracle SQL")
 
     # disk-backed database: materialized stages page out instead of
     # holding the whole chain's working set in RAM
@@ -174,37 +197,37 @@ def main():
                   f"({'live: ' + ','.join(live)})", file=sys.stderr)
         duck_df = con.sql(final).df()
     except Exception as e:
-        sys.exit(f"FAIL {name}: staged oracle: {type(e).__name__}: {e}")
+        fail(f"FAIL {name}: staged oracle: {type(e).__name__}: {e}")
 
     if selfcheck:
         try:
             mono = con.sql(sql).df()
         except Exception as e:
-            sys.exit(f"FAIL {name}: selfcheck monolithic run: "
+            fail(f"FAIL {name}: selfcheck monolithic run: "
                      f"{type(e).__name__}: {e}")
         if rows_of(duck_df)[0] != rows_of(mono)[0]:
-            sys.exit(f"FAIL {name}: staged result != monolithic result")
+            fail(f"FAIL {name}: staged result != monolithic result")
         print(f"selfcheck: staged == monolithic ({len(mono)} rows)",
               file=sys.stderr)
 
     files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
-        sys.exit(f"FAIL {name}: no spark output")
+        fail(f"FAIL {name}: no spark output")
     try:
         spark_df = pd.concat(
             [pd.read_parquet(f) for f in files], ignore_index=True)
         if sorted(spark_df.columns) != sorted(duck_df.columns):
-            sys.exit(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+            fail(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
                      f"{sorted(duck_df.columns)}")
         s_sorted, s_given = rows_of(spark_df)
         d_sorted, d_given = rows_of(duck_df)
     except ArrayColumn:
-        sys.exit(f"FAIL {name}: array-typed output column — flatten to "
+        fail(f"FAIL {name}: array-typed output column — flatten to "
                  f"scalars")
     except SystemExit:
         raise
     except Exception as e:
-        sys.exit(f"FAIL {name}: {type(e).__name__}: {e}")
+        fail(f"FAIL {name}: {type(e).__name__}: {e}")
     if s_given == d_given:
         print(f"PASS {name} ({len(s_given)} rows; staged oracle)")
     elif s_sorted == d_sorted:
@@ -212,7 +235,7 @@ def main():
               f"order differs)")
     else:
         diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
-        sys.exit(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
+        fail(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
                  f"{len(diff)} differing; first: "
                  f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
 

@@ -5,7 +5,12 @@ provenance. Keeps the scale-sweep evidence in the repo instead of /tmp
 (the round-13 lesson: a run that isn't committed didn't happen).
 
 Usage: python3 tools/sweep_to_json.py <oracle_log> <out_json> \
-           <data_dir> <copies> <git_sha> [notes]
+           <data_dir> <copies> <git_sha> [notes] [--expect oracle_sql.json]
+
+--expect <oracle_sql.json>: assert every query in the committed oracle
+surface has a status in the artifact; exits nonzero (after writing the
+artifact, for inspection) naming any query with no recorded status — the
+r13/r16 "run-then-record" lapse class dies here, not in reviewer memory.
 """
 import json
 import re
@@ -13,8 +18,14 @@ import sys
 
 
 def main():
-    log, out, data_dir, copies, sha = sys.argv[1:6]
-    notes = sys.argv[6] if len(sys.argv) > 6 else None
+    argv = list(sys.argv[1:])
+    expect = None
+    if "--expect" in argv:
+        i = argv.index("--expect")
+        expect = argv[i + 1]
+        del argv[i:i + 2]
+    log, out, data_dir, copies, sha = argv[:5]
+    notes = argv[5] if len(argv) > 5 else None
     queries = {}
     n_pass = n_fail = None
     with open(log) as f:
@@ -87,11 +98,24 @@ def main():
     }
     if notes:
         artifact["notes"] = notes
+    missing = []
+    if expect:
+        surface = sorted(json.load(open(expect)))
+        missing = [q for q in surface if q not in queries]
+        artifact["expected_queries"] = len(surface)
+        if missing:
+            artifact["missing_status"] = missing
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
         f.write("\n")
-    print(f"{out}: {n_pass} pass, {n_fail} fail, {n_skipped} skipped "
-          f"over {len(queries)} queries")
+    print(f"{out}: {n_pass} pass, {n_fail} fail, {n_skipped} skipped, "
+          f"{n_eval_bound} eval-bound over {len(queries)} queries")
+    if missing:
+        # written-then-failed: the artifact exists for inspection but the
+        # sweep must not exit 0 while any query has no recorded status
+        sys.exit(f"{out}: {len(missing)} queries have NO status: "
+                 f"{', '.join(missing[:10])}"
+                 f"{' …' if len(missing) > 10 else ''}")
 
 
 if __name__ == "__main__":
