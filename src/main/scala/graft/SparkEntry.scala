@@ -266,6 +266,8 @@ object SparkEntry {
       graft.streaming.StreamGate.purchaseViewEndState(s, d)),
     "stream_dedup_corpus" -> ((s, d) =>
       graft.streaming.StreamGate.corpusDedupEndState(s, d)),
+    "stream_jdbc_append" -> ((s, d) =>
+      graft.streaming.StreamGate.jdbcAppendEndState(s, d)),
     "stream_late_census" -> ((s, d) =>
       graft.streaming.StreamGate.lateCensusEndState(s, d)),
     "stream_session_30m" -> ((s, d) =>
@@ -539,6 +541,40 @@ object SparkEntry {
         try java.sql.DriverManager.getConnection(
           url.replace(";create=true", ";drop=true"), "app", "app")
         catch { case _: java.sql.SQLException => }
+      }
+    }),
+    "s_bucketed_join" -> ((s, d) => {
+      // Sinks.writeBucketed gate: two co-bucketed warehouse tables joined
+      // and aggregated — the storage-level co-location strategy for
+      // repeated 100 TB fact joins (shuffle-freeness of the join is
+      // plan-asserted in SinksSpec; the write→catalog-read→join→agg path
+      // is hash-oracled here). Process-unique table names: bench and
+      // verify may run this concurrently over one warehouse dir.
+      val tag = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
+        s"_${ProcessHandle.current().pid()}"
+      val tOrd = s"gate_b_orders_$tag"
+      val tCus = s"gate_b_customer_$tag"
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        tOrd, "o_custkey", 8, Some("o_custkey"))
+      graft.sources.Sinks.writeBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        tCus, "c_custkey", 8, Some("c_custkey"))
+      try {
+        val agg = s.table(tOrd)
+          .join(s.table(tCus), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(12,2)"))
+              .cast("decimal(18,2)").cast("double").as("sum_price"))
+          .orderBy("c_mktsegment")
+        // materialize the (segment-bounded) result BEFORE dropping the
+        // managed tables the lazy plan would otherwise re-scan
+        val rows = agg.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $tOrd")
+        s.sql(s"DROP TABLE IF EXISTS $tCus")
       }
     }),
     "s1_crime_weekly" -> ((s, _) => {
@@ -1837,6 +1873,15 @@ object SparkEntry {
     "stream_dedup_ids" ->
       """SELECT event_id, ts, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // JDBC append sink end state: every slice row appended exactly once
+    // (AvailableNow drain), so the warehouse table's aggregate equals the
+    // batch answer; integer-exact measures keep Derby round-trips drift-free
+    "stream_jdbc_append" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_id % 20 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // late-data census: held-back events replay in later micro-batches;
     // the second replay (id % 40 == 20) is filtered against the watermark
     // derived from the on-time batch, max(on-time ts) - 7 days
@@ -3470,6 +3515,13 @@ object SparkEntry {
       """SELECT CAST(row_number() OVER (ORDER BY name) AS INT) AS category_id, name
         |FROM (SELECT DISTINCT o_orderpriority AS name FROM orders WHERE o_orderpriority IS NOT NULL)
         |ORDER BY category_id""".stripMargin,
+    // the bucketed write must be content-transparent: the co-located join
+    // over the bucketed tables must equal the same join on the raw parquet
+    "s_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s1_crime_weekly" -> {
       val cs = (0 to 16)
         .map(b => s"""count(*) FILTER (WHERE b = $b) AS c$b""")

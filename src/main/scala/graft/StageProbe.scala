@@ -33,37 +33,65 @@ object StageProbe {
         var shufReadMB: Double = 0, var shufWriteMB: Double = 0,
         var memSpillMB: Double = 0, var diskSpillMB: Double = 0)
     val stages = mutable.LinkedHashMap[Int, Row]()
+    // completion records vs submission count: the drain condition below
+    // needs to know how many stage-completed events are still owed
+    val submitted = new java.util.concurrent.atomic.AtomicInteger
+    val completed = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        submitted.incrementAndGet()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        val r = stages.getOrElseUpdate(si.stageId,
-          Row(si.name.takeWhile(_ != '\n').take(60)))
-        r.tasks += si.numTasks
-        r.taskMs += m.executorRunTime
-        r.inRecs += m.inputMetrics.recordsRead
-        r.outRecs += m.shuffleWriteMetrics.recordsWritten
-        r.shufReadMB += m.shuffleReadMetrics.totalBytesRead / 1e6
-        r.shufWriteMB += m.shuffleWriteMetrics.bytesWritten / 1e6
-        r.memSpillMB += m.memoryBytesSpilled / 1e6
-        r.diskSpillMB += m.diskBytesSpilled / 1e6
+        stages.synchronized {
+          val r = stages.getOrElseUpdate(si.stageId,
+            Row(si.name.takeWhile(_ != '\n').take(60)))
+          r.tasks += si.numTasks
+          r.taskMs += m.executorRunTime
+          r.inRecs += m.inputMetrics.recordsRead
+          r.outRecs += m.shuffleWriteMetrics.recordsWritten
+          r.shufReadMB += m.shuffleReadMetrics.totalBytesRead / 1e6
+          r.shufWriteMB += m.shuffleWriteMetrics.bytesWritten / 1e6
+          r.memSpillMB += m.memoryBytesSpilled / 1e6
+          r.diskSpillMB += m.diskBytesSpilled / 1e6
+        }
+        completed.incrementAndGet()
       }
     })
 
     val t0 = System.nanoTime()
     val n = SparkEntry.queries(name)(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
-    // listener events are posted asynchronously and the bus is
-    // private[spark]; a short settle is enough for a finished job's
-    // stage-completed events on a local master
-    Thread.sleep(2000)
+    // listener events post asynchronously on a private[spark] bus. A fixed
+    // sleep dropped late events on loaded machines and silently
+    // under-reported the totals this probe exists to adjudicate; instead,
+    // wait until every submitted stage has its completion record AND the
+    // counters have been quiet for a grace period (submission/completion
+    // flow through one ordered queue, so completed catching up to
+    // submitted means the drain reached this job's tail), with a hard
+    // deadline + loud warning if the bus never settles.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var lastChange = System.nanoTime()
+    var snap = (submitted.get(), completed.get())
+    while (System.nanoTime() < deadline &&
+        (completed.get() < submitted.get() ||
+          System.nanoTime() - lastChange < 1500L * 1000 * 1000)) {
+      Thread.sleep(100)
+      val cur = (submitted.get(), completed.get())
+      if (cur != snap) { snap = cur; lastChange = System.nanoTime() }
+    }
+    if (completed.get() < submitted.get())
+      println(s"WARN probe totals may be INCOMPLETE: ${completed.get()} " +
+        s"stage-completed events vs ${submitted.get()} submissions after " +
+        "a 30s drain deadline")
 
     println(f"PROBE $name rows=$n wall=$wall%.2fs sf=$sfDir")
     println(f"${"stage"}%-8s${"tasks"}%6s${"taskSec"}%9s${"inRecs"}%12s" +
       f"${"shufOutRecs"}%12s${"shufRdMB"}%10s${"shufWrMB"}%10s" +
       f"${"spillMB"}%9s  name")
     var taskSecTotal = 0.0
-    stages.toSeq.sortBy(_._1).foreach { case (id, r) =>
+    stages.synchronized(stages.toSeq).sortBy(_._1).foreach { case (id, r) =>
       taskSecTotal += r.taskMs / 1e3
       println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f${r.inRecs}%12d" +
         f"${r.outRecs}%12d${r.shufReadMB}%10.1f${r.shufWriteMB}%10.1f" +

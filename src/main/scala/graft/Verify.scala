@@ -112,10 +112,44 @@ object Verify {
     }
     if (last < 0) sql
     else {
-      val tail = sql.substring(last)
+      // the keep-when-LIMIT/OFFSET/FETCH-follows scan runs over a
+      // comment-and-literal-blanked view of the tail, mirroring the main
+      // scan's awareness: "ORDER BY a -- limit removed" (or a literal
+      // containing LIMIT) must not retain the no-op sort, and a quoted
+      // identifier "limit" is not the keyword
+      val tail = blankCommentsAndLiterals(sql.substring(last))
       if (tail.matches("(?is).*\\b(LIMIT|OFFSET|FETCH)\\b.*")) sql
       else sql.substring(0, last).replaceAll("\\s+$", "")
     }
+  }
+
+  /** Blank SQL comments and the CONTENTS of string literals / quoted
+    * identifiers (delimiters kept, interiors replaced by spaces) so a
+    * keyword scan over the result can only match live SQL. */
+  private[graft] def blankCommentsAndLiterals(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0; var inS = false; var inD = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) {
+        if (c == '\'') { inS = false; out.append(c) } else out.append(' ')
+        i += 1
+      } else if (inD) {
+        if (c == '"') { inD = false; out.append(c) } else out.append(' ')
+        i += 1
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        val nl = s.indexOf('\n', i + 2)
+        i = if (nl < 0) s.length else nl // the newline survives as whitespace
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        out.append(' ') // a comment can separate tokens
+        i = if (close < 0) s.length else close + 2
+      } else {
+        if (c == '\'') inS = true else if (c == '"') inD = true
+        out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** Oracle side: the same aggregation in DuckDB syntax, wrapped around

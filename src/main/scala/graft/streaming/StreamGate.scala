@@ -249,6 +249,60 @@ object StreamGate {
     readEnd(spark, out, ds.schema).select("doc_id").orderBy("doc_id")
   }
 
+  /** [[Streaming.jdbcAppendSink]] end state — the `LoadStarDB` warehouse
+    * load (`LoadStarDB.java:86-103`) in its INCREMENTAL form, gate-covered
+    * like the batch `s_jdbc_roundtrip`: stream a deterministic 5% slice of
+    * `events` through the foreachBatch JDBC append sink into an
+    * embedded-Derby table, read it back through the JDBC source, and
+    * aggregate with integer-exact measures. AvailableNow drains the bounded
+    * source and every micro-batch appends exactly once, so the table's end
+    * state equals the batch answer and the oracle is the batch SQL. The 5%
+    * event-id slice keeps the row-at-a-time JDBC surface proportionate at
+    * replica scale (a production load fans out over executors; Derby here
+    * stands in for the warehouse like the reference's MySQL). */
+  def jdbcAppendEndState(spark: SparkSession, dir: String): DataFrame = {
+    // process- AND run-unique scratch db: bench and verify run this
+    // concurrently, and a repeated in-process run must never APPEND into a
+    // previous run's surviving rows (the batch gate overwrites; this one
+    // cannot)
+    val url = "jdbc:derby:memory:graftgate_stream_" +
+      s"${ProcessHandle.current().pid()}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val src = eventsStream(spark, dir)
+      .where(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val props = new java.util.Properties()
+    props.setProperty("user", "app"); props.setProperty("password", "app")
+    // an EMPTY bounded source fires zero micro-batches under AvailableNow,
+    // so the sink's first append would never create the table and the
+    // read-back would throw — pre-create the DDL by appending the slice's
+    // 0-row prefix through the same JDBC writer (the streaming analog of
+    // StreamGate.readEnd's missing-dir handling)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        src.schema.add("batch_id", org.apache.spark.sql.types.LongType))
+      .write.mode("append").jdbc(url, "events_fact", props)
+    run(Streaming.jdbcAppendSink(src, url, "events_fact", "app", "app"))
+    try {
+      // the JDBC scan is lazy — materialize the (event-type-bounded)
+      // aggregate BEFORE dropping the scratch db, same discipline as
+      // s_jdbc_roundtrip
+      val agg = spark.read.jdbc(url, "events_fact", props)
+        .groupBy(col("event_type").cast("string").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("event_id")).cast("long").as("id_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+      val rows = agg.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), agg.schema)
+    } finally {
+      // Derby signals a successful in-memory drop with SQLException 08006
+      try java.sql.DriverManager.getConnection(
+        url.replace(";create=true", ";drop=true"), "app", "app")
+      catch { case _: java.sql.SQLException => }
+    }
+  }
+
   /** [[Streaming.topKPerKey]] end state: the LIVE leaderboard per key = the
     * key's latest emitted snapshot. Each appended snapshot is stamped with
     * its micro-batch id inside `foreachBatch` (the exactly-once key a
