@@ -100,6 +100,57 @@ with tempfile.TemporaryDirectory() as td:
           d["queries"]["q_d"] == {"status": "PASS", "rows": 7,
                                   "mode": "staged-oracle"})
 
+# --- sweep_to_json --expect coverage gate (r17) -----------------------
+with tempfile.TemporaryDirectory() as td:
+    log = os.path.join(td, "log.txt")
+    out = os.path.join(td, "out.json")
+    exp = os.path.join(td, "oracle_sql.json")
+    with open(log, "w") as f:
+        f.write("PASS q_a (5 rows)\n\n1 pass, 0 fail\n")
+    with open(exp, "w") as f:
+        json.dump({"q_a": "SELECT 1", "q_missing": "SELECT 2"}, f)
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "sweep_to_json.py")
+    r = subprocess.run(
+        [sys.executable, tool, log, out, "/tmp/x", "8", "sha",
+         "--expect", exp], capture_output=True, text=True)
+    check("--expect: missing status exits nonzero", r.returncode != 0)
+    check("--expect: missing query named", "q_missing" in r.stderr + r.stdout)
+    d = json.load(open(out))
+    check("--expect: artifact still written with missing_status",
+          d.get("missing_status") == ["q_missing"])
+    # full coverage -> exit 0, no missing_status key
+    with open(exp, "w") as f:
+        json.dump({"q_a": "SELECT 1"}, f)
+    r = subprocess.run(
+        [sys.executable, tool, log, out, "/tmp/x", "8", "sha",
+         "--expect", exp], capture_output=True, text=True)
+    check("--expect: full coverage exits 0", r.returncode == 0)
+    check("--expect: no missing_status on full coverage",
+          "missing_status" not in json.load(open(out)))
+
+# --- staged_oracle FAIL lines reach STDOUT (r17: a stderr-only exit
+# string was recorded as SKIPPED by the tee'd sweep log) ----------------
+with tempfile.TemporaryDirectory() as td:
+    with open(os.path.join(td, "oracle_sql.json"), "w") as f:
+        json.dump({"q_plain": "SELECT 1",
+                   "q_shadow": "WITH nation AS (SELECT 1 AS x) "
+                               "SELECT * FROM nation"}, f)
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "staged_oracle.py")
+    r = subprocess.run(
+        [sys.executable, tool, "/tmp/nonexistent_sf", td, "q_plain"],
+        capture_output=True, text=True)
+    check("staged: non-WITH oracle rejected nonzero", r.returncode != 0)
+    check("staged: FAIL line on stdout", r.stdout.startswith("FAIL q_plain"))
+    r = subprocess.run(
+        [sys.executable, tool, "/tmp/nonexistent_sf", td, "q_shadow"],
+        capture_output=True, text=True)
+    check("staged: base-table-shadowing CTE rejected nonzero",
+          r.returncode != 0)
+    check("staged: shadowing FAIL on stdout names the table",
+          r.stdout.startswith("FAIL q_shadow") and "nation" in r.stdout)
+
 if n_fail:
     print(f"\nselftest: {n_fail} FAILED")
     sys.exit(1)
