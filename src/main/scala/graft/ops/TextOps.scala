@@ -130,15 +130,19 @@ object TextOps {
   /** Gopher/C4-style repetition stats: the fraction of duplicated word
     * n-grams per document (`1 − distinct/total`) for 2- and 3-grams — the
     * repetition filter a quality pipeline applies after [[qualityScore]].
-    * Zero-shuffle per-row column math; the ratios are exact IEEE divisions
-    * of two ints, identical in any engine. */
+    * Per-row column math; the ratios are exact IEEE divisions of two
+    * ints, identical in any engine. [[Spread.toCores]] first: the work is
+    * ~ms per row (four shingle constructions + two array_distincts), so a
+    * single-split scan runs the whole corpus serial on one core — found
+    * live at 128× (640 k docs: >25 min serial, the r12/r15 single-split
+    * defect class), not a theoretical risk. */
   def repetitionStats(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     def dupRatio(n: Int): Column = {
       val g = shingles(toks, n)
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
     }
-    documents
+    Spread.toCores(documents)
       .select(col("doc_id"), size(toks).as("n_tokens"),
         size(shingles(toks, 2)).as("n_2grams"),
         dupRatio(2).as("dup_2gram_ratio"),
