@@ -87,16 +87,28 @@ def main():
     def excluded(name):
         return name in skip or (after is not None and name <= after)
 
-    con = duckdb.connect()
     # optional hard memory cap (e.g. DUCKDB_MEMORY_LIMIT=60GB): replica-
     # scale sweeps on a shared box must spill rather than ride DuckDB's
     # default 80%-of-RAM limit into the kernel OOM killer (which took out
     # a 32x sweep at 103 GB RSS). Unset = driver-gate default behavior.
     mem_cap = os.environ.get("DUCKDB_MEMORY_LIMIT")
-    if mem_cap:
-        con.execute(f"SET memory_limit='{mem_cap}'")
-        os.makedirs("/tmp/duck_spill", exist_ok=True)
-        con.execute("SET temp_directory='/tmp/duck_spill'")
+
+    def fresh_con():
+        """One connection PER QUERY: a single long-lived connection
+        accumulates allocation across replica-scale queries — at 128× it
+        OOM'd 11 mid-sweep queries that pass in a fresh process under the
+        identical cap. Per-query setup is ten CREATE VIEWs, microseconds."""
+        c = duckdb.connect()
+        if mem_cap:
+            c.execute(f"SET memory_limit='{mem_cap}'")
+            os.makedirs("/tmp/duck_spill", exist_ok=True)
+            c.execute("SET temp_directory='/tmp/duck_spill'")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    con = fresh_con()
     # capability probe: the fingerprint-mode oracles rely on DuckDB's
     # '0x…'::BIGINT hex cast and md5(); assert both once, up front, so an
     # older DuckDB fails HERE with a clear message instead of deep inside
@@ -114,9 +126,7 @@ def main():
     if got != probe_expected:
         sys.exit(f"DuckDB capability probe failed: md5/hex-cast returned "
                  f"{got!r}, expected {probe_expected}")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con.close()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     skipped = []  # every excluded query, named in the summary: a sweep log
@@ -134,7 +144,11 @@ def main():
         try:
             spark_df = pd.concat(
                 [pd.read_parquet(f) for f in files], ignore_index=True)
-            duck_df = con.sql(oracle[name]).df()
+            qcon = fresh_con()
+            try:
+                duck_df = qcon.sql(oracle[name]).df()
+            finally:
+                qcon.close()
             s_names = sorted(spark_df.columns)
             d_names = sorted(duck_df.columns)
             if s_names != d_names:
