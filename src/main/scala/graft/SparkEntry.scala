@@ -548,10 +548,13 @@ object SparkEntry {
       // and aggregated — the storage-level co-location strategy for
       // repeated 100 TB fact joins (shuffle-freeness of the join is
       // plan-asserted in SinksSpec; the write→catalog-read→join→agg path
-      // is hash-oracled here). Process-unique table names: bench and
-      // verify may run this concurrently over one warehouse dir.
+      // is hash-oracled here). Run-unique table names (pid + UUID, same
+      // discipline as jdbcAppendEndState): two concurrent invocations in
+      // ONE JVM must not collide on the catalog name, and a crash between
+      // write and the finally-drop must not poison the next run.
       val tag = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}" +
-        s"_${ProcessHandle.current().pid()}"
+        s"_${ProcessHandle.current().pid()}" +
+        s"_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val tOrd = s"gate_b_orders_$tag"
       val tCus = s"gate_b_customer_$tag"
       graft.sources.Sinks.writeBucketed(
@@ -565,8 +568,13 @@ object SparkEntry {
           .join(s.table(tCus), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
+            // decimal(28,2) intermediate: Spark's sum over decimal(12,2)
+            // is decimal(22,2), so the widening cast can NEVER overflow —
+            // the former decimal(18,2) narrowing diverged on overflow
+            // (non-ANSI Spark → NULL, DuckDB → error) once a segment's
+            // price sum crossed 10^16 (~4 orders above tested replicas)
             sum(col("o_totalprice").cast("decimal(12,2)"))
-              .cast("decimal(18,2)").cast("double").as("sum_price"))
+              .cast("decimal(28,2)").cast("double").as("sum_price"))
           .orderBy("c_mktsegment")
         // materialize the (segment-bounded) result BEFORE dropping the
         // managed tables the lazy plan would otherwise re-scan
@@ -3519,7 +3527,7 @@ object SparkEntry {
     // over the bucketed tables must equal the same join on the raw parquet
     "s_bucketed_join" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "s1_crime_weekly" -> {

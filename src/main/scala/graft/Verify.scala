@@ -132,11 +132,21 @@ object Verify {
     while (i < s.length) {
       val c = s.charAt(i)
       if (inS) {
-        if (c == '\'') { inS = false; out.append(c) } else out.append(' ')
-        i += 1
+        // '' is SQL's escaped quote INSIDE a literal, not close-then-open:
+        // both chars stay part of the (blanked) literal. Backslash is
+        // deliberately NOT an escape here — the scanned strings are
+        // DuckDB-dialect oracle SQL, where 'a\' is a complete literal
+        // ending in a backslash; treating \' as an escape would misparse it
+        if (c == '\'' && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          out.append("  "); i += 2
+        } else if (c == '\'') { inS = false; out.append(c); i += 1 }
+        else { out.append(' '); i += 1 }
       } else if (inD) {
-        if (c == '"') { inD = false; out.append(c) } else out.append(' ')
-        i += 1
+        // "" is the escaped quote inside a quoted identifier, same rule
+        if (c == '"' && i + 1 < s.length && s.charAt(i + 1) == '"') {
+          out.append("  "); i += 2
+        } else if (c == '"') { inD = false; out.append(c); i += 1 }
+        else { out.append(' '); i += 1 }
       } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         val nl = s.indexOf('\n', i + 2)
         i = if (nl < 0) s.length else nl // the newline survives as whitespace

@@ -22,8 +22,20 @@ def main():
     expect = None
     if "--expect" in argv:
         i = argv.index("--expect")
+        # validate the operand exists: `--expect` as the LAST argument must
+        # be a usage error, not an IndexError; and since positionals are
+        # consumed by slice below, a notes value literally equal to
+        # "--expect" would otherwise be misparsed as the flag
+        if i + 1 >= len(argv):
+            sys.exit("usage: sweep_to_json.py <oracle_log> <out_json> "
+                     "<data_dir> <copies> <git_sha> [notes] "
+                     "[--expect oracle_sql.json] — --expect needs a path")
         expect = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 5:
+        sys.exit("usage: sweep_to_json.py <oracle_log> <out_json> "
+                 "<data_dir> <copies> <git_sha> [notes] "
+                 "[--expect oracle_sql.json]")
     log, out, data_dir, copies, sha = argv[:5]
     notes = argv[5] if len(argv) > 5 else None
     queries = {}
