@@ -72,7 +72,7 @@ def main():
     #   --skip a,b,c   exclude named queries (run them separately via
     #                  check_oracle_one.py with tuned resource pragmas)
     #   --after NAME   only queries strictly after NAME alphabetically
-    skip, after = set(), None
+    skip, after, fork = set(), None, False
     argv = sys.argv[3:]
     while argv:
         if argv[0] == "--skip":
@@ -81,6 +81,18 @@ def main():
         elif argv[0] == "--after":
             after = argv[1]
             argv = argv[2:]
+        elif argv[0] == "--fork":
+            # one PROCESS per query, not just one connection: the 128x
+            # sweep proved per-query duckdb.connect() is NOT enough — the
+            # duckdb module accumulates process-wide allocation across
+            # closed connections, so a mid-sweep query OOMs ("bad
+            # allocation" at kilobyte block sizes) and the cascade ends in
+            # a segfault, while the SAME query at the SAME cap passes in a
+            # fresh process. Fork mode delegates each compare to
+            # check_oracle_one.py (identical SQL + comparison rules) and
+            # relays its stdout; a child segfault costs that one query.
+            fork = True
+            argv = argv[1:]
         else:
             sys.exit(f"unknown arg: {argv[0]}")
 
@@ -135,6 +147,28 @@ def main():
     for name in sorted(oracle):
         if excluded(name):
             skipped.append(name)
+            continue
+        if fork:
+            import subprocess
+            one = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "check_oracle_one.py")
+            r = subprocess.run(
+                [sys.executable, one, sf_dir, out_dir, name,
+                 mem_cap or "60GB"],
+                capture_output=True, text=True)
+            out = r.stdout.strip()
+            # relay the child's parseable line; a child that died without
+            # printing one (segfault, kill) still yields a FAIL line here
+            if out:
+                print(out, flush=True)
+            if r.returncode == 0 and out.startswith(("PASS", "PASS*")):
+                n_pass += 1
+            else:
+                if not out:
+                    print(f"FAIL {name}: comparator child exited "
+                          f"{r.returncode} with no output"
+                          f"{(': ' + r.stderr.strip()[-200:]) if r.stderr.strip() else ''}")
+                n_fail += 1
             continue
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:

@@ -85,8 +85,12 @@ python3 tools/check_oracle_one.py "$DATA" "$OUT" dedup_minhash_lsh 60GB 16 \
 
 echo "=== DuckDB oracle compare on the ${COPIES}x parquet ==="
 orc=0
+# --fork: one comparator PROCESS per query — per-query connections proved
+# insufficient at 128x (process-wide duckdb allocation accumulates across
+# closed connections: mid-sweep kilobyte-block OOMs ending in a segfault,
+# while the same query at the same cap passes in a fresh process)
 DUCKDB_MEMORY_LIMIT="${DUCKDB_MEMORY_LIMIT:-60GB}" \
-python3 tools/check_oracle.py "$DATA" "$OUT" --skip "$SKIP6" \
+python3 tools/check_oracle.py "$DATA" "$OUT" --fork --skip "$SKIP6" \
   | tee "$OLOG" | tail -1 || orc=$?
 
 for q in ${STAGED//,/ }; do
