@@ -37,6 +37,15 @@ object StageProbe {
     completed() >= submitted()
   }
 
+  /** Serial-wall verdict for one stage: max single task ≈ the whole
+    * stage's task-time on a non-trivial stage means one task did all the
+    * work — the r12 blockedNamePairs / r15 embeddings / r17
+    * repetitionStats class. Fires on 1-task stages too (the r17 wall WAS
+    * a single-split scan); the taskMs floor keeps legitimately tiny
+    * single-task stages (metadata aggs) quiet. */
+  private[graft] def serialWall(taskMs: Long, maxTaskMs: Long): Boolean =
+    taskMs > 5000 && maxTaskMs.toDouble / taskMs > 0.9
+
   /** The probe's headline line; `partial=` is the machine-readable flag
     * downstream adjudications key on (grep `partial=false` before
     * trusting task totals). */
@@ -66,16 +75,31 @@ object StageProbe {
     // needs to know how many stage-completed events are still owed
     val submitted = new java.util.concurrent.atomic.AtomicInteger
     val completed = new java.util.concurrent.atomic.AtomicInteger
+    // per-stage max single-task runtime, fed by onTaskEnd: the
+    // serialization verdict this probe exists for ("one stage's max task
+    // ≈ the whole stage's task-time" = a serial wall inside a nominally
+    // parallel stage) needs the per-task maximum, which stage-completed
+    // metrics don't carry
+    val maxTask = mutable.HashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageSubmitted(
           ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         submitted.incrementAndGet()
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) maxTask.synchronized {
+          val cur = maxTask.getOrElse(te.stageId, 0L)
+          if (te.taskMetrics.executorRunTime > cur)
+            maxTask(te.stageId) = te.taskMetrics.executorRunTime
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
         stages.synchronized {
           val r = stages.getOrElseUpdate(si.stageId,
             Row(si.name.takeWhile(_ != '\n').take(60)))
+          r.maxTaskMs = math.max(r.maxTaskMs,
+            maxTask.synchronized(maxTask.getOrElse(si.stageId, 0L)))
           r.tasks += si.numTasks
           r.taskMs += m.executorRunTime
           r.inRecs += m.inputMetrics.recordsRead
@@ -108,15 +132,20 @@ object StageProbe {
         "a 30s drain deadline")
 
     println(probeHeader(name, n, wall, sfDir, partial = !drained))
-    println(f"${"stage"}%-8s${"tasks"}%6s${"taskSec"}%9s${"inRecs"}%12s" +
+    println(f"${"stage"}%-8s${"tasks"}%6s${"taskSec"}%9s${"maxTask"}%9s" +
+      f"${"serial"}%7s${"inRecs"}%12s" +
       f"${"shufOutRecs"}%12s${"shufRdMB"}%10s${"shufWrMB"}%10s" +
       f"${"spillMB"}%9s  name")
     var taskSecTotal = 0.0
     stages.synchronized(stages.toSeq).sortBy(_._1).foreach { case (id, r) =>
       taskSecTotal += r.taskMs / 1e3
-      println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f${r.inRecs}%12d" +
+      val serial = if (r.taskMs > 0) r.maxTaskMs.toDouble / r.taskMs else 0.0
+      val flag = if (serialWall(r.taskMs, r.maxTaskMs))
+        " <-- SERIAL-WALL?" else ""
+      println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f" +
+        f"${r.maxTaskMs / 1e3}%9.1f$serial%7.2f${r.inRecs}%12d" +
         f"${r.outRecs}%12d${r.shufReadMB}%10.1f${r.shufWriteMB}%10.1f" +
-        f"${r.memSpillMB + r.diskSpillMB}%9.1f  ${r.name}")
+        f"${r.memSpillMB + r.diskSpillMB}%9.1f  ${r.name}$flag")
     }
     println(f"TOTAL taskSec=$taskSecTotal%.1f wall=$wall%.2f " +
       f"parallelism=${taskSecTotal / wall}%.1f")

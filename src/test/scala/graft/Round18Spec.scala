@@ -58,6 +58,16 @@ class Round18Spec extends AnyFunSuite {
       .contains("partial=true"))
   }
 
+  test("StageProbe.serialWall: flags one-task-did-everything stages, stays quiet on tiny or balanced ones") {
+    // the r17 repetitionStats shape: one task carries the whole stage
+    assert(StageProbe.serialWall(taskMs = 45L * 60 * 1000,
+      maxTaskMs = 45L * 60 * 1000))
+    // a balanced 32-task stage: max task is ~1/32 of the total
+    assert(!StageProbe.serialWall(taskMs = 32000, maxTaskMs = 1000))
+    // a tiny single-task metadata agg: serial but beneath the floor
+    assert(!StageProbe.serialWall(taskMs = 400, maxTaskMs = 400))
+  }
+
   test("StageProbe.drain: caught-up counters drain clean after the quiet period") {
     val drained = StageProbe.drain(() => 3, () => 3,
       deadlineNs = System.nanoTime() + 5L * 1000 * 1000 * 1000,
