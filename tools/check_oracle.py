@@ -113,8 +113,11 @@ def main():
         c = duckdb.connect()
         if mem_cap:
             c.execute(f"SET memory_limit='{mem_cap}'")
-            os.makedirs("/tmp/duck_spill", exist_ok=True)
-            c.execute("SET temp_directory='/tmp/duck_spill'")
+            # per-process temp dir: a sibling process's DuckDB shutdown
+            # sweeps a SHARED temp dir, deleting live spill blocks
+            spill = f"/tmp/duck_spill/{os.getpid()}"
+            os.makedirs(spill, exist_ok=True)
+            c.execute(f"SET temp_directory='{spill}'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -38,8 +38,13 @@ def main():
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
     con.execute("SET preserve_insertion_order=false")
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    # per-process temp dir: concurrent fresh-process compares (par_compare
+    # .sh) sharing one temp_directory corrupt each other — DuckDB's
+    # instance shutdown sweeps the directory, deleting a sibling's live
+    # spill blocks mid-query ("Cannot open file .../duckdb_temp_block-...")
+    spill = f"/tmp/duck_spill/{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

@@ -170,8 +170,10 @@ def main():
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
     con.execute("SET preserve_insertion_order=false")
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    spill = f"/tmp/duck_spill/{os.getpid()}"  # per-process: a sibling's
+    # DuckDB shutdown sweeps a SHARED temp dir and deletes live spill blocks
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
