@@ -3115,21 +3115,26 @@ object SparkEntry {
          |         array_to_string(list(token ORDER BY pos), ' ') AS phrase,
          |         count(*) AS plen
          |       FROM isl WHERE NOT is_stop GROUP BY doc_id, island),
-         |wd AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+         |-- wd carries only (plen, w): ph.phrase is unused downstream of
+         |-- the unnest, and duplicating a ~450-byte phrase across 34.6M
+         |-- unnested rows at 128x kills DuckDB's buffer manager
+         |wd AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w
          |       FROM ph),
          |ws AS (SELECT w, CAST((sum(plen) * 1000000) // count(*) AS BIGINT)
          |         AS wscore FROM wd GROUP BY w),
-         |dp AS (SELECT phrase, count(*) AS n_occurrences FROM ph
-         |       GROUP BY phrase),
-         |pw AS (SELECT dp.phrase, dp.n_occurrences,
-         |         unnest(string_split(dp.phrase, ' ')) AS w FROM dp),
-         |sc AS (SELECT phrase, n_occurrences,
-         |         CAST(sum(wscore) AS BIGINT) AS score_micro
-         |       FROM pw JOIN ws USING (w) GROUP BY 1, 2)
-         |SELECT phrase, n_occurrences, score_micro,
-         |  CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+         |-- pw carries a compact pid through the unnest (same wide-string
+         |-- duplication bound as wd); phrase/n_occurrences rejoin via dp
+         |dp AS (SELECT phrase, count(*) AS n_occurrences,
+         |         row_number() OVER (ORDER BY phrase) AS pid
+         |       FROM ph GROUP BY phrase),
+         |pw AS (SELECT pid, unnest(string_split(phrase, ' ')) AS w FROM dp),
+         |sc AS (SELECT pid, CAST(sum(wscore) AS BIGINT) AS score_micro
+         |       FROM pw JOIN ws USING (w) GROUP BY pid)
+         |SELECT dp.phrase, dp.n_occurrences, sc.score_micro,
+         |  CAST(row_number() OVER (ORDER BY sc.score_micro DESC, dp.phrase)
          |    AS INT) AS rank
-         |FROM sc ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
+         |FROM sc JOIN dp USING (pid)
+         |ORDER BY score_micro DESC, phrase LIMIT 20""".stripMargin,
     "privacy_kanon_census" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
         |           FROM customer GROUP BY 1, 2)

@@ -166,80 +166,129 @@ def main():
                 pass
     rm_db()
     atexit.register(rm_db)  # also on sys.exit(FAIL …) paths
-    con = duckdb.connect(db)
-    con.execute(f"SET memory_limit='{mem}'")
-    con.execute(f"SET threads={threads}")
-    con.execute("SET preserve_insertion_order=false")
-    spill = f"/tmp/duck_spill/{os.getpid()}"  # per-process: a sibling's
-    # DuckDB shutdown sweeps a SHARED temp dir and deletes live spill blocks
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    try:
-        live = []
-        for idx, (cte, cols, body) in enumerate(ctes):
-            if references(cte, body):  # recursive: re-wrap just this body
-                decl = f"{cte}({cols})" if cols else cte
-                stmt = (f"CREATE TABLE {cte} AS WITH RECURSIVE "
-                        f"{decl} AS ({body}) SELECT * FROM {cte}")
-            else:
-                stmt = f"CREATE TABLE {cte} AS {body}"
+    # One forked child PER STAGE, sharing the disk-backed db file. The
+    # 128x sweep's lesson applies one level down: DuckDB 1.0's
+    # process-global allocator accumulates across heavy statements in ONE
+    # process until a kilobyte-block malloc dies with bad_alloc at ~6 GB
+    # RSS (text_rake_phrases: the dp window stage fails after the wd/ws
+    # string stages in-process, but the identical statement passes in a
+    # fresh process against the same db file). State lives in the db file;
+    # each child opens it, runs one statement batch, closes cleanly, and
+    # exits — fresh allocator every stage, identical SQL, identical drop
+    # schedule (computed in the parent from text alone).
+    def connect():
+        c = duckdb.connect(db)
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute(f"SET threads={threads}")
+        c.execute("SET preserve_insertion_order=false")
+        spill = f"/tmp/duck_spill/{os.getpid()}"  # per-process: a
+        # sibling's DuckDB shutdown sweeps a SHARED temp dir and deletes
+        # live spill blocks
+        os.makedirs(spill, exist_ok=True)
+        c.execute(f"SET temp_directory='{spill}'")
+        return c
+
+    def in_child(step):
+        """Fork; run step() with a fresh connection; exit status becomes
+        the parent's verdict. The parent must hold NO connection while a
+        child runs (DuckDB single-writer file locking)."""
+        sys.stdout.flush()
+        sys.stderr.flush()
+        pid = os.fork()
+        if pid == 0:
+            code = 1
+            try:
+                con = connect()
+                try:
+                    code = 0 if step(con) is not False else 1
+                finally:
+                    con.close()
+            except SystemExit as e:
+                code = e.code if isinstance(e.code, int) else 1
+            except Exception as e:
+                print(f"FAIL {name}: staged oracle: "
+                      f"{type(e).__name__}: {e}")
+            finally:
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(code)
+        _, status = os.waitpid(pid, 0)
+        if status != 0:
+            sys.exit(1)  # child already printed the parseable FAIL line
+
+    def setup(con):
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    in_child(setup)
+
+    live = []
+    for idx, (cte, cols, body) in enumerate(ctes):
+        if references(cte, body):  # recursive: re-wrap just this body
+            decl = f"{cte}({cols})" if cols else cte
+            stmt = (f"CREATE TABLE {cte} AS WITH RECURSIVE "
+                    f"{decl} AS ({body}) SELECT * FROM {cte}")
+        else:
+            stmt = f"CREATE TABLE {cte} AS {body}"
+        live.append(cte)
+        rest = " ".join(b for _, _, b in ctes[idx + 1:]) + " " + final
+        drops = [t for t in live if not references(t, rest)]
+        live = [t for t in live if t not in drops]
+        live_note = "live: " + ",".join(live)
+
+        def stage(con, stmt=stmt, cte=cte, drops=drops,
+                  live_note=live_note):
             con.execute(stmt)
             n = con.sql(f"SELECT count(*) FROM {cte}").fetchone()[0]
-            live.append(cte)
-            rest = " ".join(b for _, _, b in ctes[idx + 1:]) + " " + final
-            for t in list(live):
-                if not references(t, rest):
-                    con.execute(f"DROP TABLE {t}")
-                    live.remove(t)
-            print(f"  stage {cte}: {n} rows "
-                  f"({'live: ' + ','.join(live)})", file=sys.stderr)
+            for t in drops:
+                con.execute(f"DROP TABLE {t}")
+            print(f"  stage {cte}: {n} rows ({live_note})",
+                  file=sys.stderr)
+        in_child(stage)
+
+    def finish(con):
         duck_df = con.sql(final).df()
-    except Exception as e:
-        fail(f"FAIL {name}: staged oracle: {type(e).__name__}: {e}")
+        if selfcheck:
+            try:
+                mono = con.sql(sql).df()
+            except Exception as e:
+                fail(f"FAIL {name}: selfcheck monolithic run: "
+                         f"{type(e).__name__}: {e}")
+            if rows_of(duck_df)[0] != rows_of(mono)[0]:
+                fail(f"FAIL {name}: staged result != monolithic result")
+            print(f"selfcheck: staged == monolithic ({len(mono)} rows)",
+                  file=sys.stderr)
 
-    if selfcheck:
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            fail(f"FAIL {name}: no spark output")
         try:
-            mono = con.sql(sql).df()
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in files], ignore_index=True)
+            if sorted(spark_df.columns) != sorted(duck_df.columns):
+                fail(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
+                         f"{sorted(duck_df.columns)}")
+            s_sorted, s_given = rows_of(spark_df)
+            d_sorted, d_given = rows_of(duck_df)
+        except ArrayColumn:
+            fail(f"FAIL {name}: array-typed output column — flatten to "
+                     f"scalars")
+        except SystemExit:
+            raise
         except Exception as e:
-            fail(f"FAIL {name}: selfcheck monolithic run: "
-                     f"{type(e).__name__}: {e}")
-        if rows_of(duck_df)[0] != rows_of(mono)[0]:
-            fail(f"FAIL {name}: staged result != monolithic result")
-        print(f"selfcheck: staged == monolithic ({len(mono)} rows)",
-              file=sys.stderr)
-
-    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
-    if not files:
-        fail(f"FAIL {name}: no spark output")
-    try:
-        spark_df = pd.concat(
-            [pd.read_parquet(f) for f in files], ignore_index=True)
-        if sorted(spark_df.columns) != sorted(duck_df.columns):
-            fail(f"FAIL {name}: columns {sorted(spark_df.columns)} != "
-                     f"{sorted(duck_df.columns)}")
-        s_sorted, s_given = rows_of(spark_df)
-        d_sorted, d_given = rows_of(duck_df)
-    except ArrayColumn:
-        fail(f"FAIL {name}: array-typed output column — flatten to "
-                 f"scalars")
-    except SystemExit:
-        raise
-    except Exception as e:
-        fail(f"FAIL {name}: {type(e).__name__}: {e}")
-    if s_given == d_given:
-        print(f"PASS {name} ({len(s_given)} rows; staged oracle)")
-    elif s_sorted == d_sorted:
-        print(f"PASS* {name} ({len(s_given)} rows; staged oracle; "
-              f"order differs)")
-    else:
-        diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
-        fail(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
-                 f"{len(diff)} differing; first: "
-                 f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
+            fail(f"FAIL {name}: {type(e).__name__}: {e}")
+        if s_given == d_given:
+            print(f"PASS {name} ({len(s_given)} rows; staged oracle)")
+        elif s_sorted == d_sorted:
+            print(f"PASS* {name} ({len(s_given)} rows; staged oracle; "
+                  f"order differs)")
+        else:
+            diff = [(a, b) for a, b in zip(s_sorted, d_sorted) if a != b]
+            fail(f"FAIL {name}: {len(s_given)} vs {len(d_given)} rows, "
+                     f"{len(diff)} differing; first: "
+                     f"{diff[0] if diff else (s_sorted[:2], d_sorted[:2])}")
+    in_child(finish)
 
 
 if __name__ == "__main__":

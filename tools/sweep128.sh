@@ -19,6 +19,12 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
+# DuckDB 1.0's ordered list/string aggregations mmap one region per group
+# batch: at 128x (34.6M-row list-agg) the process hits the kernel's
+# default vm.max_map_count=65530 and dies with bad_alloc at ~6GB RSS —
+# nondeterministically, by fragmentation. Raise it (root; best-effort).
+sysctl -w vm.max_map_count=1048576 >/dev/null 2>&1 || true
+
 COPIES=128
 SRC="${SPARK_GRAFT_BASE_SF:-/root/testdata/sf0.1}"
 DATA="/tmp/sf0.${COPIES}"
@@ -27,7 +33,11 @@ TINY_OUT="/tmp/graft_tiny_full"
 LOG="/tmp/graft_sweep${COPIES}.log"
 OLOG="/tmp/graft_sweep${COPIES}_oracle.log"
 INTERVALS="join_interval_overlap,join_overlap_auto"
-STAGED="${SWEEP_STAGED-corpus_retention_funnel,text_tfidf,text_token_rarity,ts_ewma_price}"
+# staged set grown at 128x (r18): text_rake_phrases was already staged at
+# 64x (SWEEP_64X mode=staged-oracle) and was missing here; graph_kcore's
+# monolithic eval re-inlines the replica-scale edges join across the
+# unrolled peeling CTEs and OOMs at 60GB, while staging evaluates it once
+STAGED="${SWEEP_STAGED-corpus_retention_funnel,text_tfidf,text_token_rarity,ts_ewma_price,text_rake_phrases,graph_kcore}"
 SKIP6="$STAGED,$INTERVALS"
 
 JO="-XX:+IgnoreUnrecognizedVMOptions"
