@@ -61,6 +61,12 @@ object StageProbe {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      // same knob Bench honors: a single-file replica reads as ONE split
+      // until 128 MB, so scan-side stages serialize as a harness artifact;
+      // pinning e.g. 4m is the cluster-shaped posture that separates that
+      // artifact from a real plan defect in the serial-wall verdict
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

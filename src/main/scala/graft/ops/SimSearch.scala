@@ -332,12 +332,19 @@ object SimSearch {
     GraftExtensions.ensureRegistered(embeddings.sparkSession)
     val flatCodebook: Seq[Seq[Long]] =
       (0 until m).flatMap(s => codebook(s).map(_.toSeq))
-    // spread before the per-row m-subspace argmin encode (single-split
-    // scan = one core otherwise; the seed/query collects above keep their
-    // pushed-down vec_id filters on the raw scan)
-    val encoded = Spread.toCores(q).select(col("vec_id"),
-      call_function("pq_codes", col("qv"), lit(subDim),
-        lit(seeds.length), typedlit(flatCodebook)).as("codes"))
+    // spread the RAW scan, then quantize + encode ABOVE the exchange:
+    // Spread.toCores(q) puts the interpreted transform() quantization
+    // below the repartition, where it collapses into the single-split
+    // scan task and serializes (the corpus side of this stage measured
+    // 0.93 max-task/stage-time at a 128x replica — the r15 disease one
+    // projection deeper). The seed/query collects above keep their
+    // pushed-down vec_id filters on the raw scan.
+    val encoded = Spread.toCores(embeddings).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+      .select(col("vec_id"),
+        call_function("pq_codes", col("qv"), lit(subDim),
+          lit(seeds.length), typedlit(flatCodebook)).as("codes"))
     // ONE corpus scan for all queries: the query dimension is an exploded
     // literal (per-query union branches would rescan the corpus nQueries
     // times), and ADC scoring is the fused native expression
@@ -406,13 +413,19 @@ object SimSearch {
     val subDim = dim / m
     def sq(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
-    // coarse route: pq_codes with ONE dim-wide subspace = nearest cell id
-    // (spread first — the route + m-subspace encode below are per-row
-    // multiply-heavy and would serialize on the single-split scan)
-    val assigned = Spread.toCores(q).withColumn("cell",
-      element_at(call_function("pq_codes", col("qv"), lit(dim),
-        lit(cellSeeds.length),
-        typedlit(cellSeeds.map(_.toSeq).toSeq)), 1))
+    // coarse route: pq_codes with ONE dim-wide subspace = nearest cell id.
+    // Spread the RAW scan and quantize ABOVE the exchange: Spread
+    // .toCores(q) would leave the interpreted transform() quantization
+    // below the repartition, collapsed into the single-split scan task —
+    // at a 128x replica that stage measured 0.93 max-task/stage-time and
+    // dominated the query's wall (parallelism 2.5 on 32 cores).
+    val assigned = Spread.toCores(embeddings).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 100).cast("long")).as("qv"))
+      .withColumn("cell",
+        element_at(call_function("pq_codes", col("qv"), lit(dim),
+          lit(cellSeeds.length),
+          typedlit(cellSeeds.map(_.toSeq).toSeq)), 1))
     val codebook: Array[Array[Array[Long]]] =
       Array.tabulate(m, pqSeeds.length)((s, c) =>
         pqSeeds(c).slice(s * subDim, (s + 1) * subDim))

@@ -10,7 +10,10 @@
 # process isolation already guarantees no shared DuckDB allocation, so
 # concurrency changes wall-clock, not semantics. Per-child memory caps
 # must be budgeted by the caller (K x cap < RAM; children spill to
-# /tmp/duck_spill beyond the cap).
+# /tmp/duck_spill beyond the cap). Spill DISK is a shared budget the
+# caps do NOT bound: concurrent heavy children can transiently exhaust
+# /tmp and fail siblings with ENOSPC (sim_recall_census at 128x did) —
+# treat a mid-bulk ENOSPC as retry-on-quiet-disk, not as an oracle bound.
 #
 #   tools/par_compare.sh <sfDir> <outDir> <queryListFile> <K> <memCap> <threads> <lineDir>
 #
@@ -25,7 +28,7 @@ K="${4:-3}"; MEM="${5:-40GB}"; THREADS="${6:-10}"; LINES="${7:?lineDir}"
 mkdir -p "$LINES"
 
 export SF OUT MEM THREADS LINES
-xargs -a "$LIST" -P "$K" -n 1 -I{} bash -c '
+xargs -a "$LIST" -P "$K" -I{} bash -c '
   q="{}"
   start=$SECONDS
   out="$(python3 tools/check_oracle_one.py "$SF" "$OUT" "$q" "$MEM" "$THREADS" \
