@@ -52,6 +52,14 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // row-group bound, as a SESSION conf: newHadoopConf() copies every
+      // session entry into the per-write hadoop Configuration (a runtime
+      // sparkContext.hadoopConfiguration.setLong is NOT consulted by the
+      // SQL write path, and a DataFrameWriter .option() only admits
+      // parquet's own known keys — both verified ignored here)
+      .config("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK",
+          (8L * 1024 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(out))
@@ -72,16 +80,15 @@ object ScaleUp {
 
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/_tmp_$name"
-      // bounded row groups: coalesce(1) + parquet's default 128 MB block
+      // bounded row groups (parquet.block.size=8m on the hadoop conf,
+      // set once in main): coalesce(1) + parquet's default 128 MB block
       // writes any sub-128 MB table as ONE row group, which
       // maxPartitionBytes can never split — scans of such a replica run
       // one task no matter the split setting (15 of 16 census scan tasks
       // read zero rows at 128x), which reads as a serial wall when it is
       // really file layout. 8 MB groups keep every replica table
       // multi-split, the shape a real cluster table has.
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", 8L * 1024 * 1024)
-        .parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet") && p.contains("part-"))
       require(part.length == 1, s"$name: expected one part file, got ${part.length}")
