@@ -64,6 +64,32 @@ def rows_of(df):
     return sorted(rows), rows
 
 
+def spill_dir():
+    """Per-process DuckDB temp_directory under /tmp/duck_spill (per-
+    process because a sibling's DuckDB shutdown sweeps a SHARED temp dir,
+    deleting live spill blocks). Registers best-effort removal at exit
+    AND reaps dirs orphaned by CRASHED earlier children (pid no longer
+    alive) — without the reap, every OOM-killed comparator leaves its
+    spill on a /tmp already documented to hit ENOSPC at 128x."""
+    import atexit
+    import shutil
+    root = "/tmp/duck_spill"
+    mine = f"{root}/{os.getpid()}"
+    os.makedirs(mine, exist_ok=True)
+    atexit.register(lambda: shutil.rmtree(mine, ignore_errors=True))
+    for p in glob.glob(f"{root}/[0-9]*"):
+        base = os.path.basename(p)
+        if not base.isdigit() or int(base) == os.getpid():
+            continue
+        try:
+            os.kill(int(base), 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid — leave it
+    return mine
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     # resume/skip controls for long replica-scale sweeps (a 32x sweep runs
@@ -113,11 +139,7 @@ def main():
         c = duckdb.connect()
         if mem_cap:
             c.execute(f"SET memory_limit='{mem_cap}'")
-            # per-process temp dir: a sibling process's DuckDB shutdown
-            # sweeps a SHARED temp dir, deleting live spill blocks
-            spill = f"/tmp/duck_spill/{os.getpid()}"
-            os.makedirs(spill, exist_ok=True)
-            c.execute(f"SET temp_directory='{spill}'")
+            c.execute(f"SET temp_directory='{spill_dir()}'")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

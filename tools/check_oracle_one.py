@@ -17,7 +17,7 @@ import sys
 import duckdb
 import pandas as pd
 
-from check_oracle import TABLES, ArrayColumn, rows_of
+from check_oracle import TABLES, ArrayColumn, rows_of, spill_dir
 
 
 def fail(msg):
@@ -38,13 +38,10 @@ def main():
     con.execute(f"SET memory_limit='{mem}'")
     con.execute(f"SET threads={threads}")
     con.execute("SET preserve_insertion_order=false")
-    # per-process temp dir: concurrent fresh-process compares (par_compare
-    # .sh) sharing one temp_directory corrupt each other — DuckDB's
-    # instance shutdown sweeps the directory, deleting a sibling's live
-    # spill blocks mid-query ("Cannot open file .../duckdb_temp_block-...")
-    spill = f"/tmp/duck_spill/{os.getpid()}"
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
+    # per-process temp dir (concurrent compares sharing one
+    # temp_directory corrupt each other), removed at exit + stale dirs
+    # of crashed siblings reaped — see check_oracle.spill_dir
+    con.execute(f"SET temp_directory='{spill_dir()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

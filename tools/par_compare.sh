@@ -28,8 +28,10 @@ K="${4:-3}"; MEM="${5:-40GB}"; THREADS="${6:-10}"; LINES="${7:?lineDir}"
 mkdir -p "$LINES"
 
 export SF OUT MEM THREADS LINES
+# query name reaches the child as a positional arg ($1), never spliced
+# into the script text — a name with shell metacharacters stays data
 xargs -a "$LIST" -P "$K" -I{} bash -c '
-  q="{}"
+  q="$1"
   start=$SECONDS
   out="$(python3 tools/check_oracle_one.py "$SF" "$OUT" "$q" "$MEM" "$THREADS" \
          2>"$LINES/$q.err")"; rc=$?
@@ -39,4 +41,4 @@ xargs -a "$LIST" -P "$K" -I{} bash -c '
   printf "%s\n" "$out" >"$LINES/$q.line"
   echo "[$((SECONDS-start))s] $out"
   exit "$rc"
-'
+' _ {}

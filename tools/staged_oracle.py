@@ -30,12 +30,13 @@ import glob
 import json
 import os
 import re
+import shutil
 import sys
 
 import duckdb
 import pandas as pd
 
-from check_oracle import TABLES, ArrayColumn, rows_of
+from check_oracle import TABLES, ArrayColumn, rows_of, spill_dir
 
 
 def fail(msg):
@@ -137,6 +138,7 @@ def main():
     sf_dir, out_dir, name = args[0], args[1], args[2]
     mem = args[3] if len(args) > 3 else "48GB"
     threads = int(args[4]) if len(args) > 4 else 16
+    spill_dir()  # reap spill dirs orphaned by earlier crashed runs
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     sql = oracle[name]
     ctes, final = split_ctes(sql)
@@ -214,8 +216,31 @@ def main():
                 sys.stderr.flush()
                 os._exit(code)
         _, status = os.waitpid(pid, 0)
+        # children exit via os._exit (no atexit), so the PARENT reaps the
+        # child's per-pid spill dir — orphan spill from OOM-killed stages
+        # otherwise accumulates toward the /tmp ENOSPC ceiling at 128x
+        shutil.rmtree(f"/tmp/duck_spill/{pid}", ignore_errors=True)
         if status != 0:
-            sys.exit(1)  # child already printed the parseable FAIL line
+            # Every in-process failure path above prints its own parseable
+            # FAIL line before os._exit — but a child KILLED BY A SIGNAL
+            # (OOM-kill, segfault: the failure class this fork-per-stage
+            # design targets) never reaches them, and with no FAIL line a
+            # '| tee' sweep log keeps the query's earlier SKIP line, so
+            # the committed SWEEP_*.json records SKIPPED instead of FAIL.
+            # Synthesize the line here, same contract as check_oracle.py
+            # --fork and par_compare.sh. (sweep_to_json.py keeps the LAST
+            # status line per query, so this can only tighten the record.)
+            if os.WIFSIGNALED(status):
+                print(f"FAIL {name}: staged child killed by signal "
+                      f"{os.WTERMSIG(status)} with no output", flush=True)
+            elif os.WEXITSTATUS(status) != 1:
+                # exit 1 is the printed-FAIL contract; any OTHER nonzero
+                # code (interpreter fatal, os._exit from a lib) may have
+                # bypassed the print
+                print(f"FAIL {name}: staged child exited "
+                      f"{os.WEXITSTATUS(status)} with no output",
+                      flush=True)
+            sys.exit(1)
 
     def setup(con):
         for t in TABLES:
