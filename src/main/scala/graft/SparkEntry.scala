@@ -272,6 +272,10 @@ object SparkEntry {
       graft.streaming.StreamGate.lateCensusEndState(s, d)),
     "stream_session_30m" -> ((s, d) =>
       graft.streaming.StreamGate.sessionEndState(s, d)),
+    "stream_enrich_dim" -> ((s, d) =>
+      graft.streaming.StreamGate.enrichEndState(s, d)),
+    "stream_checkpoint_recovery" -> ((s, d) =>
+      graft.streaming.StreamGate.checkpointRecoveryEndState(s, d)),
     // ---- dedup family (SURVEY §2.6)
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables.documents(s, d))),
@@ -583,6 +587,56 @@ object SparkEntry {
       } finally {
         s.sql(s"DROP TABLE IF EXISTS $tOrd")
         s.sql(s"DROP TABLE IF EXISTS $tCus")
+      }
+    }),
+    "s_partitioned_prune" -> ((s, d) => {
+      // Sinks.writeParquet partitionBy gate: write events partitioned by
+      // event_type, read back with a partition-column predicate, and
+      // REQUIRE the executed plan carries a non-empty PartitionFilters —
+      // directory-level skipping is the storage layout that turns a
+      // 100 TB scan into a per-partition one (plan shape was previously
+      // asserted only in SinksSpec; the write→prune→agg round-trip is
+      // hash-oracled here). Run-unique dir (pid + UUID): concurrent
+      // invocations must not collide, a crashed run must not poison the
+      // next.
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_gate_part_${ProcessHandle.current().pid()}_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")).toString
+      try {
+        val src = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type")
+        graft.sources.Sinks.writeParquet(src, out, Seq("event_type"))
+        // explicit schema: an EMPTY partitioned write leaves a dir with no
+        // partition directories, where schema inference has nothing to read
+        val pruned = s.read.schema(src.schema).parquet(out)
+          .where(col("event_type").isin("click", "purchase"))
+        // plan-shape requirement only when there ARE partition dirs to
+        // prune (on an empty write event_type is not a partition column,
+        // so the predicate correctly lands in data filters instead)
+        val hasParts = java.nio.file.Files.list(
+            java.nio.file.Paths.get(out)).toArray
+          .exists(_.toString.contains("event_type="))
+        if (hasParts) {
+          val plan = pruned.queryExecution.executedPlan.toString
+          val at = plan.indexOf("PartitionFilters: [")
+          require(
+            at >= 0 && plan.charAt(at + "PartitionFilters: [".length) != ']',
+            s"partitioned read did not prune — PartitionFilters empty:\n$plan")
+        }
+        val agg = pruned.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+          .orderBy("event_type")
+        // materialize BEFORE the finally-delete would pull the dir out
+        // from under the lazy plan
+        val rows = agg.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
+      } finally {
+        val p = java.nio.file.Paths.get(out)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }),
     "s1_crime_weekly" -> ((s, _) => {
@@ -1912,6 +1966,26 @@ object SparkEntry {
         |  CAST(sum(kept) AS BIGINT) AS n_kept,
         |  count(*) - CAST(sum(kept) AS BIGINT) AS n_late_dropped
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // stream-static broadcast enrichment: stateless per-batch join, so the
+    // bounded end state is exactly the batch left join
+    "stream_enrich_dim" ->
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    // one checkpoint, two query lifetimes (even-id arrivals, stop, odd-id
+    // arrivals, restart): exactly-once recovery iff the end state equals
+    // the whole-history batch answer — lost state undercounts, a replayed
+    // source file double-counts
+    "stream_checkpoint_recovery" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // partitioned parquet round-trip: the values are layout-invariant, so
+    // the oracle is the same aggregate over the unpartitioned source
+    "s_partitioned_prune" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_user_milestones" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(count(*) // 10 AS BIGINT) AS n_milestones

@@ -76,8 +76,12 @@ object StreamGate {
     * operator and micro-batch — the number Spark itself says it silently
     * discarded. Most gates ignore it; [[lateCensusEndState]] cross-checks
     * its census against it so the reported drops are the real drops. */
-  private def run(writer: DataStreamWriter[Row]): Long = {
-    val ck = Files.createTempDirectory(tmpBase, "graft_stream_ck").toString
+  private def run(writer: DataStreamWriter[Row],
+      ck0: Option[String] = None): Long = {
+    // ck0: the checkpoint-recovery gate reuses ONE checkpoint across two
+    // query lifetimes; every other gate gets a fresh one
+    val ck = ck0.getOrElse(
+      Files.createTempDirectory(tmpBase, "graft_stream_ck").toString)
     // AvailableNow: drain everything available, then STOP — versus
     // processAllAvailable on the default trigger, which keeps the
     // micro-batch scheduler polling (empty-batch planning cycles) until
@@ -95,6 +99,25 @@ object StreamGate {
 
   private def freshOut(): String =
     Files.createTempDirectory(tmpBase, "graft_stream_out").toString + "/end_state"
+
+  /** One single-file parquet per arrival batch into `inDir`; the file
+    * source orders by modification time, pinned explicitly so arrival
+    * order is fixed. Shared by the late-census and checkpoint-recovery
+    * gates (any gate that must control WHICH rows each micro-batch sees). */
+  private def writeArrival(inDir: java.nio.file.Path, df: DataFrame,
+      name: String, mtimeSec: Long): Unit = {
+    val tmp = inDir.resolve(s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val parts = Files.list(tmp).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    require(parts.length == 1, s"$name: expected 1 part, got ${parts.length}")
+    val dst = inDir.resolve(s"$name.parquet")
+    Files.move(java.nio.file.Paths.get(parts.head), dst)
+    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+  }
 
   /** Read a gate's end-state parquet. An EMPTY bounded source fires zero
     * micro-batches under AvailableNow, so `foreachBatch` never runs and the
@@ -365,24 +388,9 @@ object StreamGate {
     val out = freshOut()
     val ev = Tables.events(spark, dir)
     val inDir = Files.createTempDirectory(tmpBase, "graft_stream_late")
-    // one single-file parquet per arrival batch; the file source orders by
-    // modification time, pinned explicitly so arrival order is fixed
-    def writeArrival(df: DataFrame, name: String, mtimeSec: Long): Unit = {
-      val tmp = inDir.resolve(s"_tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val parts = Files.list(tmp).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
-      require(parts.length == 1, s"$name: expected 1 part, got ${parts.length}")
-      val dst = inDir.resolve(s"$name.parquet")
-      Files.move(java.nio.file.Paths.get(parts.head), dst)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
-    }
-    writeArrival(ev.where(col("event_id") % 20 =!= 0), "b0", 1000L)
-    writeArrival(ev.where(col("event_id") % 40 === 0), "b1", 2000L)
-    writeArrival(ev.where(col("event_id") % 40 === 20), "b2", 3000L)
+    writeArrival(inDir, ev.where(col("event_id") % 20 =!= 0), "b0", 1000L)
+    writeArrival(inDir, ev.where(col("event_id") % 40 === 0), "b1", 2000L)
+    writeArrival(inDir, ev.where(col("event_id") % 40 === 20), "b2", 3000L)
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
     val agg = Streaming.tumblingCounts(stream, "1 day",
@@ -414,5 +422,86 @@ object StreamGate {
     require(censusTotal == 0L || droppedByEngine > 0L,
       s"late census claims $censusTotal drops but the engine metered none")
     census
+  }
+
+  /** [[Streaming.enrich]] end state: the streaming events enriched with a
+    * broadcast static dimension (customer, keyed by user_id=c_custkey) —
+    * the stream-static lookup-join every streaming star-ETL ingest needs
+    * (the incremental form of the reference's Kettle DBLookup step,
+    * LoadStarDB §dim lookup). Stateless append: each micro-batch joins
+    * against the broadcast dim and emits exactly its own rows, so the
+    * bounded end state is the batch left-join answer. At 100 TB/day the
+    * same plan holds: the dim broadcasts once per micro-batch and no
+    * shuffle or state store is involved. */
+  def enrichEndState(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = gateSession(spark0)
+    val out = freshOut()
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val joined = Streaming.enrich(eventsStream(spark, dir), dim,
+        "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_nationkey"))
+    run(joined.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+    })
+    readEnd(spark, out, joined.schema).orderBy("event_id")
+  }
+
+  /** Checkpoint-recovery end state: ONE checkpoint, TWO query lifetimes.
+    * The first query drains the even-id half of `events` and stops; the
+    * odd-id half then arrives and a NEW query instance restarts from the
+    * same checkpoint. Exactly-once recovery means the restarted query
+    * (a) resumes the state store (even-id counts survive) and (b) resumes
+    * the file-source commit log (the even-id file is not re-read) — lose
+    * (a) and the final counts are odd-only (undercount), replay (b) and
+    * the even half double-counts. The complete-mode end state therefore
+    * equals the whole-history batch answer iff recovery is exactly-once,
+    * which the DuckDB oracle hash-checks. This is the operational path a
+    * production job takes on every executor-loss/redeploy — the property
+    * that makes a 100 TB streaming ingest restartable at all. */
+  def checkpointRecoveryEndState(spark0: SparkSession,
+      dir: String): DataFrame = {
+    val spark = gateSession(spark0)
+    val out = freshOut()
+    val ev = Tables.events(spark, dir)
+    val inDir = Files.createTempDirectory(tmpBase, "graft_stream_ckrec")
+    val ck = Files.createTempDirectory(tmpBase, "graft_stream_ckrec_ck")
+      .toString
+    // 10-year watermark delay: the recovered watermark after life 1 (max
+    // even-id ts minus the delay) must sit below ALL odd-id event times,
+    // or the restart would legitimately drop them as late — this gate
+    // tests recovery, not late-data policy (lateCensusEndState does that)
+    def drain(): Long = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val agg = Streaming.tumblingCounts(stream, "1 day", "3650 days")
+      run(agg.writeStream.outputMode("complete").foreachBatch {
+        (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+      }, Some(ck))
+    }
+    writeArrival(inDir, ev.where(col("event_id") % 2 === 0), "b0", 1000L)
+    val dropped1 = drain()
+    writeArrival(inDir, ev.where(col("event_id") % 2 =!= 0), "b1", 2000L)
+    val dropped2 = drain()
+    require(dropped1 + dropped2 == 0,
+      s"recovery gate dropped ${dropped1 + dropped2} rows by watermark — " +
+        "the 10-year delay should make every row on-time")
+    // structural cross-check before the oracle: every event lands in
+    // exactly one tumbling window, so the end-state counts must sum to
+    // the full table size — < means lost state, > means a replayed file.
+    // (sum over an EMPTY end state is NULL → 0: an empty source is a
+    // valid recovery, both lifetimes drained zero rows)
+    val total = Option(spark.read.parquet(out).agg(sum("n")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val expected = ev.count()
+    require(total == expected,
+      s"recovery end state sums to $total events, source has $expected " +
+        "(<: state lost on restart; >: source file re-read)")
+    spark.read.parquet(out) // exists: the sum() cross-check above read it
+      .select(to_date(col("w_start")).as("day"), col("event_type"), col("n"))
+      .orderBy("day", "event_type")
   }
 }
