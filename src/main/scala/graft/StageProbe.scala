@@ -37,14 +37,21 @@ object StageProbe {
     completed() >= submitted()
   }
 
-  /** Serial-wall verdict for one stage: max single task ≈ the whole
-    * stage's task-time on a non-trivial stage means one task did all the
-    * work — the r12 blockedNamePairs / r15 embeddings / r17
-    * repetitionStats class. Fires on 1-task stages too (the r17 wall WAS
-    * a single-split scan); the taskMs floor keeps legitimately tiny
-    * single-task stages (metadata aggs) quiet. */
-  private[graft] def serialWall(taskMs: Long, maxTaskMs: Long): Boolean =
-    taskMs > 5000 && maxTaskMs.toDouble / taskMs > 0.9
+  /** How many top tasks the wall verdict sums: a stage where ≤4 tasks did
+    * >90% of the work ran ≲4-way parallel on a 32-core box. */
+  private[graft] val WallTopK = 4
+
+  /** Serial-wall verdict for one stage: the summed top-[[WallTopK]] task
+    * runtimes ≈ the whole stage's task-time on a non-trivial stage means a
+    * handful of tasks did all the work — the r12 blockedNamePairs / r15
+    * embeddings / r17 repetitionStats class (all 1-task walls, which the
+    * top-K sum subsumes), plus the few-straggler shape the r18 verdict
+    * noted the max-task-only form would miss (two stragglers at 0.5 each).
+    * Fires on ≤K-task stages too (the r17 wall WAS a single-split scan);
+    * the taskMs floor keeps legitimately tiny stages (metadata aggs)
+    * quiet. */
+  private[graft] def serialWall(taskMs: Long, topMs: Long): Boolean =
+    taskMs > 5000 && topMs.toDouble / taskMs > 0.9
 
   /** The probe's headline line; `partial=` is the machine-readable flag
     * downstream adjudications key on (grep `partial=false` before
@@ -73,7 +80,8 @@ object StageProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class Row(name: String, var tasks: Int = 0, var taskMs: Long = 0,
-        var maxTaskMs: Long = 0, var inRecs: Long = 0, var outRecs: Long = 0,
+        var maxTaskMs: Long = 0, var topMs: Long = 0,
+        var inRecs: Long = 0, var outRecs: Long = 0,
         var shufReadMB: Double = 0, var shufWriteMB: Double = 0,
         var memSpillMB: Double = 0, var diskSpillMB: Double = 0)
     val stages = mutable.LinkedHashMap[Int, Row]()
@@ -81,22 +89,24 @@ object StageProbe {
     // needs to know how many stage-completed events are still owed
     val submitted = new java.util.concurrent.atomic.AtomicInteger
     val completed = new java.util.concurrent.atomic.AtomicInteger
-    // per-stage max single-task runtime, fed by onTaskEnd: the
-    // serialization verdict this probe exists for ("one stage's max task
-    // ≈ the whole stage's task-time" = a serial wall inside a nominally
-    // parallel stage) needs the per-task maximum, which stage-completed
-    // metrics don't carry
-    val maxTask = mutable.HashMap[Int, Long]()
+    // per-stage top-K single-task runtimes, fed by onTaskEnd: the
+    // serialization verdict this probe exists for ("a handful of tasks'
+    // runtime ≈ the whole stage's task-time" = a wall inside a nominally
+    // parallel stage) needs per-task maxima, which stage-completed
+    // metrics don't carry. A size-K min-heap per stage: O(K) memory, the
+    // head is the stage max, the sum is the top-K share numerator.
+    val topTask = mutable.HashMap[Int, mutable.PriorityQueue[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageSubmitted(
           ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         submitted.incrementAndGet()
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) maxTask.synchronized {
-          val cur = maxTask.getOrElse(te.stageId, 0L)
-          if (te.taskMetrics.executorRunTime > cur)
-            maxTask(te.stageId) = te.taskMetrics.executorRunTime
+        if (te.taskMetrics != null) topTask.synchronized {
+          val heap = topTask.getOrElseUpdate(te.stageId,
+            mutable.PriorityQueue.empty[Long](Ordering.Long.reverse))
+          heap.enqueue(te.taskMetrics.executorRunTime)
+          if (heap.size > WallTopK) heap.dequeue()
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -104,8 +114,11 @@ object StageProbe {
         stages.synchronized {
           val r = stages.getOrElseUpdate(si.stageId,
             Row(si.name.takeWhile(_ != '\n').take(60)))
+          val top = topTask.synchronized(
+            topTask.get(si.stageId).map(_.toSeq).getOrElse(Seq.empty))
           r.maxTaskMs = math.max(r.maxTaskMs,
-            maxTask.synchronized(maxTask.getOrElse(si.stageId, 0L)))
+            if (top.nonEmpty) top.max else 0L)
+          r.topMs = math.max(r.topMs, top.sum)
           r.tasks += si.numTasks
           r.taskMs += m.executorRunTime
           r.inRecs += m.inputMetrics.recordsRead
@@ -139,17 +152,19 @@ object StageProbe {
 
     println(probeHeader(name, n, wall, sfDir, partial = !drained))
     println(f"${"stage"}%-8s${"tasks"}%6s${"taskSec"}%9s${"maxTask"}%9s" +
-      f"${"serial"}%7s${"inRecs"}%12s" +
+      f"${"serial"}%7s${"top" + WallTopK}%7s${"inRecs"}%12s" +
       f"${"shufOutRecs"}%12s${"shufRdMB"}%10s${"shufWrMB"}%10s" +
       f"${"spillMB"}%9s  name")
     var taskSecTotal = 0.0
     stages.synchronized(stages.toSeq).sortBy(_._1).foreach { case (id, r) =>
       taskSecTotal += r.taskMs / 1e3
       val serial = if (r.taskMs > 0) r.maxTaskMs.toDouble / r.taskMs else 0.0
-      val flag = if (serialWall(r.taskMs, r.maxTaskMs))
+      val topShare = if (r.taskMs > 0) r.topMs.toDouble / r.taskMs else 0.0
+      val flag = if (serialWall(r.taskMs, r.topMs))
         " <-- SERIAL-WALL?" else ""
       println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f" +
-        f"${r.maxTaskMs / 1e3}%9.1f$serial%7.2f${r.inRecs}%12d" +
+        f"${r.maxTaskMs / 1e3}%9.1f$serial%7.2f$topShare%7.2f" +
+        f"${r.inRecs}%12d" +
         f"${r.outRecs}%12d${r.shufReadMB}%10.1f${r.shufWriteMB}%10.1f" +
         f"${r.memSpillMB + r.diskSpillMB}%9.1f  ${r.name}$flag")
     }

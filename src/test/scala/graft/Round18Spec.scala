@@ -60,12 +60,25 @@ class Round18Spec extends AnyFunSuite {
 
   test("StageProbe.serialWall: flags one-task-did-everything stages, stays quiet on tiny or balanced ones") {
     // the r17 repetitionStats shape: one task carries the whole stage
+    // (its runtime IS the top-K sum when it's the only heavy task)
     assert(StageProbe.serialWall(taskMs = 45L * 60 * 1000,
-      maxTaskMs = 45L * 60 * 1000))
-    // a balanced 32-task stage: max task is ~1/32 of the total
-    assert(!StageProbe.serialWall(taskMs = 32000, maxTaskMs = 1000))
+      topMs = 45L * 60 * 1000))
+    // a balanced 32-task stage: top-4 sum is ~4/32 of the total
+    assert(!StageProbe.serialWall(taskMs = 32000, topMs = 4000))
     // a tiny single-task metadata agg: serial but beneath the floor
-    assert(!StageProbe.serialWall(taskMs = 400, maxTaskMs = 400))
+    assert(!StageProbe.serialWall(taskMs = 400, topMs = 400))
+  }
+
+  test("StageProbe.serialWall: the r18-verdict gap — a two-straggler wall — now flags") {
+    // two stragglers at ~0.5 of the stage each: max-task/total = 0.5 slid
+    // under the old 0.9 max-only verdict; the top-4 sum reads 1.0
+    val straggler = 20L * 1000
+    assert(StageProbe.serialWall(taskMs = 2 * straggler,
+      topMs = 2 * straggler))
+    // and a genuinely 8-way-balanced stage of the same size stays quiet
+    // (top-4 of 8 equal tasks = half the total, under the 0.9 line)
+    assert(!StageProbe.serialWall(taskMs = 8 * straggler,
+      topMs = 4 * straggler))
   }
 
   test("StageProbe.drain: caught-up counters drain clean after the quiet period") {
