@@ -31,7 +31,7 @@ object StreamGate {
     * the normalization both come from Tables (the single normalization
     * point), so stream and batch agree under every on-disk encoding. */
   def eventsStream(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = gateSession(spark0)
+    val spark = gateSession(spark0, dir)
     val raw = Tables.eventsRaw(spark, dir)
     // The file-stream source monitors a DIRECTORY; TESTDATA ships events as
     // a single file, so stream the parent dir with a glob filter selecting
@@ -44,21 +44,47 @@ object StreamGate {
   }
 
   /** A cloned session for a gate's streaming query: same SparkContext, own
-    * conf with a SMALL state-partition count. Stateful streaming cost at
-    * gate scale is dominated by per-partition state-store load/commit (a
-    * stream-stream join runs four stores per partition), and the state
-    * partitioning is fixed by `spark.sql.shuffle.partitions` at the query's
-    * first batch — 32 batch-sized partitions means 128 store commits per
-    * batch for state that fits comfortably in 4 (measured: purchase-view
-    * join 5.9 s → 2.6 s; past 8 → 4 the curve flattens into the ~1.2 s
-    * fixed query-lifecycle cost). Cloning (not mutating) keeps the
-    * caller's session untouched: Verify runs gates concurrently on one
-    * session. */
-  private def gateSession(spark: SparkSession): SparkSession = {
+    * conf with an INPUT-SIZED state-partition count. Stateful streaming
+    * cost at gate scale is dominated by per-partition state-store
+    * load/commit (a stream-stream join runs four stores per partition),
+    * and the state partitioning is fixed by `spark.sql.shuffle.partitions`
+    * at the query's first batch — 32 batch-sized partitions means 128
+    * store commits per batch for state that fits comfortably in 4
+    * (measured: purchase-view join 5.9 s → 2.6 s; past 8 → 4 the curve
+    * flattens into the ~1.2 s fixed query-lifecycle cost). But a FIXED 4
+    * becomes the serialization at replica scale: the r19 top-4 probe
+    * audit caught the 128× session/purchase-view gates running 4-way
+    * parallel on 32 cores (4 tasks carrying 58 of 113 taskSec over a
+    * 266 MB shuffle — the few-straggler wall the max-task verdict
+    * missed). [[statePartitions]] sizes the count from the stream
+    * source's on-disk bytes instead: the toy-scale floor of 4, one
+    * partition per ~16 MB of source, capped at the core count (state
+    * partitioning is fixed at the first batch; more partitions than
+    * cores buys nothing and pays per-partition commit cost forever).
+    * Cloning (not mutating) keeps the caller's session untouched: Verify
+    * runs gates concurrently on one session. */
+  private def gateSession(spark: SparkSession, dir: String,
+      table: String = "events"): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitions(spark, dir, table).toString)
     s
   }
+
+  /** See [[gateSession]]. `SPARK_GRAFT_STREAM_STATE_PARTITIONS` pins the
+    * count for probes/experiments. */
+  private def statePartitions(spark: SparkSession, dir: String,
+      table: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map(_.toInt)
+      .getOrElse {
+        val f = new java.io.File(Tables.path(dir, table))
+        val bytes =
+          if (f.isDirectory)
+            Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+          else f.length
+        val cores = spark.sparkContext.defaultParallelism
+        math.max(4L, math.min(cores.toLong, bytes / (16L << 20))).toInt
+      }
 
   /** Gate scratch space: tmpfs when the host has one. Checkpoint commits
     * fsync every micro-batch — on-disk temp dirs made the gates pay real
@@ -257,7 +283,7 @@ object StreamGate {
     * static side of the anti-join) — the incremental-ingest dedup. */
   def corpusDedupEndState(spark0: SparkSession, dir: String,
       corpusMaxDocId: Long = 100): DataFrame = {
-    val spark = gateSession(spark0)
+    val spark = gateSession(spark0, dir, table = "documents")
     val out = freshOut()
     val raw = spark.read.parquet(Tables.path(dir, "documents"))
     val incoming = spark.readStream.schema(raw.schema)
@@ -384,7 +410,7 @@ object StreamGate {
     * that exact integer grid. */
   def lateCensusEndState(spark0: SparkSession, dir: String,
       delayMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
-    val spark = gateSession(spark0)
+    val spark = gateSession(spark0, dir)
     val out = freshOut()
     val ev = Tables.events(spark, dir)
     val inDir = Files.createTempDirectory(tmpBase, "graft_stream_late")
@@ -434,7 +460,7 @@ object StreamGate {
     * same plan holds: the dim broadcasts once per micro-batch and no
     * shuffle or state store is involved. */
   def enrichEndState(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = gateSession(spark0)
+    val spark = gateSession(spark0, dir)
     val out = freshOut()
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
@@ -463,7 +489,7 @@ object StreamGate {
     * that makes a 100 TB streaming ingest restartable at all. */
   def checkpointRecoveryEndState(spark0: SparkSession,
       dir: String): DataFrame = {
-    val spark = gateSession(spark0)
+    val spark = gateSession(spark0, dir)
     val out = freshOut()
     val ev = Tables.events(spark, dir)
     val inDir = Files.createTempDirectory(tmpBase, "graft_stream_ckrec")
