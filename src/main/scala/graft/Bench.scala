@@ -112,6 +112,17 @@ object Bench {
         // exactly the cross-rep interference this cleanup exists to stop
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
+        // ... and release the PREVIOUS rep's shuffle files: Spark frees a
+        // shuffle's disk blocks only when the ContextCleaner notices its
+        // ShuffleDependency is unreachable, which needs a JVM GC — without
+        // one, reps accumulate dead shuffle data (14.7 GB/rep for the
+        // biggest 256x row) until later reps pay page-cache/disk pressure
+        // no single cold run carries. Measured at 256x replicas:
+        // dedup_prefix_filter median-of-5 read 76.9 s vs 54.5 s single-shot
+        // PURELY from this accumulation, turning a linear 1.98x octave
+        // into a phantom 3.3x. GC runs OUTSIDE the timed window (t0 is
+        // after), so the pause is free.
+        System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
