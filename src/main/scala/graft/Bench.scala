@@ -91,6 +91,7 @@ object Bench {
     val results = names.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       // a failed query reports -1, NOT its elapsed time — a regression must
       // show up as broken, never as "fast"
+      var prevRepSec = 0.0
       val times = (1 to reps).map { _ =>
         // drop persisted data between reps: operators that persist an
         // intermediate (minhashLsh's token projection) would otherwise hand
@@ -120,13 +121,19 @@ object Bench {
         // no single cold run carries. Measured at 256x replicas:
         // dedup_prefix_filter median-of-5 read 76.9 s vs 54.5 s single-shot
         // PURELY from this accumulation, turning a linear 1.98x octave
-        // into a phantom 3.3x. GC runs OUTSIDE the timed window (t0 is
-        // after), so the pause is free.
-        System.gc()
+        // into a phantom 3.3x. Gated on the previous rep's cost: a full
+        // GC on a 48 GB heap is ~1-2 s, and the 210-query inventory at
+        // sf0.1 would pay ~630 of them for reps whose shuffles are a few
+        // MB — only a rep heavy enough to have spilled real shuffle data
+        // (>5 s, the serial-wall floor convention) warrants the sweep.
+        // The GC runs OUTSIDE the timed window (t0 is after), so the
+        // pause never lands in a reading.
+        if (prevRepSec > 5.0) System.gc()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          prevRepSec = (System.nanoTime() - t0) / 1e9
+          prevRepSec
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
