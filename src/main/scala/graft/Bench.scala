@@ -88,10 +88,14 @@ object Bench {
     // staying cheap; SPARK_GRAFT_BENCH_REPS=1 restores single-shot for the
     // (slow) full-inventory sweep.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // carried ACROSS queries, not per-query: a heavy query's final rep
+    // leaves its shuffle garbage behind just like an intermediate rep
+    // does, and the next query's first timed rep would otherwise pay for
+    // it — per-query reset made the gate blind to exactly that handoff
+    var prevRepSec = 0.0
     val results = names.map(n => n -> SparkEntry.queries(n)).map { case (name, fn) =>
       // a failed query reports -1, NOT its elapsed time — a regression must
       // show up as broken, never as "fast"
-      var prevRepSec = 0.0
       val times = (1 to reps).map { _ =>
         // drop persisted data between reps: operators that persist an
         // intermediate (minhashLsh's token projection) would otherwise hand
@@ -137,6 +141,10 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            // a failed rep still ran (and shuffled) for this long — feed
+            // the GC gate its real elapsed rather than the previous
+            // SUCCESSFUL rep's stale value
+            prevRepSec = (System.nanoTime() - t0) / 1e9
             -1.0
         }
       }

@@ -89,14 +89,17 @@ object ScaleUp {
       // really file layout. 8 MB groups keep every replica table
       // multi-split, the shape a real cluster table has.
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      val part = scala.util.Using.resource(Files.list(Paths.get(tmp)))(
+        _.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && p.contains("part-")))
       require(part.length == 1, s"$name: expected one part file, got ${part.length}")
       Files.move(Paths.get(part.head), Paths.get(s"$out/$name.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      // clean the scratch dir (part file already moved out)
-      Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
+      // clean the scratch dir (part file already moved out); Using closes
+      // the walk stream's directory handles
+      scala.util.Using.resource(Files.walk(Paths.get(tmp)))(
+        _.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p)))
       println(s"[scaleup] $name -> $out/$name.parquet")
     }
 

@@ -614,9 +614,12 @@ object SparkEntry {
         // plan-shape requirement only when there ARE partition dirs to
         // prune (on an empty write event_type is not a partition column,
         // so the predicate correctly lands in data filters instead)
-        val hasParts = java.nio.file.Files.list(
-            java.nio.file.Paths.get(out)).toArray
-          .exists(_.toString.contains("event_type="))
+        // Using.resource: Files.list holds a directory handle until the
+        // stream is closed — leaked handles accumulate in the long-lived
+        // driver JVM that runs the whole gate inventory
+        val hasParts = scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(out)))(
+          _.toArray.exists(_.toString.contains("event_type=")))
         if (hasParts) {
           val plan = pruned.queryExecution.executedPlan.toString
           val at = plan.indexOf("PartitionFilters: [")
@@ -634,9 +637,9 @@ object SparkEntry {
       } finally {
         val p = java.nio.file.Paths.get(out)
         if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          scala.util.Using.resource(java.nio.file.Files.walk(p))(
+            _.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f)))
       }
     }),
     "s1_crime_weekly" -> ((s, _) => {

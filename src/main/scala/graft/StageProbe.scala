@@ -53,6 +53,20 @@ object StageProbe {
   private[graft] def serialWall(taskMs: Long, topMs: Long): Boolean =
     taskMs > 5000 && topMs.toDouble / taskMs > 0.9
 
+  /** Annotation (NOT suppression) for the structural ≤K-task class: a
+    * stage with ≤[[WallTopK]] tasks has topK share 1.0 by construction,
+    * so the wall verdict fires on every >5s such stage. When the split
+    * across those few tasks is balanced (max task ≤ 1.5× its fair
+    * share), the finding is a PARTITION-COUNT question, not a straggler
+    * — which can still be a real defect (the r19 catch was exactly a
+    * balanced 4-task state stage whose partition count was pinned, not
+    * sized to data), so the flag stays; the annotation tells the audit
+    * which question to ask instead of re-deriving it each round. */
+  private[graft] def fewTaskBalanced(tasks: Int, taskMs: Long,
+      maxTaskMs: Long): Boolean =
+    tasks > 1 && tasks <= WallTopK && taskMs > 0 &&
+      maxTaskMs.toDouble / taskMs <= 1.5 / tasks
+
   /** The probe's headline line; `partial=` is the machine-readable flag
     * downstream adjudications key on (grep `partial=false` before
     * trusting task totals). */
@@ -160,8 +174,12 @@ object StageProbe {
       taskSecTotal += r.taskMs / 1e3
       val serial = if (r.taskMs > 0) r.maxTaskMs.toDouble / r.taskMs else 0.0
       val topShare = if (r.taskMs > 0) r.topMs.toDouble / r.taskMs else 0.0
-      val flag = if (serialWall(r.taskMs, r.topMs))
-        " <-- SERIAL-WALL?" else ""
+      val flag = if (serialWall(r.taskMs, r.topMs)) {
+        if (fewTaskBalanced(r.tasks, r.taskMs, r.maxTaskMs))
+          s" <-- SERIAL-WALL? [${r.tasks}-task stage, balanced: " +
+            "partition-count bound — is the count sized to data or pinned?]"
+        else " <-- SERIAL-WALL?"
+      } else ""
       println(f"$id%-8d${r.tasks}%6d${r.taskMs / 1e3}%9.1f" +
         f"${r.maxTaskMs / 1e3}%9.1f$serial%7.2f$topShare%7.2f" +
         f"${r.inRecs}%12d" +

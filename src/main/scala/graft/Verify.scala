@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
@@ -31,17 +31,18 @@ object Verify {
       StringType, DateType, TimestampType)
   }
 
-  /** Engine side of the fingerprint: one row (n_rows BIGINT,
-    * hash_sum STRING). */
-  private[graft] def fingerprint(df: DataFrame): DataFrame = {
+  /** The per-row 56-bit canonical hash both fingerprint forms sum (see
+    * [[fingerprint]] for the encoding rationale). */
+  private def canonicalHash(
+      schema: org.apache.spark.sql.types.StructType): Column = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.TimestampType
-    val bad = df.schema.fields.filterNot(f => FpTypes.contains(f.dataType))
+    val bad = schema.fields.filterNot(f => FpTypes.contains(f.dataType))
     require(bad.isEmpty,
       s"fingerprint: non-exact column types ${bad.map(f => s"${f.name}:${f.dataType}").mkString(", ")} " +
         "- the canonical string is only cross-engine-stable for integer/" +
         "string/bool/date/timestamp columns")
-    val cols = df.schema.fields.sortBy(_.name).map { f =>
+    val cols = schema.fields.sortBy(_.name).map { f =>
       val base = f.dataType match {
         case TimestampType => unix_micros(col(f.name)).cast("string")
         case _ => col(f.name).cast("string")
@@ -51,13 +52,90 @@ object Verify {
       // (embedded comma, literal "NULL") can alias a field boundary
       coalesce(md5(base), lit("N"))
     }
-    val h = conv(substring(md5(concat_ws(",", cols.toIndexedSeq: _*)), 1, 14),
+    conv(substring(md5(concat_ws(",", cols.toIndexedSeq: _*)), 1, 14),
       16, 10).cast("decimal(38,0)")
+  }
+
+  /** Engine side of the fingerprint: one row (n_rows BIGINT,
+    * hash_sum STRING). */
+  private[graft] def fingerprint(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = canonicalHash(df.schema)
     df.select(count(lit(1)).cast("long").as("n_rows"),
       // 56-bit values summed exactly in decimal(38): ~10²⁶ at 4·10⁹ rows,
       // 12 digits of headroom; emitted as STRING so both engines' output
       // reprs agree byte-for-byte in the comparator
       coalesce(sum(h).cast("string"), lit("0")).as("hash_sum"))
+  }
+
+  /** Primes multiplying each (sorted-by-name) column's reduced value in
+    * the sample predicate; indexed by FIELD position so both engines
+    * agree even when string columns are skipped in between. */
+  private[graft] val SamplePrimes = Array(31L, 7919L, 104729L, 1299709L)
+
+  /** Cheap deterministic 1-in-`mod` row sample, computable identically in
+    * Spark and DuckDB WITHOUT per-row md5 (which is exactly the cost the
+    * sampled fingerprint exists to shed: ~8 md5/row × 6.5·10¹⁰ interval-
+    * join rows at 128× = hours on both engines, the SWEEP_128X SKIP).
+    * Each non-string column reduces to an int (timestamp → epoch micros,
+    * date → days since epoch, bool → 0/1, NULL → −1 sentinel), is folded
+    * mod 1000003 (so every product stays ≲1.3·10¹², far from BIGINT
+    * overflow — DuckDB ERRORS on overflow rather than wrapping), scaled
+    * by a per-position prime, summed, and the row is sampled iff the sum
+    * is divisible by `mod`. `%` is C-style (sign of dividend) in BOTH
+    * engines, and divisibility is sign-agnostic anyway. String columns
+    * are excluded (no md5-free cross-engine int reduction); the values a
+    * string column holds are still fully hash-checked for every sampled
+    * row by the canonical row hash. */
+  private def sampleIntCols(
+      schema: org.apache.spark.sql.types.StructType): Seq[(Int, String,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    val usable = schema.fields.sortBy(_.name).zipWithIndex.collect {
+      case (f, i) if f.dataType != StringType => (i, f.name, f.dataType)
+    }.toSeq
+    require(usable.nonEmpty,
+      "sampled fingerprint needs at least one non-string column for the " +
+        "md5-free sample predicate; use the exact fingerprint instead")
+    usable
+  }
+
+  private[graft] def samplePred(
+      schema: org.apache.spark.sql.types.StructType, mod: Long): Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(mod > 1, s"sample modulus must be > 1, got $mod")
+    val terms = sampleIntCols(schema).map { case (i, name, dt) =>
+      val v = dt match {
+        case TimestampType => unix_micros(col(name))
+        case DateType =>
+          datediff(col(name), to_date(lit("1970-01-01"))).cast("long")
+        case _ => col(name).cast("long") // bool + all integral widths
+      }
+      (coalesce(v, lit(-1L)) % lit(1000003L)) *
+        lit(SamplePrimes(i % SamplePrimes.length))
+    }
+    (terms.reduce(_ + _) % lit(mod)) === lit(0L)
+  }
+
+  /** Engine side of the SAMPLED fingerprint: one row (n_rows BIGINT —
+    * still EXACT over the full result, n_sampled BIGINT, hash_sum STRING
+    * over the deterministic 1-in-`mod` sample). The exact total keeps the
+    * strongest cheap check; the sampled hash bounds the md5 volume at
+    * replica scale. A wrong value in an unsampled row escapes the hash
+    * only if the row count stays balanced AND no sampled row moved —
+    * with thousands of sampled rows a systematic defect is caught with
+    * near-certainty, which is the contract a 1-in-N oracle can honestly
+    * claim (recorded per-sweep in SCALING.md). */
+  private[graft] def fingerprintSampled(df: DataFrame, mod: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = canonicalHash(df.schema)
+    val pred = samplePred(df.schema, mod)
+    // when() short-circuits in codegen: the md5 chain only evaluates on
+    // sampled rows, which is the entire point
+    df.select(count(lit(1)).cast("long").as("n_rows"),
+      count(when(pred, lit(1))).cast("long").as("n_sampled"),
+      coalesce(sum(when(pred, h)).cast("string"), lit("0")).as("hash_sum"))
   }
 
   /** Strip a trailing top-level ORDER BY from the inner oracle SQL before
@@ -186,6 +264,48 @@ object Verify {
       s" AS hash_sum FROM ($inner) fp_t"
   }
 
+  /** DuckDB side of [[samplePred]] — same sorted-by-name field order,
+    * same FIELD-position prime indexing, same −1 NULL sentinel, same
+    * int reductions (epoch_us ≡ unix_micros; DATE − DATE ≡ datediff). */
+  private[graft] def samplePredSql(
+      schema: org.apache.spark.sql.types.StructType, mod: Long): String = {
+    import org.apache.spark.sql.types._
+    require(mod > 1, s"sample modulus must be > 1, got $mod")
+    val terms = sampleIntCols(schema).map { case (i, name, dt) =>
+      val qn = "\"" + name.replace("\"", "\"\"") + "\""
+      val v = dt match {
+        case TimestampType => s"epoch_us($qn)"
+        case DateType => s"($qn - DATE '1970-01-01')::BIGINT"
+        case _ => s"$qn::BIGINT"
+      }
+      s"(coalesce($v, -1) % 1000003) * ${SamplePrimes(i % SamplePrimes.length)}"
+    }
+    s"(${terms.mkString(" + ")}) % $mod = 0"
+  }
+
+  /** Oracle side of the sampled fingerprint: exact count over the full
+    * inner result, md5 row hash summed over the 1-in-`mod` sample only. */
+  private[graft] def fingerprintSampledOracle(rawInner: String,
+      schema: org.apache.spark.sql.types.StructType, mod: Long): String = {
+    val inner = stripTrailingOrderBy(rawInner)
+    import org.apache.spark.sql.types.TimestampType
+    val cols = schema.fields.sortBy(_.name).map { f =>
+      val qn = "\"" + f.name.replace("\"", "\"\"") + "\""
+      val base = f.dataType match {
+        case TimestampType => s"epoch_us($qn)::VARCHAR"
+        case _ => s"$qn::VARCHAR"
+      }
+      s"coalesce(md5($base), 'N')"
+    }
+    val pred = samplePredSql(schema, mod)
+    val rowHash = "('0x' || substr(md5(concat_ws(',', " +
+      s"${cols.mkString(", ")})), 1, 14))::BIGINT"
+    s"SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      s"CAST(count(CASE WHEN $pred THEN 1 END) AS BIGINT) AS n_sampled, " +
+      s"coalesce(CAST(sum(CASE WHEN $pred THEN $rowHash END) AS VARCHAR)," +
+      s" '0') AS hash_sum FROM ($inner) fp_t"
+  }
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: comma-separated query-name filter (local iteration;
     // the driver always runs the full surface)
@@ -222,6 +342,12 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val fp: Set[String] = sys.env.get("SPARK_GRAFT_FP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // >1 switches the SPARK_GRAFT_FP queries to the SAMPLED fingerprint
+    // (exact n_rows + 1-in-mod hashed sample) — the replica-scale posture
+    // that retires the md5-bound SKIPs; unset/1 keeps the exact form so
+    // every existing sweep artifact's semantics are unchanged
+    val sampleMod: Long = sys.env.get("SPARK_GRAFT_FP_SAMPLE_MOD")
+      .map(_.toLong).getOrElse(1L)
     // pre-fingerprint result schemas, captured while each query runs: the
     // oracle-JSON writer must NOT re-invoke the builder to learn the schema
     // (several builders do eager driver work at construction — the idf
@@ -237,7 +363,8 @@ object Verify {
           val res = fn(spark, sfDir)
           val out = if (fp.contains(name)) {
             fpSchemas.put(name, res.schema)
-            fingerprint(res)
+            if (sampleMod > 1) fingerprintSampled(res, sampleMod)
+            else fingerprint(res)
           } else res
           out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
@@ -250,7 +377,7 @@ object Verify {
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      oracleJson(only, fp, fpSchemas))
+      oracleJson(only, fp, fpSchemas, sampleMod))
     spark.stop()
   }
 
@@ -266,8 +393,8 @@ object Verify {
     * errors instantly in any engine, keeping the failure loud without the
     * quadratic-execution hazard. */
   private[graft] def oracleJson(only: Option[Set[String]], fp: Set[String],
-      fpSchemas: java.util.Map[String, org.apache.spark.sql.types.StructType])
-      : String = {
+      fpSchemas: java.util.Map[String, org.apache.spark.sql.types.StructType],
+      sampleMod: Long = 1L): String = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -285,9 +412,12 @@ object Verify {
       .map { case (k, v) =>
         val sql =
           if (fp.contains(k)) {
-            if (fpSchemas.containsKey(k)) fingerprintOracle(v, fpSchemas.get(k))
-            else "SELECT fingerprint_schema_missing_" +
-              k.replaceAll("[^A-Za-z0-9_]", "_")
+            if (!fpSchemas.containsKey(k))
+              "SELECT fingerprint_schema_missing_" +
+                k.replaceAll("[^A-Za-z0-9_]", "_")
+            else if (sampleMod > 1)
+              fingerprintSampledOracle(v, fpSchemas.get(k), sampleMod)
+            else fingerprintOracle(v, fpSchemas.get(k))
           } else v
         s"${q(k)}: ${q(sql)}"
       }.mkString("{", ",", "}")

@@ -134,13 +134,17 @@ object StreamGate {
       name: String, mtimeSec: Long): Unit = {
     val tmp = inDir.resolve(s"_tmp_$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val parts = Files.list(tmp).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    // Using.resource: Files.list/walk hold a directory handle until
+    // closed — this runs per arrival batch in a long-lived driver JVM
+    val parts = scala.util.Using.resource(Files.list(tmp))(
+      _.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-")))
     require(parts.length == 1, s"$name: expected 1 part, got ${parts.length}")
     val dst = inDir.resolve(s"$name.parquet")
     Files.move(java.nio.file.Paths.get(parts.head), dst)
-    Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
+    scala.util.Using.resource(Files.walk(tmp))(
+      _.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p)))
     Files.setLastModifiedTime(dst,
       java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
   }
@@ -499,10 +503,17 @@ object StreamGate {
     // even-id ts minus the delay) must sit below ALL odd-id event times,
     // or the restart would legitimately drop them as late — this gate
     // tests recovery, not late-data policy (lateCensusEndState does that)
+    // captured by drain() so the end-state reads below go through
+    // readEnd with the aggregate's schema: reading the sink path
+    // directly relied on writeArrival always producing a part file (so a
+    // micro-batch always fires and creates the dir) — an invariant the
+    // empty-source-recovery comment claimed NOT to need
+    var aggSchema: org.apache.spark.sql.types.StructType = null
     def drain(): Long = {
       val stream = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
       val agg = Streaming.tumblingCounts(stream, "1 day", "3650 days")
+      aggSchema = agg.schema
       run(agg.writeStream.outputMode("complete").foreachBatch {
         (batch: DataFrame, _: Long) =>
           batch.write.mode("overwrite").parquet(out)
@@ -520,13 +531,14 @@ object StreamGate {
     // the full table size — < means lost state, > means a replayed file.
     // (sum over an EMPTY end state is NULL → 0: an empty source is a
     // valid recovery, both lifetimes drained zero rows)
-    val total = Option(spark.read.parquet(out).agg(sum("n")).head().get(0))
+    val end = readEnd(spark, out, aggSchema)
+    val total = Option(end.agg(sum("n")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val expected = ev.count()
     require(total == expected,
       s"recovery end state sums to $total events, source has $expected " +
         "(<: state lost on restart; >: source file re-read)")
-    spark.read.parquet(out) // exists: the sum() cross-check above read it
+    end
       .select(to_date(col("w_start")).as("day"), col("event_type"), col("n"))
       .orderBy("day", "event_type")
   }

@@ -77,16 +77,30 @@ def spill_dir():
     mine = f"{root}/{os.getpid()}"
     os.makedirs(mine, exist_ok=True)
     atexit.register(lambda: shutil.rmtree(mine, ignore_errors=True))
+    import time
+    now = time.time()
     for p in glob.glob(f"{root}/[0-9]*"):
         base = os.path.basename(p)
         if not base.isdigit() or int(base) == os.getpid():
             continue
+        # age backstop FIRST: pid liveness alone leaks a dir forever when
+        # a crashed comparator's pid is later recycled by an unrelated
+        # live process, or when the dir belongs to another uid — either
+        # way it creeps toward the documented 128x ENOSPC ceiling. No
+        # comparator run (even the staged 256x funnels) lives 6 hours.
+        try:
+            if now - os.path.getmtime(p) > 6 * 3600:
+                shutil.rmtree(p, ignore_errors=True)
+                continue
+        except OSError:
+            pass  # racing another reaper — the liveness check below decides
         try:
             os.kill(int(base), 0)  # raises if the owner is gone
         except ProcessLookupError:
             shutil.rmtree(p, ignore_errors=True)
         except PermissionError:
-            pass  # alive under another uid — leave it
+            pass  # alive under another uid — leave it (age reap above
+            # still bounds its lifetime once it goes stale)
     return mine
 
 
