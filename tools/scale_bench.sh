@@ -3,7 +3,8 @@
 # ScaleUp replicas, every point in ONE back-to-back session on ONE binary
 # (the round-12 lesson: cross-session scale comparisons manufacture
 # outliers). Builds missing replicas, runs one JVM per scale point
-# (cold-cache, per-query median-of-3 inside), writes
+# (cold-cache; per-query median-of-3 at <128x, SINGLE-SHOT at >=128x —
+# see reps_of below; SCALE_BENCH_REPS overrides), writes
 # /tmp/scalebench_<label>.json per point.
 #
 #   tools/scale_bench.sh            # 1x 8x 8xs 32xs 64xs 128xs
@@ -54,10 +55,25 @@ POINTS=("$@"); [ $# -eq 0 ] && POINTS=(1x 8x 8xs 32xs 64xs 128xs)
 # build everything FIRST so the timed phase is back-to-back and quiet
 for p in "${POINTS[@]}"; do build "$p"; done
 
+reps_of() { # label -> rep count
+  # >=128 replicas: SINGLE-SHOT by default. Same-JVM multi-rep medians at
+  # replica scale inflate from dead-shuffle accumulation (r19:
+  # dedup_prefix_filter median-of-5 76.9 s vs 54.5 s single-shot at 256x,
+  # turning a linear 1.98x octave into a phantom 3.3x; the between-rep GC
+  # cut but did not zero it). Single-shot + StageProbe taskSec is the
+  # honest pair for octave adjudication; SCALE_BENCH_REPS overrides both
+  # tiers when a median is wanted anyway.
+  local copies="${1%%x*}"
+  if [ "$1" = 1x ]; then copies=1; fi
+  if [ "$copies" -ge 128 ]; then echo "${SCALE_BENCH_REPS:-1}"
+  else echo "${SCALE_BENCH_REPS:-3}"; fi
+}
+
 for p in "${POINTS[@]}"; do
-  echo "=== bench $p ($(dir_of "$p")) ==="
+  echo "=== bench $p ($(dir_of "$p"), reps=$(reps_of "$p")) ==="
   SPARK_GRAFT_SF_DIR="$(dir_of "$p")" SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-    SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_OUT="/tmp/scalebench_$p.json" \
+    SPARK_GRAFT_BENCH_REPS="$(reps_of "$p")" \
+    SPARK_GRAFT_BENCH_OUT="/tmp/scalebench_$p.json" \
     java $JO -Xmx48g -cp "$CP" graft.Bench >"/tmp/scalebench_$p.log" 2>&1 \
     || { echo "bench $p failed — see /tmp/scalebench_$p.log"; exit 1; }
   python3 -c "import json;d=json.load(open('/tmp/scalebench_$p.json'));print('$p total', round(d['value'],1), 'failed', d['failed'])"
