@@ -182,6 +182,26 @@ object Streaming {
   case class TopKEntry(event_type: String, rank: Int, event_id: Long,
       value: Double)
 
+  /** The leaderboard fold both [[topKPerKey]] stages share: collapse to
+    * ONE entry per event_id (max value wins — a replayed event whose
+    * value changed must not occupy two ranks), then order by the board's
+    * total order (value desc, event_id asc — STRICT, ids are distinct
+    * after the collapse) and keep k. Deterministic regardless of input
+    * order.
+    * .toSeq BEFORE the map: mapping a Map to (v, id) pairs would rebuild
+    * a Map KEYED BY v, silently collapsing tied values to one arbitrary
+    * survivor (caught round 10 by an 8x-scale sweep, where replicated
+    * data ties every value 8 ways; gate-scale values happened to be
+    * distinct, so every earlier round passed). */
+  private def boardOf(entries: Seq[(Double, Long)],
+      k: Int): Seq[(Double, Long)] =
+    entries
+      .groupBy { case (_, id) => id }
+      .toSeq
+      .map { case (_, vs) => vs.maxBy { case (v, _) => v } }
+      .sortBy { case (v, id) => (-v, id) }
+      .take(k)
+
   /** Streaming per-key top-k — the incremental form of the batch
     * TopKPerKey operator (graft.plans.topk): per-key state holds the
     * current k-element leaderboard (a bounded heap's contents — state
@@ -195,30 +215,49 @@ object Streaming {
     // stream runs forever and never emits — a silent no-op query
     require(k >= 1, s"topKPerKey: k must be >= 1, got $k")
     import spark.implicits._
-    events
+    // PARTIAL top-k per input partition BEFORE the stateful shuffle — the
+    // map-side combine the batch TopKPerKey physical operator uses, in
+    // streaming form. Without it, flatMapGroupsWithState hash-partitions
+    // the WHOLE stream onto event_type (5 distinct keys in this corpus):
+    // at a 256x replica the probe showed 4 of 23 state tasks doing 94% of
+    // the stage's 143.9 taskSec (max task 52.2 s ~ the entire 59.7 s
+    // wall), and at 100 TB a 5-key stateful stage IS the job. The
+    // pre-combine is EXACT, not approximate: every pruned row has k
+    // distinct-id rows strictly before it in the board's total order
+    // within its partition, all of which reach the state fold, and the
+    // cross-partition collapse (max per id) only moves survivors EARLIER
+    // in that order — so the global board can never need a pruned row.
+    // The buffer compacts through the same boardOf fold every 4k rows:
+    // memory O(keys·4k) per task, shuffle volume k rows per key per
+    // partition per micro-batch instead of the stream.
+    val compactAt = math.max(k, 1024) * 4
+    val partial = events
       .select(col("event_type"), col("event_id"), col("value"))
       .as[(String, Long, Double)]
+      .mapPartitions { it =>
+        val boards = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+        it.foreach { case (key, id, v) =>
+          val buf = boards.getOrElseUpdate(key,
+            scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((v, id))
+          if (buf.length >= compactAt) {
+            val c = boardOf(buf.toSeq, k); buf.clear(); buf ++= c
+          }
+        }
+        boards.iterator.flatMap { case (key, buf) =>
+          boardOf(buf.toSeq, k).map { case (v, id) => (key, id, v) }
+        }
+      }
+    partial
       .groupByKey(_._1)
       .flatMapGroupsWithState[Seq[(Double, Long)], TopKEntry](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Seq[(Double, Long)]]) =>
           val prev = state.getOption.getOrElse(Seq.empty)
-          // fold the batch into the bounded board: collapse to ONE entry
-          // per event_id first (max value wins — a replayed event whose
-          // value changed must not occupy two ranks), then sort desc by
-          // value, asc by id on ties, keep k. Deterministic regardless of
-          // the micro-batch iterator's order.
-          // .toSeq BEFORE the map: mapping a Map to (v, id) pairs would
-          // rebuild a Map KEYED BY v, silently collapsing tied values to
-          // one arbitrary survivor (caught round 10 by an 8x-scale sweep,
-          // where replicated data ties every value 8 ways; gate-scale
-          // values happened to be distinct, so every earlier round passed)
-          val board = (prev ++ rows.map(r => (r._3, r._2)))
-            .groupBy { case (_, id) => id }
-            .toSeq
-            .map { case (_, vs) => vs.maxBy { case (v, _) => v } }
-            .sortBy { case (v, id) => (-v, id) }
-            .take(k)
+          // fold the batch into the bounded board (boardOf: id-collapse,
+          // strict total order, take k) and emit a snapshot only on change
+          val board = boardOf(prev ++ rows.map(r => (r._3, r._2)), k)
           if (board == prev) Iterator.empty
           else {
             state.update(board)

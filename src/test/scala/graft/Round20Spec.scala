@@ -112,6 +112,43 @@ class Round20Spec extends AnyFunSuite {
     assert(!exact.contains("n_sampled"))
   }
 
+  test("topKPerKey partial pre-combine is exact: dup ids, boundary ties, any split") {
+    // adversarial corpus for the map-side partial top-k: duplicate
+    // event_ids whose max-value copy can be locally pruned, exact value
+    // ties at the board boundary (tiebreak id asc), interleaved keys —
+    // the final LIVE board must equal the brute-force fold of ALL rows,
+    // for whatever partitioning the micro-batches happen to have
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    val rnd = new scala.util.Random(20)
+    val rows = (1 to 5000).map { i =>
+      TopKIn(s"k${rnd.nextInt(3)}", rnd.nextInt(400).toLong,
+        (rnd.nextInt(25) * 10).toDouble) // coarse values force many ties
+    }
+    val src = MemoryStream[TopKIn](spark)
+    val q = Streaming.topKPerKey(spark, src.toDF(), k = 3)
+      .writeStream.format("memory").queryName("r20_topk")
+      .outputMode("append").start()
+    try {
+      rows.grouped(1700).foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      val emitted = spark.table("r20_topk").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      // brute-force expected live board: collapse by (key,id) max value,
+      // order (v desc, id asc), take 3 per key
+      val expect = rows.groupBy(_.event_type).map { case (key, rs) =>
+        key -> rs.groupBy(_.event_id).toSeq
+          .map { case (id, vs) => (vs.map(_.value).max, id) }
+          .sortBy { case (v, id) => (-v, id) }.take(3)
+          .zipWithIndex.map { case ((v, id), i) => (i + 1, id, v) }
+      }
+      for ((key, board) <- expect) {
+        val live = emitted.filter(_._1 == key).takeRight(board.size)
+          .map(t => (t._2, t._3, t._4)).toSeq
+        assert(live == board, s"live board for $key: $live != $board")
+      }
+    } finally q.stop()
+  }
+
   test("StageProbe.fewTaskBalanced: balanced few-task stages annotated, walls not") {
     import StageProbe.fewTaskBalanced
     // 4 tasks, perfectly balanced: annotate
