@@ -22,9 +22,16 @@ import sys
 
 
 def parse_line(line):
-    m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
+    # "PASS q (N rows)" from check_oracle_one; "PASS q (N rows; staged
+    # oracle)" from staged_oracle (PASS* = values equal, order differs —
+    # order is not part of the staged contract, still a pass)
+    m = re.match(r"PASS\*? (\S+) \((\d+) rows(; [^)]*)?\)", line)
     if m:
-        return m.group(1), {"status": "PASS", "rows": int(m.group(2))}
+        row = {"status": "PASS", "rows": int(m.group(2))}
+        if m.group(3):
+            row["mode"] = m.group(3)[2:].replace("staged oracle",
+                                                 "staged-oracle")
+        return m.group(1), row
     m = re.match(r"PASS (\S+)", line)
     if m:
         return m.group(1), {"status": "PASS", "rows": None}
