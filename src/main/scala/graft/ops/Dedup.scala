@@ -343,8 +343,18 @@ object Dedup {
     //   2. No Union inside the loop — min-over-neighborhood includes SELF
     //      via explicit self-loop edges instead of unioning the label table
     //      back in each round.
-    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair pipeline ONCE before fanning out: `pairs` is
+    // referenced four times below (2× in `directed`, 2× more via
+    // `selfLoops`), and exchange reuse demonstrably does not fire across
+    // the union branches — the 256× probe of corpus_retention_funnel
+    // showed the gram-postings shuffle inside sharedGramPairs executed
+    // FOUR byte-identical times (4 × 64.9M rows / 1.87 GB written, ~70%
+    // of the query's taskSec). Checkpointing the projected pair list
+    // first makes every branch a block read of (src, dst) longs.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val directed = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
     val selfLoops = directed.select(col("src")).distinct()
       .select(col("src"), col("src").as("dst"))
     val edges = directed.unionByName(selfLoops).distinct()

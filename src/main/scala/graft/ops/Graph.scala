@@ -49,8 +49,14 @@ object Graph {
     * w) edges and a `nodes` frame (one `n_name` per vertex — vertices with
     * no in-edges keep the teleport term). */
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
-    val e = edges
-      .join(edges.groupBy(col("src").as("s2")).agg(sum("w").as("wout")),
+    // materialize the edge extraction ONCE before the out-weight self-join:
+    // `edges` is the full fact-join pipeline (nationTradeEdges) and appears
+    // on both sides below — without the checkpoint the extraction runs
+    // twice in the `e` job (the connectedComponents fan-out lesson; union/
+    // self-join branches do not reliably reuse exchanges)
+    val e0 = edges.localCheckpoint(true)
+    val e = e0
+      .join(e0.groupBy(col("src").as("s2")).agg(sum("w").as("wout")),
         col("src") === col("s2"))
       .select(col("src"), col("dst"), col("w"), col("wout"))
       .localCheckpoint(true)
@@ -210,7 +216,10 @@ object Graph {
     * `localCheckpoint` truncates the per-round lineage (the [[pagerank]]
     * discipline). */
   def kcore(edges0: DataFrame, rounds: Int = 3): DataFrame = {
-    val dir = edges0.where(col("src") =!= col("dst"))
+    // one evaluation of the fact-join edge extraction, not two: `dir`
+    // appears in both union branches (the pagerank/connectedComponents
+    // fan-out discipline)
+    val dir = edges0.where(col("src") =!= col("dst")).localCheckpoint(true)
     val und = dir.select(col("src").as("a"), col("dst").as("b"))
       .union(dir.select(col("dst").as("a"), col("src").as("b")))
       .distinct().localCheckpoint(true)

@@ -207,11 +207,24 @@ object Relational {
     * customer (EXCEPT), plus the INTERSECT of two priority slices — exercised
     * as one union-all'd result with a tag column. */
   def setOps(orders: DataFrame): DataFrame = {
-    val urgent = orders.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
-    val high = orders.where(col("o_orderpriority") === "2-HIGH").select("o_custkey")
-    val both = urgent.intersect(high).withColumn("tag", lit("both"))
-    val onlyUrgent = urgent.except(high).withColumn("tag", lit("urgent_only"))
-    both.unionAll(onlyUrgent).orderBy("tag", "o_custkey")
+    // INTERSECT/EXCEPT as one aggregate: the set-op formulation scanned
+    // orders four times (urgent/high under each set op) and paid two
+    // distinct-shuffles plus a union; per-custkey priority flags compute
+    // the same distinct-set semantics in ONE scan + ONE exchange (guide
+    // §2.4 "remove shuffles outright"). Row set is identical: INTERSECT =
+    // custkeys with both priorities, EXCEPT = urgent-only custkeys.
+    val flags = orders
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("o_custkey")
+      .agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("u"),
+        max(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0)).as("h"))
+    flags
+      .select(col("o_custkey"),
+        when(col("u") === 1 && col("h") === 1, "both")
+          .when(col("u") === 1, "urgent_only").as("tag"))
+      .where(col("tag").isNotNull)
+      .orderBy("tag", "o_custkey")
   }
 
   /** Custom typed aggregate (`Aggregator[IN,BUF,OUT]` via `udaf`):
