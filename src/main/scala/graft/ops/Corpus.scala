@@ -38,6 +38,7 @@ object Corpus {
   def cdcChunks(documents: DataFrame, window: Int = 4,
       mask: Int = 32): DataFrame = {
     require(window >= 1 && mask >= 1, s"bad CDC params: $window, $mask")
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     // the fingerprint fold is applied PER EXPLODED ROW, not nested inside a
     // transform lambda over the cuts array: with the nested form the
     // optimizer's inferred not-null/size filter below the Generate inlines
@@ -50,7 +51,9 @@ object Corpus {
     val chunked = Spread.toCores(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-      .withColumn("hs", shingle_hashes(shingles(col("toks"), window)))
+      // fused native shingle-hash loop (graft.plans.ShingleHashArray):
+      // window build + polynomial fold in one pass, no shingle-string array
+      .withColumn("hs", call_function("shingle_hash_arr", col("toks"), lit(window)))
       // cut positions are EXCLUSIVE token end-counts; a cut at n would
       // duplicate the final boundary, so it is excluded and appended once
       .withColumn("cuts",
@@ -207,6 +210,7 @@ object Corpus {
       "(na + nb - n_shared) AS BIGINT)")
 
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     // bucket-then-pair (the Dedup.bucketPairs shape), not a self-join, and
     // ONE corpus-sized shuffle total: collect_set dedups per gram (no
     // separate global distinct pass), per-source gram counts come from the
@@ -218,7 +222,8 @@ object Corpus {
     // parquet row group cannot split); never fires on a real many-split scan
     val spread = Spread.toCores(documents)
     val gramSrcs = spread
-      .select(col("source"), explode(array_distinct(shingles(tokens(col("text")), n)))
+      .select(col("source"), explode(array_distinct(
+          call_function("shingles", tokens(col("text")), lit(n))))
         .as("gram"))
       .groupBy("gram")
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
@@ -279,7 +284,10 @@ object Corpus {
     * O(matching shingles), never corpus × benchmark. */
   def decontaminate(documents: DataFrame, benchMaxDocId: Long = 5,
       n: Int = 4): DataFrame = {
-    val grams = array_distinct(shingles(tokens(col("text")), n))
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    // fused native shingles (codegen) - identical output to the HOF form
+    val grams = array_distinct(
+      call_function("shingles", tokens(col("text")), lit(n)))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
     val corpus = documents.where(col("doc_id") >= benchMaxDocId)
@@ -329,7 +337,9 @@ object Corpus {
     * from the measured gram cardinality) — no UDF anywhere on the path. */
   def decontaminateBloom(documents: DataFrame, benchMaxDocId: Long = 5,
       n: Int = 4): DataFrame = {
-    val grams = array_distinct(shingles(tokens(col("text")), n))
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    val grams = array_distinct(
+      call_function("shingles", tokens(col("text")), lit(n)))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
       .localCheckpoint(true) // read three times: filter build (×2), join
@@ -426,31 +436,61 @@ object Corpus {
       }.toSeq
     if (bench.isEmpty)
       return q.select(col("vec_id"), lit(0L).as("n_bench_hits")).limit(0)
-    // loud overflow guard (see Ml.semDedup): dot ≤ √(na·nb) ≤ d·m², so the
-    // threshold products stay in int64 iff m ≤ (Long.Max/(d²·thr))^¼
-    val bounds = q.agg(
-      max(array_max(transform(col("qv"), x => abs(x)))).as("m"),
-      max(size(col("qv"))).as("d")).head()
-    if (!bounds.isNullAt(0)) {
-      val m = bounds.getLong(0)
-      val d = bounds.getInt(1).toDouble
-      val mMax = math.pow(
-        Long.MaxValue.toDouble / (d * d * math.max(thrNum, thrDen)), 0.25)
-      require(m <= mMax,
-        s"decontaminateSemantic: magnitude $m exceeds int64-safe bound " +
-        f"$mMax%.0f for dim ${d.toInt}")
+    // Loud overflow guard (see Ml.semDedup), folded INTO the scoring pass
+    // instead of a separate full corpus aggregate: the per-row condition
+    // m_row ≤ (Long.Max/(d_row²·thr))^¼ bounds this row's norm by
+    // na ≤ d·m² ≤ √(Long.Max/thr), so for ANY pair of guarded rows
+    // na·nb·thr ≤ Long.Max and (Cauchy–Schwarz) dot²·thr ≤ na·nb·thr ≤
+    // Long.Max — the same no-overflow guarantee the old global-max
+    // pre-pass proved, one full pass cheaper, still failing loudly on the
+    // first violating row (assert_true). Bench rows are guarded on the
+    // driver from the collected values (they no longer flow through the
+    // scoring filter).
+    val thr = math.max(thrNum, thrDen).toDouble
+    bench.foreach { case (id, v, _) =>
+      val m = v.map(math.abs).foldLeft(0L)(math.max)
+      val d = v.length.toDouble
+      val mMax = math.pow(Long.MaxValue.toDouble / (d * d * thr), 0.25)
+      require(d == 0 || m <= mMax,
+        s"decontaminateSemantic: bench vec $id magnitude $m exceeds " +
+        f"int64-safe bound $mMax%.0f for dim ${v.length}")
     }
+    val rowGuard = assert_true(
+      col("qv").isNull || size(col("qv")) === 0 ||
+        array_max(transform(col("qv"), x => abs(x))).cast("double") <=
+          pow(lit(Long.MaxValue.toDouble) /
+            (size(col("qv")).cast("double") * size(col("qv")) * lit(thr)),
+            lit(0.25)),
+      concat(lit("decontaminateSemantic: quantized magnitude of vec_id "),
+        col("vec_id").cast("string"),
+        lit(" exceeds the int64-safe bound for its dim")))
+    // Scoring evaluates every expensive subexpression ONCE per row: qv in
+    // its own projection (CollapseProject keeps multi-referenced non-cheap
+    // aliases separate), na likewise, and each bench dot is computed once
+    // and bound to a lambda variable (the old per-bench `when` referenced
+    // the dot fold three times and na once — ~21 interpreted HOF folds per
+    // row; this shape runs |bench|+2 folds).
     val na = aggregate(zip_with(col("qv"), col("qv"), _ * _),
       lit(0L), (acc, x) => acc + x)
-    val hits = bench.map { case (_, bv, nb) =>
-      val dot = aggregate(
-        zip_with(col("qv"), array(bv.map(lit): _*), _ * _),
-        lit(0L), (acc, x) => acc + x)
-      when(dot > 0 && dot * dot * lit(thrDen) >= na * lit(nb) * lit(thrNum),
-        1L).otherwise(0L)
-    }.reduce(_ + _)
+    val benchVecs = array(bench.map { case (_, bv, _) =>
+      array(bv.map(lit): _*) }: _*)
+    val benchNorms = array(bench.map { case (_, _, nb) => lit(nb) }: _*)
+    val hits = aggregate(
+      zip_with(benchVecs, benchNorms, (bv, nb) =>
+        // bind the dot product once: the inner aggregate's lambda variable
+        // carries it through the 3-reference threshold test
+        aggregate(
+          array(aggregate(zip_with(col("qv"), bv, _ * _),
+            lit(0L), (acc, x) => acc + x)),
+          lit(0L),
+          (acc, dot) => acc + when(
+            dot > 0 && dot * dot * lit(thrDen) >= col("na") * nb * lit(thrNum),
+            1L).otherwise(0L))),
+      lit(0L), (acc, x) => acc + x)
     q.where(col("vec_id") >= benchMaxVecId)
-      .select(col("vec_id"), hits.as("n_bench_hits"))
+      .select(col("vec_id"), col("qv"), na.as("na"))
+      .select(col("vec_id"),
+        when(rowGuard.isNull, hits).as("n_bench_hits"))
       .where(col("n_bench_hits") > 0)
       .orderBy("vec_id")
   }
@@ -507,9 +547,11 @@ object Corpus {
     * span stream, the same bound as [[Dedup.sharedGramPairs]]' index. */
   def duplicateSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     Spread.toCores(documents)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), spanTokens)))
+        explode(array_distinct(
+          call_function("shingles", tokens(col("text")), lit(spanTokens))))
           .as("span"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("span")))
       .groupBy("doc_id")
@@ -638,12 +680,14 @@ object Corpus {
     * window). The token projection feeds three consumers on different keys,
     * so it persists once, the minhashLsh discipline. */
   def stripDuplicateSpans(documents: DataFrame, spanTokens: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     val toksDf = Spread.toCores(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spans = toksDf.select(col("doc_id"),
       least(lit(spanTokens), size(col("toks"))).as("span_len"),
-      posexplode(shingles(col("toks"), spanTokens)).as(Seq("pos", "span")))
+      posexplode(call_function("shingles", col("toks"), lit(spanTokens)))
+        .as(Seq("pos", "span")))
     val dup = spans.select("doc_id", "span").distinct()
       .groupBy("span").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2).select("span")

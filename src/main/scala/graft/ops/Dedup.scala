@@ -189,9 +189,14 @@ object Dedup {
     // yields fewer partitions than cores (single small file locally — a
     // parquet row group cannot be split); never fires on a real many-split
     // scan
+    GraftExtensions.ensureRegistered(documents.sparkSession)
     val spread = Spread.toCores(documents)
+    // fused native shingles (graft.plans.NgramShingles, codegen): one loop
+    // per doc instead of the interpreted transform+slice+concat_ws HOF —
+    // identical output including the short-doc whole-document collapse
     spread.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), n))).as("gram"))
+      explode(array_distinct(
+        call_function("shingles", tokens(col("text")), lit(n)))).as("gram"))
   }
 
   def sharedGramPairs(documents: DataFrame, n: Int = 4, minShared: Int = 2,
@@ -486,8 +491,10 @@ object Dedup {
     * the SQL-expressible ground truth the LSH variants approximate, and the
     * DuckDB-oracle anchor for the similarity math. */
   def ngramJaccardAdjacent(documents: DataFrame, n: Int = 2): DataFrame = {
+    GraftExtensions.ensureRegistered(documents.sparkSession)
     val shingled = documents.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), n)).as("grams"))
+      array_distinct(
+        call_function("shingles", tokens(col("text")), lit(n))).as("grams"))
     val a = shingled.select(col("doc_id").as("doc_a"), col("grams").as("grams_a"))
     val b = shingled.select((col("doc_id") - 1).as("doc_a"),
       col("doc_id").as("doc_b"), col("grams").as("grams_b"))

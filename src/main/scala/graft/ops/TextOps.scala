@@ -137,16 +137,25 @@ object TextOps {
     * live at 128× (640 k docs: >25 min serial, the r12/r15 single-split
     * defect class), not a theoretical risk. */
   def repetitionStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    def dupRatio(n: Int): Column = {
-      val g = shingles(toks, n)
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
-    }
+    // fused native shingles + layered projections so each gram array is
+    // built ONCE per row: the previous single-projection form evaluated
+    // the interpreted HOF shingle chain four times per row (n_2grams +
+    // both sides of each dup ratio). CollapseProject keeps the layers
+    // separate (non-cheap, multi-referenced aliases), so g2/g3 are plain
+    // attribute reads in the ratio projection. Same expressions, same
+    // output, fewer evaluations.
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     Spread.toCores(documents)
-      .select(col("doc_id"), size(toks).as("n_tokens"),
-        size(shingles(toks, 2)).as("n_2grams"),
-        dupRatio(2).as("dup_2gram_ratio"),
-        dupRatio(3).as("dup_3gram_ratio"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        call_function("shingles", col("toks"), lit(2)).as("g2"),
+        call_function("shingles", col("toks"), lit(3)).as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("g2")).as("n_2grams"),
+        (lit(1.0) - size(array_distinct(col("g2"))).cast("double")
+          / size(col("g2"))).as("dup_2gram_ratio"),
+        (lit(1.0) - size(array_distinct(col("g3"))).cast("double")
+          / size(col("g3"))).as("dup_3gram_ratio"))
       .orderBy("doc_id")
   }
 
@@ -174,8 +183,14 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"))
-    val df = documents
-      .select(explode(array_distinct(tokens(col("text")))).as("token"))
+    // df derived FROM tf (tf has one row per (doc, token), so count-per-
+    // token over tf IS the document frequency): the two join sides now
+    // share one canonical subplan, so ReuseExchange materializes the
+    // tokenize+explode+partial-agg scan ONCE where the old separate
+    // array_distinct branch re-tokenized the corpus a second time. The
+    // df exchange stays small either way (map-side partial agg reduces it
+    // to distinct tokens per partition). Still one lazy plan, no persist.
+    val df = tf
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
@@ -370,9 +385,14 @@ object TextOps {
     val spread = Spread.toCores(documents)
     val grams = spread.select(col("doc_id"),
       explode(call_function("shingles", tokens(col("text")), lit(n))).as("gram"))
+    // ONE tokenize+shingle pass, not two: df is derivable from tf (tf has
+    // exactly one row per (doc, gram), so count-per-gram over tf IS the
+    // document frequency) — the old separate distinct+groupBy branch
+    // re-ran the full shingle explode a second time. Checkpoint tf so the
+    // df aggregate and the weight join below read materialized rows.
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-    val df = grams.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val df = tf.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df").between(minDf, maxDf))
     // idf on the milli grid: N and df are exact integers, so both engines
     // quantize the same transcendental at the same ≤ (maxDf−minDf+1) sites;
@@ -590,7 +610,8 @@ object TextOps {
     val uni = t.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val db = t.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+    val db = t.select(col("doc_id"),
+      explode(call_function("shingles", col("toks"), lit(2))).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val bi = db.groupBy("bg").agg(count(lit(1)).as("cb"))
     db.join(bi, "bg")
