@@ -632,11 +632,14 @@ object Corpus {
     // one persisted projection feeds the band rows (sig) and both exact-
     // verify sides (toks_d, n_toks); Spread first — a single-file scan
     // would tokenize and minhash the whole corpus on one core
-    val base = Spread.toCores(documents).select(
+    val base = Spread.toCores(documents)
+      // tokenize ONCE per row (layered projection): the signature and the
+      // distinct-token verify side previously each re-ran the regex split
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(
         col("doc_id"),
-        call_function("minhash_sig", tokens(col("text")), lit(3), lit(k))
-          .as("sig"),
-        array_distinct(tokens(col("text"))).as("toks_d"))
+        call_function("minhash_sig", col("_t"), lit(3), lit(k)).as("sig"),
+        array_distinct(col("_t")).as("toks_d"))
       .withColumn("n_toks", size(col("toks_d")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = base.select(col("doc_id"),

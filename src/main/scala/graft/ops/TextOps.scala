@@ -14,12 +14,16 @@ object TextOps {
   /** Per-document token statistics: token count, distinct-token count,
     * char count, mean token length, type-token ratio. */
   def tokenStats(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize ONCE per row: a layered projection keeps the token array an
+    // attribute (CollapseProject leaves non-cheap multi-referenced aliases
+    // alone), where inlining `tokens(text)` at each use re-ran the regex
+    // split per expression
     documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct_tokens"),
+        size(col("_toks")).as("n_tokens"),
+        size(array_distinct(col("_toks"))).as("n_distinct_tokens"),
         // BPE-style pre-tokenization count: letter runs, digit runs, and
         // individual symbols — the unit a subword tokenizer would split on
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
@@ -44,11 +48,12 @@ object TextOps {
     * alphabetic purity — the shape of a C4/Gopher-style quality filter,
     * deterministic and cheap enough to run inline at ingest. */
   def qualityScore(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
     val stop = array(Seq("the", "a", "and", "of", "to", "in", "is", "on").map(lit): _*)
+    // tokenize once per row (the tokenStats layering discipline)
     documents
-      .select(col("doc_id"), size(toks).as("n_tokens"),
-        size(array_intersect_dup(toks, stop)).as("n_stop"),
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("n_tokens"),
+        size(array_intersect_dup(col("_toks"), stop)).as("n_stop"),
         length(regexp_replace(col("text"), "[a-z ]", "")).as("n_nonalpha"),
         length(col("text")).as("n_chars"))
       .withColumn("stop_ratio", safeRatio(col("n_stop"), col("n_tokens")))
@@ -78,14 +83,17 @@ object TextOps {
       "es" -> Seq("el", "la", "los", "y", "es"),
       "fr" -> Seq("le", "la", "les", "et", "est"),
       "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
-    val toks = tokens(col("text"))
+    // tokenize once per row: the five per-language marker filters all read
+    // the same token-array attribute (the tokenStats layering discipline)
     val scored = markers.map { case (lang, words) =>
-      val hits = size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+      val hits = size(filter(col("_toks"),
+        t => array_contains(array(words.map(lit): _*), t)))
       // negated score so an ASC struct sort puts (highest score, smallest
       // lang) first — a deterministic argmax with lexicographic tie-break
       struct((-hits).as("neg_score"), lit(lang).as("lang"))
     }
     documents
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("lang").as("labeled_lang"),
         sort_array(array(scored: _*)).getItem(0).getField("lang")
           .as("predicted_lang"))
@@ -518,17 +526,19 @@ object TextOps {
   }
 
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 10): DataFrame = {
-    val toks = tokens(col("text"))
     val vocab = documents
-      .select(explode(toks).as("tok"))
+      .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
       .agg(collect_list("tok").as("_vocab"))
+    // tokenize once per row (the tokenStats layering discipline)
     documents
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(filter(toks, t => array_contains(col("_vocab"), t))).as("n_in_vocab"))
+        size(col("_toks")).as("n_tokens"),
+        size(filter(col("_toks"), t => array_contains(col("_vocab"), t)))
+          .as("n_in_vocab"))
       .orderBy("doc_id")
   }
 
