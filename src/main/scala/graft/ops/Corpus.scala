@@ -252,9 +252,14 @@ object Corpus {
     * a 100 TB ingest actually runs (zero shuffle — every check is per-row
     * column math). */
   def qualityFilter(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize and 2-gram ONCE per row (the tokenStats layering
+    // discipline + fused native shingles): the single-projection form
+    // re-ran the regex split for each check and the shingle chain for
+    // both sides of the repetition ratio
+    graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
+    val toks = col("_toks")
     val stop = array(Seq("the", "a", "and", "of", "to", "in", "is", "on").map(lit): _*)
-    val g2 = shingles(toks, 2)
+    val g2 = col("_g2")
     val dup2 = lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)
     val nNonalpha = length(regexp_replace(col("text"), "[a-z ]", ""))
     // NULL on empty text — ANSI mode turns /0 into a job-killing exception
@@ -271,6 +276,9 @@ object Corpus {
       .map { case ((_, c), i) => when(c, lit(0)).otherwise(lit(1 << i)) }
       .reduce(_ + _)
     documents
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("text"), col("_toks"),
+        call_function("shingles", col("_toks"), lit(2)).as("_g2"))
       .select(col("doc_id"), reason.as("reject_reasons"))
       .withColumn("keep", (col("reject_reasons") === 0).cast("int"))
       .orderBy("doc_id")
