@@ -388,12 +388,21 @@ object Corpus {
     val toks = tokens(col("text"))
     val nSegs = ceil(size(toks).cast("double") / segTokens).cast("int")
     // empty-doc guard: sequence(0, -1) DESCENDS in Spark, fabricating two
-    // bogus segments for a zero-token document — same guard as chunkOverlap
-    val segList = when(nSegs > 0,
-      transform(sequence(lit(0), nSegs - 1),
-        i => concat_ws(" ", slice(toks, i * segTokens + 1, lit(segTokens)))))
+    // bogus segments for a zero-token document — same guard as chunkOverlap.
+    // Layered projections (the tokenStats discipline): the inlined form
+    // re-ran tokens(text) three times per row (twice via the nSegs copies,
+    // once in the slice lambda); here the token array and segment count are
+    // attributes computed once each.
+    val segList = when(col("_n") > 0,
+      transform(sequence(lit(0), col("_n") - 1),
+        i => concat_ws(" ",
+          slice(col("_toks"), i * segTokens + 1, lit(segTokens)))))
       .otherwise(array().cast("array<string>"))
     val segs = documents
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"),
+        ceil(size(col("_toks")).cast("double") / segTokens).cast("int")
+          .as("_n"))
       .select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
     val df = segs.select("seg", "doc_id").distinct()
       .groupBy("seg").agg(count(lit(1)).as("seg_df"))
