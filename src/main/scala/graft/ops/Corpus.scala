@@ -227,7 +227,7 @@ object Corpus {
         .as("gram"))
       .groupBy("gram")
       .agg(array_sort(collect_set(col("source"))).as("srcs"))
-      .localCheckpoint(true) // read twice: sizes + pairs
+      .transform(Materialize.once) // read twice: sizes + pairs
     val sizes = gramSrcs
       .select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n_grams"))
@@ -350,7 +350,7 @@ object Corpus {
       call_function("shingles", tokens(col("text")), lit(n)))
     val bench = documents.where(col("doc_id") < benchMaxDocId)
       .select(explode(grams).as("gram")).distinct()
-      .localCheckpoint(true) // read three times: filter build (×2), join
+      .transform(Materialize.once) // read three times: filter build (×2), join
     // an empty benchmark means nothing can be contaminated
     if (bench.isEmpty) {
       return documents.sparkSession.emptyDataFrame
@@ -472,12 +472,19 @@ object Corpus {
         s"decontaminateSemantic: bench vec $id magnitude $m exceeds " +
         f"int64-safe bound $mMax%.0f for dim ${v.length}")
     }
+    // coalesce(…, true): the magnitude comparison is NULL exactly when
+    // array_max is NULL — qv NULL, empty, or ALL-NULL elements (array_max
+    // skips null entries) — and each of those rows scores 0 and drops,
+    // the pre-r21 behavior (ADVICE r21: a bare disjunct chain left the
+    // all-NULL-element case throwing a misleading overflow error). Only a
+    // NON-NULL magnitude beyond the bound is a defect worth failing on.
     val rowGuard = assert_true(
-      col("qv").isNull || size(col("qv")) === 0 ||
+      coalesce(
         array_max(transform(col("qv"), x => abs(x))).cast("double") <=
           pow(lit(Long.MaxValue.toDouble) /
             (size(col("qv")).cast("double") * size(col("qv")) * lit(thr)),
             lit(0.25)),
+        lit(true)),
       concat(lit("decontaminateSemantic: quantized magnitude of vec_id "),
         col("vec_id").cast("string"),
         lit(" exceeds the int64-safe bound for its dim")))

@@ -357,13 +357,13 @@ object Dedup {
     // of the query's taskSec). Checkpointing the projected pair list
     // first makes every branch a block read of (src, dst) longs.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val directed = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
     val selfLoops = directed.select(col("src")).distinct()
       .select(col("src"), col("src").as("dst"))
     val edges = directed.unionByName(selfLoops).distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     // metadata-driven algorithm choice (the checkpoint makes the count
     // free): small graphs solve exactly in one union-find task — zero loop
     // rounds, zero extra shuffles; big graphs take the O(log diameter)
@@ -382,7 +382,7 @@ object Dedup {
       return unionFindOneTask(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -401,7 +401,7 @@ object Dedup {
         .groupBy(col("src").as("id"))
         .agg(min("label").as("label"),
           min(when(col("dst") === col("src"), col("label"))).as("old"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       // then pointer-halve: label := label(label). Every label IS a vertex
       // id (it is a min over ids), so the self-join is total. With the
       // halving, a diameter-d chain converges in O(log d) rounds, not

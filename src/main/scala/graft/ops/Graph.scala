@@ -54,12 +54,12 @@ object Graph {
     // on both sides below — without the checkpoint the extraction runs
     // twice in the `e` job (the connectedComponents fan-out lesson; union/
     // self-join branches do not reliably reuse exchanges)
-    val e0 = edges.localCheckpoint(true)
+    val e0 = edges.transform(Materialize.once)
     val e = e0
       .join(e0.groupBy(col("src").as("s2")).agg(sum("w").as("wout")),
         col("src") === col("s2"))
       .select(col("src"), col("dst"), col("w"), col("wout"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val teleport: Long = Seed - Seed * 17L / 20L // 0.15·seed, exact integer
     var ranks = nodes.select(col("n_name"), lit(Seed).as("r"))
     for (_ <- 1 to iters) {
@@ -75,7 +75,7 @@ object Graph {
         .select(col("n_name"), coalesce(col("m"), lit(0L)).as("m"))
         .select(col("n_name"),
           expr(s"$teleport + (m * 17) div 20").as("r"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
     }
     ranks.select(col("n_name"), col("r").as("rank"))
       .orderBy(col("rank").desc, col("n_name"))
@@ -102,7 +102,7 @@ object Graph {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true) // read three times (two joins + the census)
+      .transform(Materialize.once) // read three times (two joins + the census)
     val tri = und.select(col("a"), col("b"))
       .join(und.select(col("a").as("b"), col("b").as("c")), "b")
       .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -126,7 +126,7 @@ object Graph {
     * consumers (each would otherwise replay the full fact joins). */
   def degreeCensus(edges0: DataFrame): DataFrame = {
     val edges = edges0.where(col("src") =!= col("dst"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val out = edges.groupBy(col("src").as("n_name"))
       .agg(count(lit(1)).as("out_deg"), sum("w").as("out_w"))
     val in = edges.groupBy(col("dst").as("n_name"))
@@ -166,9 +166,9 @@ object Graph {
     val spark = edges0.sparkSession
     import spark.implicits._
     val edges = edges0.select("src", "dst").where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Materialize.once)
     var dist = Seq((source, 0)).toDF("n_name", "hops")
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     var frontier = dist.select("n_name")
     var i = 1
     var grown = true
@@ -177,10 +177,10 @@ object Graph {
         .select(col("dst").as("n_name")).distinct()
         .join(dist, Seq("n_name"), "left_anti")
         .withColumn("hops", lit(i))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       grown = !next.isEmpty
       if (grown) {
-        dist = dist.union(next).localCheckpoint(true)
+        dist = dist.union(next).transform(Materialize.once)
         frontier = next.select("n_name")
       }
       i += 1
@@ -219,10 +219,10 @@ object Graph {
     // one evaluation of the fact-join edge extraction, not two: `dir`
     // appears in both union branches (the pagerank/connectedComponents
     // fan-out discipline)
-    val dir = edges0.where(col("src") =!= col("dst")).localCheckpoint(true)
+    val dir = edges0.where(col("src") =!= col("dst")).transform(Materialize.once)
     val und = dir.select(col("src").as("a"), col("dst").as("b"))
       .union(dir.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(Materialize.once)
     val deg0 = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val kDf = deg0.agg(sum("deg").as("s"), count(lit(1)).as("nn"))
       .select(expr("(s + 2 * nn - 1) div (2 * nn)").as("k"))
@@ -235,7 +235,7 @@ object Graph {
       val d = e.groupBy("a").agg(count(lit(1)).as("deg"))
       aliveDeg = d.crossJoin(broadcast(kDf))
         .where(col("deg") >= col("k"))
-        .localCheckpoint(true)
+        .transform(Materialize.once)
       alive = aliveDeg.select("a")
     }
     aliveDeg.select(col("a").as("n_name"), col("deg"), col("k"))

@@ -44,7 +44,7 @@ object Ml {
     // (silent empty clustering); iters = 0 would silently behave as iters=1
     require(k >= 1, s"kmeansClusters: k must be >= 1, got $k")
     require(iters >= 1, s"kmeansClusters: iters must be >= 1, got $iters")
-    val q = quantized(embeddings).localCheckpoint(true) // scanned once per round
+    val q = quantized(embeddings).transform(Materialize.once) // scanned once per round
     // deterministic seed: the k lowest vec_ids, cluster id = rank order.
     // k rows of metadata — the only collect in the loop.
     var centroids: Seq[(Int, Seq[Long])] = q.orderBy("vec_id").limit(k).collect()
@@ -103,7 +103,7 @@ object Ml {
       s"semDedup: need thrDen >= 1 and thrNum >= 0, got $thrNum/$thrDen")
     // the coarser round(x·100) grid keeps den·dot² inside int64 for
     // 64-dim vectors with |x| ≤ ~40 (dot ≤ 64·160e3 ⇒ den·dot² ≤ ~1e16)
-    val q = quantized(embeddings, 100d).localCheckpoint(true)
+    val q = quantized(embeddings, 100d).transform(Materialize.once)
     val seed = q.orderBy("vec_id").limit(k).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
     if (seed.isEmpty) // same empty-corpus guard as kmeansClusters

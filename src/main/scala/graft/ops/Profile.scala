@@ -316,7 +316,7 @@ object Profile {
     // and the MAD ranking fully lazy with one shared range exchange.
     val med = Rank.discPercentiles(orders, Seq("o_orderpriority"),
       "o_totalprice", Seq((1, 2)), Seq("med"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val dev = orders.join(broadcast(med), "o_orderpriority")
       .withColumn("dev", abs(col("o_totalprice") - col("med")))
     val mad = Rank.discPercentiles(dev, Seq("o_orderpriority"), "dev",

@@ -51,9 +51,16 @@ object Rank {
     *     computed under bounds A join ranks computed under bounds B, and
     *     the ranks come out silently, NONDETERMINISTICALLY wrong
     *     (caught round 10: persisting a frame upstream of a grouped
-    *     ranking flipped median-absolute-deviation values run to run). */
+    *     ranking flipped median-absolute-deviation values run to run);
+    *   - `hasPayload` (an input column the sort keys do not reference):
+    *     column pruning narrows the payload out of the offsets side's
+    *     subplan BELOW the range exchange while the data side keeps it,
+    *     the two exchange subtrees no longer canonicalize equal, and
+    *     reuse misses — same bounds-divergence failure as the cache case
+    *     (plan-verified on the round-22 codegen local pass: the
+    *     lengthBatches offsets exchange lost `n_tokens`). */
   private def stableLocal(df: DataFrame, localPlan: DataFrame,
-      groupCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String], hasPayload: Boolean): DataFrame = {
     // collectWithSubqueries, not collectFirst: a cached relation referenced
     // only inside a subquery expression is invisible to the plain child
     // traversal, and would re-expose the bounds mismatch
@@ -63,20 +70,35 @@ object Rank {
     // with exchange reuse disabled there is NO mechanism making the two
     // references observe one range exchange — always materialize
     val reuseOff = !df.sparkSession.sessionState.conf.exchangeReuseEnabled
-    // the eager localCheckpoint trades a wide failure mode for bounds
-    // consistency: blocks are executor-local and unreplicated, so losing an
-    // executor after the checkpoint fails downstream reads — acceptable for
-    // the one-shot analytic jobs this library targets; long-lived pipelines
-    // should persist the input and re-run on executor loss
-    if (groupCols.isEmpty || cachedInput || reuseOff)
-      localPlan.localCheckpoint(true)
+    // the eager materialization trades a failure mode for bounds
+    // consistency; [[Materialize.once]] picks local (executor-local,
+    // unreplicated — the one-shot analytics posture) or reliable
+    // (checkpoint-dir, survives executor loss) blocks per session config
+    if (groupCols.isEmpty || cachedInput || reuseOff || hasPayload)
+      Materialize.once(localPlan)
     else localPlan
   }
 
-  /** Group-key normalization for the per-partition stateful scans: `row.get`
-    * yields `Array[Byte]` for BinaryType columns, whose `equals` is
-    * reference identity — every row would look like a new group and local
-    * ranks would collapse to 1. Wrap to a value-equality Seq. */
+  /** True when `df` carries a column the sort keys do not reference — the
+    * [[stableLocal]] payload condition. Compared by exprId on the analyzed
+    * plans (names can collide; ids cannot): `sorted` is built over `df`'s
+    * own logical plan, so its Sort order references resolve to `df`'s
+    * output ids. */
+  private def payloadBeyondKeys(df: DataFrame, sorted: DataFrame): Boolean = {
+    val keyIds = sorted.queryExecution.analyzed.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort =>
+        s.order.flatMap(_.references).map(_.exprId).toSet
+    }.getOrElse(Set.empty)
+    df.queryExecution.analyzed.output.exists(a => !keyIds.contains(a.exprId))
+  }
+
+  /** Group-key normalization for the per-partition stateful scan in
+    * [[groupRunningSums]] (the only remaining external-row pass — prefix
+    * sums need real accumulation; [[rankedParts]] is pure codegen
+    * arithmetic now): `row.get` yields `Array[Byte]` for BinaryType
+    * columns, whose `equals` is reference identity — every row would look
+    * like a new group and local sums would reset per row. Wrap to a
+    * value-equality Seq. */
   private def keyOf(row: org.apache.spark.sql.Row,
       idx: Seq[Int]): Seq[Any] =
     idx.map { i =>
@@ -118,19 +140,45 @@ object Rank {
         s"internal/output columns (${names.mkString(", ")}); rename them first")
   }
 
-  /** Shared core of the rank-based operators: range-shuffle + local stateful
-    * rank, plus the P × |groups| offsets metadata. Returns
-    * `(local, offsets)` where `local` = input columns + (`_pid`, `_lrank`)
-    * and `offsets` = `_pid` ++ groupCols ++ (`_cnt`, `_offset`, `n`) —
+  /** Shared core of the rank-based operators: range-shuffle + local rank,
+    * plus the P × |groups| offsets metadata. Returns `(local, offsets)`
+    * where `local` = input columns + (`_pid`, `_mid`) and `offsets` =
+    * `_pid` ++ groupCols ++ (`_cnt`, `_offset`, `n`, `_min`) —
     * per-(partition, group) row count, cumulative offset in partition
-    * order, and group total. Consumers either join offsets back onto every
-    * row ([[groupRanks]]) or address specific order statistics on the
-    * metadata alone ([[discPercentiles]]). */
+    * order, group total, and the slice's minimum `_mid`. The local rank of
+    * a row within its (partition, group) slice is `_mid − _min + 1`.
+    * Consumers either join offsets back onto every row ([[groupRanks]]) or
+    * address specific order statistics on the metadata alone
+    * ([[discPercentiles]]).
+    *
+    * The local pass is pure codegen arithmetic: `monotonically_increasing_
+    * id()` evaluates in partition row order as (pid << 33) + row index
+    * (0-based, CONSECUTIVE within the partition), so within a (pid, group)
+    * slice — contiguous because the local sort leads with groupCols — the
+    * ids are consecutive and `_mid − min(_mid)` IS the 0-based local rank.
+    * min(_mid) rides the same tiny offsets aggregate the counts already
+    * need. This replaced an `Encoders.row` mapPartitions stateful scan
+    * (round 22): the external-row round trip (DeserializeToObject /
+    * MapPartitions / SerializeFromObject) cost ~60 µs/row and ran once per
+    * consumer of the shared plan — the dominant task time of every
+    * rank-based query. Rank-identity argument: row order inside a sorted
+    * partition is deterministic up to ties in the sort key, permutable rows
+    * are value-identical, and slice boundaries (hence `_cnt`, `_min`,
+    * `_offset`) depend only on per-slice row counts — so the emitted
+    * (row, rank) pairs match the stateful scan's exactly.
+    *
+    * The nondeterministic marker on the id expression is load-bearing:
+    * EliminateSorts cannot recurse through a nondeterministic projection
+    * (the offsets aggregate would otherwise license removing the local
+    * sort the ids' row order rides on). It does NOT stop column pruning —
+    * pruning narrows payload columns out of the offsets side BELOW the
+    * exchange (plan-verified), which breaks ReuseExchange's subtree
+    * equality and with it the bounds-consistency contract; the
+    * `hasPayload` condition in [[stableLocal]] materializes exactly those
+    * inputs once instead. */
   private def rankedParts(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[Column], extraNames: Seq[String]): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    requireFreeNames(df, Seq("_pid", "_lrank", "_cnt", "_offset", "n") ++
+    requireFreeNames(df, Seq("_pid", "_mid", "_min", "_cnt", "_offset", "n") ++
       extraNames ++ groupCols.indices.map(i => s"_rk_g$i"))
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
@@ -138,61 +186,55 @@ object Rank {
     val sorted = df
       .repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    // local rank: ONE stateful scan per already-sorted partition — no second
-    // full-data exchange (a Window keyed by (pid, group) would hash-shuffle
-    // everything again just to regroup what the range partitioner already
-    // co-located). AQE's contiguous partition coalescing preserves the
-    // pid-order == value-order invariant the offsets below rely on.
-    val groupIdx = groupCols.map(df.schema.fieldIndex)
-    val outSchema = StructType(df.schema.fields :+
-      StructField("_pid", IntegerType, nullable = false) :+
-      StructField("_lrank", LongType, nullable = false))
-    val localPlan = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var prevKey: Seq[Any] = null
-      var r = 0L
-      it.map { row =>
-        val key = keyOf(row, groupIdx)
-        if (prevKey == null || key != prevKey) { r = 0L; prevKey = key }
-        r += 1
-        Row.fromSeq(row.toSeq :+ pid :+ r)
-      }
-    }(Encoders.row(outSchema))
+    // no second full-data exchange (a Window keyed by (pid, group) would
+    // hash-shuffle everything again just to regroup what the range
+    // partitioner already co-located). AQE's contiguous partition
+    // coalescing preserves the pid-order == value-order invariant the
+    // offsets below rely on (both _pid and the id's partition index are the
+    // post-coalesce TaskContext partition id).
+    val localPlan = sorted.select(
+      (df.columns.toIndexedSeq.map(col) :+ spark_partition_id().as("_pid") :+
+        monotonically_increasing_id().as("_mid")): _*)
     // empty groupCols (global rank): the offsets collect and the final join
     // are SEPARATE executions — and RangePartitioner's sample seed includes
     // the (per-execution) rdd id, so two runs of the range exchange may cut
     // different bounds and shift rows across pids, corrupting the offset
-    // join. Materialize ONCE (eager localCheckpoint — the zipWithIndex
-    // discipline: both jobs must read the same physical partitions). The
-    // grouped path keeps one lazy plan: its offsets ride the SAME query, and
-    // ReuseExchange makes the twice-referenced range exchange one exchange —
-    // except over cached inputs, where reuse breaks (see [[stableLocal]]).
-    val local = stableLocal(df, localPlan, groupCols)
-    // offsets: counts per (pid, group) — P × |groups| rows, tiny — cumulated
-    // in pid order (range partitioning makes pid order == value order).
-    // empty groupCols: exactly P rows of per-partition counts — cumulate on
-    // the DRIVER instead of through a declared-single-partition window,
-    // which Spark 4's EliminateWindowPartitions strips back to an empty
-    // partition spec (constant keys, foldable or not) and then warns on.
+    // join. Materialize ONCE (the zipWithIndex discipline: both jobs must
+    // read the same physical partitions). The grouped path keeps one lazy
+    // plan: its offsets ride the SAME query, and ReuseExchange makes the
+    // twice-referenced range exchange one exchange — except over cached
+    // inputs or payload-carrying inputs, where reuse breaks (see
+    // [[stableLocal]]).
+    val local =
+      stableLocal(df, localPlan, groupCols, payloadBeyondKeys(df, sorted))
+    // offsets: counts + min id per (pid, group) — P × |groups| rows, tiny —
+    // cumulated in pid order (range partitioning makes pid order == value
+    // order). empty groupCols: exactly P rows of per-partition counts —
+    // cumulate on the DRIVER instead of through a declared-single-partition
+    // window, which Spark 4's EliminateWindowPartitions strips back to an
+    // empty partition spec (constant keys, foldable or not) and then warns
+    // on.
     val offsets = if (groupCols.isEmpty) {
-      val cnts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val cnts = local.groupBy(col("_pid"))
+        .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_min"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
       val total = cnts.map(_._2).sum
       var acc = 0L
-      val rows = cnts.map { case (pid, cnt) =>
-        val off = acc; acc += cnt; (pid, cnt, off, total)
+      val rows = cnts.map { case (pid, cnt, mn) =>
+        val off = acc; acc += cnt; (pid, cnt, off, total, mn)
       }
       spark.createDataFrame(rows.toIndexedSeq)
-        .toDF("_pid", "_cnt", "_offset", "n")
+        .toDF("_pid", "_cnt", "_offset", "n", "_min")
     } else {
       val cntW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_pid"))
       val nW = Window.partitionBy(groupCols.map(col): _*)
       local.groupBy(("_pid" +: groupCols).map(col): _*)
-        .agg(count(lit(1)).as("_cnt"))
+        .agg(count(lit(1)).as("_cnt"), min(col("_mid")).as("_min"))
         .withColumn("_offset", sum(col("_cnt")).over(cntW) - col("_cnt"))
         .withColumn("n", sum(col("_cnt")).over(nW))
         .select(("_pid" +: groupCols).map(col) :+ col("_cnt") :+
-          col("_offset") :+ col("n"): _*)
+          col("_offset") :+ col("n") :+ col("_min"): _*)
     }
     (local, offsets)
   }
@@ -212,9 +254,12 @@ object Rank {
       orderCols: Seq[Column]): DataFrame = {
     val (local, offsets) =
       rankedParts(df, groupCols, orderCols, Seq("rank"))
+    // local rank = _mid − _min + 1 (consecutive ids within the slice); the
+    // pid prefix baked into both _mid and _min cancels in the difference
     joinOffsets(local, offsets.drop("_cnt"), groupCols)
-      .withColumn("rank", (col("_offset") + col("_lrank")).cast("long"))
-      .drop("_pid", "_lrank", "_offset")
+      .withColumn("rank",
+        (col("_offset") + col("_mid") - col("_min") + lit(1L)).cast("long"))
+      .drop("_pid", "_mid", "_offset", "_min")
   }
 
   /** Distributed within-group PREFIX SUM over a long column — same two-pass
@@ -257,8 +302,12 @@ object Rank {
       }
     }(Encoders.row(outSchema))
     // materialize once when the two passes could see different range
-    // bounds — the consistency discipline explained in [[stableLocal]]
-    val local = stableLocal(df, localPlan, groupCols)
+    // bounds — the consistency discipline explained in [[stableLocal]].
+    // hasPayload = false: this pass is still the opaque external-row scan,
+    // whose deserializer references EVERY input column — nothing prunes
+    // below the exchange, so the two subtrees stay canonical-equal with or
+    // without payload columns
+    val local = stableLocal(df, localPlan, groupCols, hasPayload = false)
     // empty groupCols: P-row metadata cumulated on the driver — see groupRanks
     // coalesce(sum, 0): a (partition, group) slice whose values are ALL
     // NULL sums to NULL, which would poison every later offset in the
@@ -321,34 +370,31 @@ object Rank {
       df.select(groupCols.map(col) :+ col(valueCol): _*)
         .where(col(valueCol).isNotNull),
       groupCols, Seq(col(valueCol)),
-      Seq("_q", "_t", "_rk_pid", "_rk_lrank") ++ outNames)
+      Seq("_q", "_t", "_rk_mid") ++ outNames)
     // address each order statistic on the P × |groups| METADATA alone:
     // position ceil(q·n) = (n·num + den−1) div den falls inside the one
     // (partition, group) slice whose cumulative span covers it, at local
-    // rank pos − _offset. The join back onto the ranked rows is then a
-    // broadcast FILTER producing ≤ |groups|·|qs| rows — no global rank
-    // needs to be attached to every row and no full-data aggregation
-    // follows (the previous form joined offsets onto all rows and scanned
-    // them with max-when; same answer, one full-width pass more).
+    // rank pos − _offset, i.e. at id _min + (pos − _offset) − 1. The join
+    // back onto the ranked rows is then a broadcast FILTER producing
+    // ≤ |groups|·|qs| rows — no global rank needs to be attached to every
+    // row and no full-data aggregation follows (the previous form joined
+    // offsets onto all rows and scanned them with max-when; same answer,
+    // one full-width pass more).
     val qArr = array(qs.zip(outNames).map { case ((num, den), name) =>
       struct(lit(name).as("_q"),
         expr(s"(n * $num + ${den - 1}) div $den").as("_pos"))
     }: _*)
+    // _mid is globally unique (the id's partition prefix), so equality on
+    // it alone addresses the row — the pid/group equalities the _lrank form
+    // needed are implied and dropped
     val targets = offsets
-      .select((col("_pid") +: groupCols.map(col)) :+ col("_cnt") :+
-        col("_offset") :+ explode(qArr).as("_t"): _*)
+      .select(col("_cnt"), col("_offset"), col("_min"),
+        explode(qArr).as("_t"))
       .where(col("_t._pos") > col("_offset") &&
         col("_t._pos") <= col("_offset") + col("_cnt"))
-      .select((col("_pid").as("_rk_pid") +:
-        groupCols.zipWithIndex.map { case (c, i) => col(c).as(s"_rk_g$i") }) :+
-        (col("_t._pos") - col("_offset")).as("_rk_lrank") :+
-        col("_t._q").as("_q"): _*)
-    // group-key equality must be null-safe, the joinOffsets discipline
-    val cond = groupCols.indices
-      .map(i => col(groupCols(i)) <=> col(s"_rk_g$i"))
-      .foldLeft(col("_pid") === col("_rk_pid") &&
-        col("_lrank") === col("_rk_lrank"))(_ && _)
-    val hits = local.join(broadcast(targets), cond)
+      .select((col("_min") + col("_t._pos") - col("_offset") - lit(1L))
+        .as("_rk_mid"), col("_t._q").as("_q"))
+    val hits = local.join(broadcast(targets), col("_mid") === col("_rk_mid"))
       .select(groupCols.map(col) :+ col(valueCol) :+ col("_q"): _*)
     val aggs = qs.zip(outNames).map { case (_, name) =>
       max(when(col("_q") === name, col(valueCol))).as(name)

@@ -198,9 +198,21 @@ object TextOps {
     // array_distinct branch re-tokenized the corpus a second time. The
     // df exchange stays small either way (map-side partial agg reduces it
     // to distinct tokens per partition). Still one lazy plan, no persist.
+    //
+    // count(when(tf > 0, 1)), NOT count(1) — and the difference is
+    // load-bearing (round 22): a df aggregate that ignores `tf` lets
+    // column pruning strip the count from ITS copy of the tf subplan,
+    // the two copies stop canonicalizing equal below the (doc_id, token)
+    // exchange, reuse misses, and the full query re-tokenizes the corpus
+    // a second time. (The r21 single-scan probe ran under count(), which
+    // prunes `tf` from BOTH sides and hid this — guide §1.4's exact
+    // count()-vs-noop warning.) tf ≥ 1 by construction (it counts
+    // existing rows), so the value is identical; referencing it keeps
+    // the shared subplan shared. Pinned by the Round22Spec
+    // input-row-accounting test under a noop write.
     val df = tf
       .groupBy("token")
-      .agg(count(lit(1)).as("df"))
+      .agg(count(when(col("tf") > 0, lit(1))).as("df"))
       .where(col("df") >= minDf)
     tf.join(df, "token")
       .crossJoin(broadcast(nDocs))
@@ -399,7 +411,7 @@ object TextOps {
     // re-ran the full shingle explode a second time. Checkpoint tf so the
     // df aggregate and the weight join below read materialized rows.
     val tf = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .transform(Materialize.once)
     val df = tf.groupBy("gram").agg(count(lit(1)).as("df"))
       .where(col("df").between(minDf, maxDf))
     // idf on the milli grid: N and df are exact integers, so both engines
@@ -413,7 +425,7 @@ object TextOps {
         // carried for the boundary guard below (pruned from every
         // downstream join; costs 16 B/row in the checkpoint)
         col("df"), col("n_docs"))
-      .localCheckpoint(true) // read three times: norms + both join sides
+      .transform(Materialize.once) // read three times: norms + both join sides
     // idf-grid boundary guard (engine independence of the milli
     // quantization): each distinct 1000·ln((N+1)/(df+1)) site must sit
     // clear of the .5 rounding boundary, else a 1-ulp libm difference
