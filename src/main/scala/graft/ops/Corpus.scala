@@ -72,7 +72,7 @@ object Corpus {
         concat_ws(" ", slice(col("toks"), prev + 1, c - prev))
       }))
       .select(col("doc_id"), size(col("cuts")).as("n_chunks"), col("chunks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val chunks = chunked
       .select(col("doc_id"), explode(col("chunks")).as("cstr"))
       .select(col("doc_id"), string_fingerprint_poly(col("cstr")).as("chash"))
@@ -665,7 +665,7 @@ object Corpus {
         call_function("minhash_sig", col("_t"), lit(3), lit(k)).as("sig"),
         array_distinct(col("_t")).as("toks_d"))
       .withColumn("n_toks", size(col("toks_d")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val bandRows = base.select(col("doc_id"),
       posexplode(minhash_bands(col("sig"), k, 1, k))
         .as(Seq("band_idx", "band_hash")))
@@ -710,7 +710,7 @@ object Corpus {
     graft.plans.GraftExtensions.ensureRegistered(documents.sparkSession)
     val toksDf = Spread.toCores(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val spans = toksDf.select(col("doc_id"),
       least(lit(spanTokens), size(col("toks"))).as("span_len"),
       posexplode(call_function("shingles", col("toks"), lit(spanTokens)))

@@ -99,9 +99,14 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     // the token projection feeds THREE consumers joining on different keys
     // (band rows, verify side a, verify side b) — no exchange reuse applies,
-    // so without a persist `tokens(text)` would re-tokenize the corpus 3×
-    // per run (the r04 bench regression). MEMORY_AND_DISK: spills rather
-    // than OOMs when the token arrays outgrow executor memory at scale.
+    // so without a shared materialization `tokens(text)` would re-tokenize
+    // the corpus 3× per run (the r04 bench regression). EAGER materialize
+    // (round 22), not a lazy persist: the three consumers are CONCURRENT
+    // root stages of the one action, and a lazy cache fills per-partition
+    // as tasks finish — stages racing ahead of the fill recompute the
+    // tokenize (probe-measured on the sibling prefixFilterPairs: three
+    // ~20-taskSec copies of the same stage). One eager job fills the
+    // blocks BEFORE the fan-out; consumers only ever read.
     // null text tokenizes to NULL: without the filter all null-text docs
     // collide in one (band_idx, NULL) bucket and reach the output as
     // garbage pairs with NULL n_common/n_union — every sibling variant
@@ -114,7 +119,7 @@ object Dedup {
     val toksDf = Spread.toCores(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(col("toks").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     // shingles/signature each materialized ONCE per row (withColumn), then
     // only (doc_id, band) pairs — not token arrays — enter the shuffle
     GraftExtensions.ensureRegistered(documents.sparkSession)
@@ -229,7 +234,7 @@ object Dedup {
     val sigs = documents.select(col("doc_id"),
       call_function("minhash_sig", tokens(col("text")),
         lit(shingleSize), lit(k)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
       .join(sigs.select((col("doc_id") - 1).as("doc_a"),
         col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_a")
@@ -643,7 +648,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(call_function("shingle_hash_arr",
           tokens(col("text")), lit(n))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val exploded = sets
       .select(col("doc_id"), size(col("hs")).as("len"),
         explode(col("hs")).as("h"))

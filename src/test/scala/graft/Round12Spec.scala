@@ -86,10 +86,24 @@ class Round12Spec extends AnyFunSuite {
     // fingerprint stages (10.3 s / 5.8 s) into parallel ones (3.8 / 3.5)
     val docs = (0L until 32L).map(i => (i, s"tok$i a b c d e f g h"))
       .toDF("doc_id", "text")
-    for (df <- Seq(Dedup.simhashNearDup(docs), Dedup.minhashLsh(docs))) {
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("RoundRobinPartitioning"),
-        s"expected a Spread round-robin exchange in:\n${plan.take(2000)}")
+    val simPlan = Dedup.simhashNearDup(docs).queryExecution.executedPlan.toString
+    assert(simPlan.contains("RoundRobinPartitioning"),
+      s"expected a Spread round-robin exchange in:\n${simPlan.take(2000)}")
+    // minhashLsh eagerly materializes its token projection since round 22
+    // (concurrent-consumer cache race), so the spread exchange runs inside
+    // the materialization job and the FINAL plan shows the checkpointed
+    // RDD instead. Assert the barrier is there and that the materialized
+    // blocks carry the spread's partition count (cores, not the tiny
+    // relation's single split) — the same engagement, observed one level
+    // down.
+    val lsh = Dedup.minhashLsh(docs)
+    val lshPlan = lsh.queryExecution.executedPlan.toString
+    assert(lshPlan.contains("Scan ExistingRDD"),
+      s"expected the eager token materialization barrier in:\n${lshPlan.take(2000)}")
+    val matParts = lsh.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
     }
+    assert(matParts.exists(_ > 1),
+      s"expected the materialized token blocks spread across cores, got $matParts")
   }
 }
