@@ -48,6 +48,17 @@ object Corpus {
     // explode keep every fold single-evaluation, and the persist barrier
     // (the minhashLsh discipline: two consumers, no exchange reuse) stops
     // any downstream rule from re-deriving the chunk computation.
+    //
+    // LAZY persist here, deliberately NOT the round-22 eager
+    // materialization the sibling fan-outs use: the census branch hangs
+    // off the final select through a LEFT join on unique keys, so a
+    // count-shaped consumer (the bench's timed action) legitimately prunes
+    // the whole census — and an eager pre-materialization would force the
+    // full chunk-string computation that pruning skips (256×-measured:
+    // eager 749 vs lazy 152 taskSec under count; interleaved bench medians
+    // 65 vs 18 s). The concurrent-consumer cache race only costs when the
+    // full result is actually consumed, and is bounded by one extra chunk
+    // pass there — the smaller trade.
     val chunked = Spread.toCores(documents)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
@@ -72,7 +83,7 @@ object Corpus {
         concat_ws(" ", slice(col("toks"), prev + 1, c - prev))
       }))
       .select(col("doc_id"), size(col("cuts")).as("n_chunks"), col("chunks"))
-      .transform(Materialize.once)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = chunked
       .select(col("doc_id"), explode(col("chunks")).as("cstr"))
       .select(col("doc_id"), string_fingerprint_poly(col("cstr")).as("chash"))
@@ -787,20 +798,29 @@ object Corpus {
     * anyway — and per-stage single-row counts. Stage frames persist
     * because each feeds both its successor and its own count. */
   def retentionFunnel(documents: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // EAGER stage-frame materialization (round 22), not lazy persist: every
+    // stage frame feeds its successor AND its own census count, and all of
+    // those first execute inside the ONE final union query — concurrent
+    // root stages racing a lazy cache fill recompute the stage frame
+    // (256×-probe-measured: a duplicated d3 evaluation re-ran
+    // decontaminate's gram explode, ~470 of ~12,500 taskSec). The eager
+    // job fills each frame's blocks in construction order; consumers only
+    // read. (d1 was fill-before-use already — sharedGramPairs' eager
+    // checkpoint computes it first — but gets the same treatment so the
+    // discipline is uniform.)
     val d1 = documents.join(
         Dedup.exact(documents).select(col("keep_doc_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val d2 = d1.join(
         Dedup.survivors(d1, Dedup.sharedGramPairs(d1)).select("doc_id"),
         Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     // docs below the bench boundary ARE the benchmark — they leave the
     // training corpus here, alongside anything sharing shingles with them
     val d3 = d2.where(col("doc_id") >= 5)
       .join(decontaminate(d2).select("doc_id"), Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(Materialize.once)
     val d4 = qualityFilter(d3).where(col("keep") === 1)
     val stages: Seq[(String, DataFrame)] = Seq(
       "0_raw" -> documents,
